@@ -1,0 +1,67 @@
+"""Registry of oracle-checked queries — the driver contract's backing store.
+
+Each :class:`QuerySpec` couples a PySpark query builder ``(spark, sf_dir) ->
+DataFrame`` with the equivalent ANSI SQL the DuckDB oracle runs over the same
+parquet fixtures.  ``__spark_entry__.queries()`` / ``oracle_sql()`` are thin
+views over this list; ``bench.py`` runs the ``headline`` subset.
+
+Column-name parity rule: the driver sorts columns by name before hashing, so
+every computed column is aliased identically on both sides.  Float parity
+rule: money sums go through DECIMAL(18,2) on both sides (see
+``functions.scalars.sum_money``) so values are bit-identical regardless of
+partitioning/order.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None = None  # None → driver records rows-only check
+    headline: bool = False     # included in bench.py
+    tags: tuple[str, ...] = field(default_factory=tuple)  # SURVEY §2 operator ids
+
+
+_SPECS: list[QuerySpec] = []
+
+
+def register(spec: QuerySpec) -> QuerySpec:
+    if any(s.name == spec.name for s in _SPECS):
+        raise ValueError(f"duplicate query name {spec.name!r}")
+    _SPECS.append(spec)
+    return spec
+
+
+def specs() -> list[QuerySpec]:
+    _ensure_loaded()
+    return list(_SPECS)
+
+
+def queries() -> dict[str, QueryFn]:
+    return {s.name: s.fn for s in specs()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {s.name: s.oracle for s in specs() if s.oracle is not None}
+
+
+_loaded = False
+
+
+def _ensure_loaded() -> None:
+    """Import every module that registers specs (idempotent)."""
+    global _loaded
+    if _loaded:
+        return
+    from star_schema_etl_airflow_spark.plans import fixture_queries  # noqa: F401
+
+    _loaded = True

@@ -11,15 +11,46 @@ SURVEY.md §4) become automatic:
 - dynamic partition overwrite (idempotent per-date partition refresh, the
   Spark equivalent of the reference's DELETE-then-INSERT datamart pattern,
   ``sql/datamart/sales/sales_summary.sql:6-7``)
+
+Cluster-vs-local behavior: under ``spark-submit --master yarn`` the master
+arrives via the ``spark.master`` system property / SparkConf, NOT an env var,
+and calling ``builder.master()`` would override it.  We therefore only default
+to ``local[N]`` when no master is configured anywhere, and we only pin the
+CPU-derived shuffle-partition count in that local case — on a cluster the
+initial shuffle partitioning is left high (AQE coalesces down; it can never
+split a too-coarse initial partitioning upward).
 """
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import SparkSession
 
-DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+log = logging.getLogger(__name__)
+
+# Initial shuffle partitions for CLUSTER runs: AQE can only coalesce down,
+# never split up, so start high and let it merge (per partition ~ a few
+# hundred MB at 100 TB input this is still coarse; tune per job).
+CLUSTER_SHUFFLE_PARTITIONS = 2000
+
+
+def _local_cpus() -> int:
+    raw = os.environ.get("SPARK_GRAFT_CPUS", "").strip()
+    if raw.isdigit() and int(raw) > 0:
+        return int(raw)
+    return os.cpu_count() or 8
+
+
+def _master_already_configured() -> bool:
+    """True if spark.master is supplied by spark-submit / JVM properties."""
+    try:
+        from pyspark.conf import SparkConf
+
+        return SparkConf().contains("spark.master")
+    except Exception:  # pragma: no cover - defensive
+        return False
 
 
 def get_spark(app_name: str = "star-schema-etl-spark",
@@ -28,21 +59,43 @@ def get_spark(app_name: str = "star-schema-etl-spark",
               extra_conf: dict | None = None) -> SparkSession:
     """Build (or reuse) a SparkSession with engine defaults.
 
-    On a real cluster ``master`` comes from spark-submit; locally we default
-    to ``local[$SPARK_GRAFT_CPUS]``.
+    On a real cluster the master comes from spark-submit (``spark.master``
+    conf); locally we default to ``local[$SPARK_GRAFT_CPUS]``.  If a session
+    already exists, getOrCreate() reuses it and static confs are ignored —
+    we log a warning in that case (mirrors Spark's own behavior).
     """
+    existing = SparkSession.getActiveSession()
+    if existing is not None:
+        if shuffle_partitions is not None:
+            # shuffle.partitions is a runtime conf — safe to apply live.
+            existing.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        log.warning(
+            "Reusing existing SparkSession %s; static configs not re-applied.",
+            existing.sparkContext.applicationId,
+        )
+        return existing
+
     builder = SparkSession.builder.appName(app_name)
+
+    is_local = False
     if master:
         builder = builder.master(master)
-    elif not os.environ.get("SPARK_MASTER"):
-        builder = builder.master(f"local[{DEFAULT_SHUFFLE_PARTITIONS}]")
+        is_local = master.startswith("local")
+    elif not _master_already_configured():
+        builder = builder.master(f"local[{_local_cpus()}]")
+        is_local = True
+
+    if shuffle_partitions is None:
+        # Local: ~1 partition per core (tiny data, avoid task overhead).
+        # Cluster: high initial count; AQE coalesces to the right size.
+        shuffle_partitions = _local_cpus() if is_local else CLUSTER_SHUFFLE_PARTITIONS
 
     conf = {
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
-        "spark.sql.shuffle.partitions": str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
         "spark.sql.sources.partitionOverwriteMode": "dynamic",
         # Arrow for the Pandas-UDF extension operators (similarity, multimodal)
         "spark.sql.execution.arrow.pyspark.enabled": "true",
@@ -54,4 +107,5 @@ def get_spark(app_name: str = "star-schema-etl-spark",
         conf.update(extra_conf)
     for k, v in conf.items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    return spark

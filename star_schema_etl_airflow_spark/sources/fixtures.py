@@ -1,0 +1,45 @@
+"""Loaders for the driver test fixtures (TPC-H-ish star schema).
+
+``/root/testdata/sf*/`` holds: region nation customer supplier part orders
+lineitem events documents embeddings (TESTDATA.md).  These are the inputs for
+every oracle-checked query; the reference's sales domain transposes onto them
+per FIXTURES.md §B (orders/lineitem ≈ raw orders/order_items, part ≈
+products, customer ≈ customers).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar parquet scan — Catalyst pushes filters/projections into it."""
+    if name not in TABLES:
+        raise KeyError(f"unknown fixture table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_star(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """All fixture tables keyed by name."""
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
