@@ -1,0 +1,149 @@
+"""SCD Type 2 dimension maintenance — set-based, single-pass, idempotent.
+
+Replaces the reference's 4-statement MERGE script
+(sql/core/dim/dim_customers.sql:12-157, sql/core/dim/dim_products.sql:12-94)
+with one declarative transform.  Deliberate deviations fixing reference bugs
+(SURVEY.md §2.11 #3-#7):
+
+- one insert of new versions, not two (dim_customers.sql:83-157 double-insert)
+- deterministic surrogate keys: ``max_sk + row_number() over (order by
+  business key)`` instead of unordered ``ROW_NUMBER() OVER()``
+  (dim_customers.sql:76)
+- NULL-safe change detection (``eqNullSafe``) instead of plain ``!=``
+  (dim_customers.sql:46-52), so NULL→value and value→NULL transitions
+  are versioned
+- idempotent by construction: re-applying the same slice classifies every
+  row "unchanged" (the reference's expired-today join, dim_customers.sql:
+  106-110, double-inserts on same-day re-runs)
+- multiple rows per key in one slice are deduped to the latest before
+  classification (reference MERGE would be ambiguous)
+
+Validity convention: half-open ``[effective_date, expiration_date)``,
+NULL expiration = open/current — matching the fact PIT join
+(sql/core/fact/fact_orders.sql:46-57).
+
+Scale design (100 TB): the classify step is a key-equi join between the
+daily slice and current dim rows — both dimension-sized; Spark shuffles on
+the business key or broadcasts the smaller side (AQE decides).  The only
+intentionally single-partition step is the surrogate-key window over the
+*daily delta* (thousands of rows, not the dimension); the documented escape
+hatch for huge deltas is a per-partition count + offset two-pass
+(zipWithIndex style) that keeps determinism without a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+CHANGE_NEW = "new"
+CHANGE_CHANGED = "changed"
+CHANGE_UNCHANGED = "unchanged"
+
+
+def dedupe_latest(source: DataFrame, key: str, order_col: str) -> DataFrame:
+    """Latest row per business key (highest ``order_col``; ties broken by
+    the key itself for determinism)."""
+    w = Window.partitionBy(key).orderBy(F.col(order_col).desc())
+    return (
+        source.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def _any_attr_differs(tracked: list[str], left: str, right: str):
+    """NULL-safe multi-column difference predicate (fixes ref bug #5)."""
+    cond = F.lit(False)
+    for c in tracked:
+        cond = cond | ~F.col(f"{left}.{c}").eqNullSafe(F.col(f"{right}.{c}"))
+    return cond
+
+
+def classify_changes(
+    source: DataFrame,
+    current: DataFrame,
+    key: str,
+    tracked: list[str],
+) -> DataFrame:
+    """Left-join the incoming slice to current dim rows and classify each
+    source row as new / changed / unchanged (operators J3 + P5 + P8).
+
+    Returns the source columns plus ``change_type``.
+    ``current`` must contain exactly one row per key (is_current slice).
+    """
+    s = source.alias("s")
+    t = current.select(key, *tracked).alias("t")
+    joined = s.join(t, F.col(f"s.{key}") == F.col(f"t.{key}"), "left")
+    change = (
+        F.when(F.col(f"t.{key}").isNull(), CHANGE_NEW)
+        .when(_any_attr_differs(tracked, "t", "s"), CHANGE_CHANGED)
+        .otherwise(CHANGE_UNCHANGED)
+    )
+    return joined.select("s.*", change.alias("change_type"))
+
+
+def apply_scd2(
+    dim: DataFrame,
+    source: DataFrame,
+    key: str,
+    tracked: list[str],
+    run_date: str,
+    sk_col: str,
+    order_col: str | None = None,
+    effective_col: str = "effective_date",
+    expiration_col: str = "expiration_date",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """Apply one day's slice to an SCD2 dimension; returns the new dimension.
+
+    ``dim`` columns: ``sk_col, key, *tracked, effective_col, expiration_col,
+    current_col`` (extra passthrough columns are preserved on untouched rows
+    but must also exist in ``source`` for inserted rows).
+    ``source`` columns: ``key, *tracked``.
+    """
+    run = F.lit(run_date).cast("date")
+
+    src = dedupe_latest(source, key, order_col) if order_col else source
+    src = src.select(key, *tracked)
+
+    cur = dim.filter(F.col(current_col))
+    classified = classify_changes(src, cur, key, tracked).cache()
+
+    changed_keys = (
+        classified.filter(F.col("change_type") == CHANGE_CHANGED).select(key)
+    )
+
+    # Expire the current version of changed keys; pass every other dim row
+    # through untouched (this is the whole-table rewrite that replaces the
+    # reference's in-place MERGE UPDATE, SURVEY §7.4 decision 1).
+    flag = changed_keys.withColumn("__expire", F.lit(True))
+    dim_flagged = dim.join(F.broadcast(flag), on=key, how="left")
+    expire_now = F.col("__expire").isNotNull() & F.col(current_col)
+    carried = (
+        dim_flagged.withColumn(
+            expiration_col, F.when(expire_now, run).otherwise(F.col(expiration_col))
+        )
+        .withColumn(
+            current_col, F.when(expire_now, F.lit(False)).otherwise(F.col(current_col))
+        )
+        .drop("__expire")
+    )
+
+    # Insert one new current version per new/changed key with deterministic
+    # surrogate keys seeded from the pre-existing max (ref operators A5+P7+W1,
+    # dim_customers.sql:6-9,76 — made deterministic via ORDER BY key).
+    max_sk = dim.agg(F.coalesce(F.max(sk_col), F.lit(0)).alias("__max_sk"))
+    to_insert = classified.filter(F.col("change_type") != CHANGE_UNCHANGED)
+    w = Window.orderBy(key)
+    inserted = (
+        to_insert.crossJoin(F.broadcast(max_sk))
+        .withColumn(sk_col, (F.col("__max_sk") + F.row_number().over(w)).cast("long"))
+        .withColumn(effective_col, run)
+        .withColumn(expiration_col, F.lit(None).cast("date"))
+        .withColumn(current_col, F.lit(True))
+        .drop("__max_sk", "change_type")
+    )
+
+    cols = [sk_col, key, *tracked, effective_col, expiration_col, current_col]
+    return carried.select(cols).unionByName(inserted.select(cols))

@@ -1,0 +1,387 @@
+"""Oracle-checked queries for the small operator families of SURVEY.md §2:
+projections/filters/predicates (P1-P8), joins (J1-J3), aggregations
+(A4, A5), the surrogate-key window (W1), and the date generator (G1).
+
+Each function is deliberately minimal — one operator family per query — so
+the driver's CORRECTNESS report maps 1:1 onto the §2 inventory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from star_schema_etl_airflow_spark.operators.pit import as_of_join
+from star_schema_etl_airflow_spark.operators.scd2 import classify_changes
+from star_schema_etl_airflow_spark.plans.dims import (
+    SCD2_CUSTOMER_DIM_SQL,
+    build_date_dim,
+    synthetic_scd2_customer_dim,
+)
+from star_schema_etl_airflow_spark.registry import QuerySpec, register
+from star_schema_etl_airflow_spark.sources.fixtures import load_table
+
+# --- P1: column projection (incl. computed columns; stays in codegen) -----
+
+
+def p1_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("discounted_price"),
+        (F.col("l_extendedprice") * (1 + F.col("l_tax"))).alias("gross_price"),
+    )
+
+
+P1_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+       l_extendedprice * (1 - l_discount) AS discounted_price,
+       l_extendedprice * (1 + l_tax)      AS gross_price
+FROM lineitem
+"""
+
+# --- P2/P3: partition-date filters (prune to one day, the reference's
+#     {{dstart}} pattern, dim_customers.sql:28 / sales_summary.sql:36) ----
+
+P2_DATE = "1997-03-15"
+P3_DATE = "1997-06-15"
+
+
+def p2_ship_date_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(F.to_date("l_shipdate") == F.lit(P2_DATE).cast("date")).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.to_date("l_shipdate").alias("ship_date"),
+        "l_quantity",
+    )
+
+
+P2_ORACLE = f"""
+SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_date, l_quantity
+FROM lineitem WHERE CAST(l_shipdate AS DATE) = DATE '{P2_DATE}'
+"""
+
+
+def p3_order_date_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(F.to_date("o_orderdate") == F.lit(P3_DATE).cast("date")).select(
+        "o_orderkey",
+        "o_custkey",
+        F.to_date("o_orderdate").alias("order_date"),
+        "o_totalprice",
+    )
+
+
+P3_ORACLE = f"""
+SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS order_date, o_totalprice
+FROM orders WHERE CAST(o_orderdate AS DATE) = DATE '{P3_DATE}'
+"""
+
+# --- P5 (+J3/P8): NULL-safe change classification --------------------------
+
+
+def p5_change_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic daily slice vs current dim: new/changed/unchanged, with a
+    NULL→value transition that plain ``!=`` would miss (ref bug #5)."""
+    c = load_table(spark, sf_dir, "customer")
+    src = (
+        c.filter(F.col("c_custkey") % 3 != 0)
+        .select(
+            F.col("c_custkey").alias("customer_id"),
+            F.col("c_name").alias("customer_name"),
+            F.when(F.col("c_custkey") % 7 == 0, F.lit(None))
+            .otherwise(F.col("c_mktsegment"))
+            .alias("mktsegment"),
+            F.when(F.col("c_custkey") % 5 == 0, F.col("c_acctbal") + 10.0)
+            .otherwise(F.col("c_acctbal"))
+            .alias("acctbal"),
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 25 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("customer_id"),
+                F.col("c_name").alias("customer_name"),
+                F.col("c_mktsegment").alias("mktsegment"),
+                F.col("c_acctbal").alias("acctbal"),
+            )
+        )
+    )
+    dim = synthetic_scd2_customer_dim(spark, sf_dir)
+    cur = dim.filter("is_current")
+    return classify_changes(
+        src, cur, "customer_id", ["customer_name", "mktsegment", "acctbal"]
+    ).select("customer_id", "mktsegment", "acctbal", "change_type")
+
+
+P5_ORACLE = f"""
+WITH dim AS ({SCD2_CUSTOMER_DIM_SQL}),
+src AS (
+  SELECT c_custkey AS customer_id, c_name AS customer_name,
+         CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_mktsegment END AS mktsegment,
+         CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 10.0 ELSE c_acctbal END AS acctbal
+  FROM customer WHERE c_custkey % 3 <> 0
+  UNION ALL
+  SELECT c_custkey + 1000000, c_name, c_mktsegment, c_acctbal
+  FROM customer WHERE c_custkey % 25 = 0
+),
+cur AS (SELECT * FROM dim WHERE is_current)
+SELECT s.customer_id, s.mktsegment, s.acctbal,
+       CASE WHEN t.customer_id IS NULL THEN 'new'
+            WHEN (t.customer_name IS DISTINCT FROM s.customer_name)
+              OR (t.mktsegment    IS DISTINCT FROM s.mktsegment)
+              OR (t.acctbal       IS DISTINCT FROM s.acctbal) THEN 'changed'
+            ELSE 'unchanged' END AS change_type
+FROM src s LEFT JOIN cur t ON s.customer_id = t.customer_id
+"""
+
+# --- P6: CASE WHEN conditional projection ----------------------------------
+
+
+def p6_case_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    seg = (
+        F.when(F.col("c_acctbal") >= 8000, "platinum")
+        .when(F.col("c_acctbal") >= 5000, "gold")
+        .when(F.col("c_acctbal") >= 2000, "silver")
+        .when(F.col("c_acctbal") >= 0, "bronze")
+        .otherwise("debt")
+    )
+    return c.select(
+        F.col("c_custkey").alias("customer_id"),
+        F.col("c_acctbal").alias("acctbal"),
+        seg.alias("balance_segment"),
+    )
+
+
+P6_ORACLE = """
+SELECT c_custkey AS customer_id, c_acctbal AS acctbal,
+       CASE WHEN c_acctbal >= 8000 THEN 'platinum'
+            WHEN c_acctbal >= 5000 THEN 'gold'
+            WHEN c_acctbal >= 2000 THEN 'silver'
+            WHEN c_acctbal >= 0    THEN 'bronze'
+            ELSE 'debt' END AS balance_segment
+FROM customer
+"""
+
+# --- J3 + P7 + P8: left join, COALESCE, IS NULL ----------------------------
+
+
+def p7_p8_left_join_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    rich = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select("c_custkey", "c_name")
+    )
+    return (
+        o.join(F.broadcast(rich), o.o_custkey == rich.c_custkey, "left")
+        .select(
+            "o_orderkey",
+            F.coalesce(F.col("c_name"), F.lit("(no profile)")).alias("customer_name"),
+            F.col("c_name").isNotNull().alias("has_profile"),
+        )
+    )
+
+
+P7_P8_ORACLE = """
+SELECT o.o_orderkey,
+       COALESCE(c.c_name, '(no profile)') AS customer_name,
+       c.c_name IS NOT NULL               AS has_profile
+FROM orders o
+LEFT JOIN (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 9000) c
+  ON o.o_custkey = c.c_custkey
+"""
+
+# --- J1: inner equi-join (order header × line items) -----------------------
+
+
+def j1_order_lineitem_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    return o.join(li, o.o_orderkey == li.l_orderkey, "inner").select(
+        "o_orderkey",
+        "l_linenumber",
+        "o_custkey",
+        "o_orderstatus",
+        "l_quantity",
+        "l_extendedprice",
+    )
+
+
+J1_ORACLE = """
+SELECT o.o_orderkey, l.l_linenumber, o.o_custkey, o.o_orderstatus,
+       l.l_quantity, l.l_extendedprice
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+"""
+
+# --- J2: point-in-time (as-of) join ----------------------------------------
+
+
+def j2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.to_date("o_orderdate").alias("order_date")
+    )
+    dim = synthetic_scd2_customer_dim(spark, sf_dir)
+    return as_of_join(
+        orders, dim, fact_key="o_custkey", dim_key="customer_id", as_of="order_date"
+    ).select(
+        "o_orderkey",
+        "order_date",
+        "customer_sk",
+        F.col("acctbal").alias("customer_acctbal"),
+        "is_current",
+    )
+
+
+J2_ORACLE = f"""
+WITH dim AS ({SCD2_CUSTOMER_DIM_SQL})
+SELECT o.o_orderkey,
+       CAST(o.o_orderdate AS DATE) AS order_date,
+       d.customer_sk,
+       d.acctbal AS customer_acctbal,
+       d.is_current
+FROM orders o
+JOIN dim d
+  ON o.o_custkey = d.customer_id
+ AND CAST(o.o_orderdate AS DATE) >= d.effective_date
+ AND (d.expiration_date IS NULL OR CAST(o.o_orderdate AS DATE) < d.expiration_date)
+"""
+
+# --- A4: MIN/MAX over groups ------------------------------------------------
+
+
+def a4_minmax_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.min(F.to_date("o_orderdate")).alias("first_order_date"),
+            F.max(F.to_date("o_orderdate")).alias("last_order_date"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+A4_ORACLE = """
+SELECT o_orderpriority,
+       MIN(CAST(o_orderdate AS DATE)) AS first_order_date,
+       MAX(CAST(o_orderdate AS DATE)) AS last_order_date,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY o_orderpriority
+"""
+
+# --- A5 + P7: scalar-subquery aggregate (surrogate-key seed) ----------------
+
+
+def a5_max_sk_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.agg(F.coalesce(F.max("c_custkey"), F.lit(0)).alias("max_sk"))
+
+
+A5_ORACLE = "SELECT COALESCE(MAX(c_custkey), 0) AS max_sk FROM customer"
+
+# --- W1: deterministic surrogate-key window ---------------------------------
+
+
+def w1_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_sk + row_number() ORDER BY business key (ref dim_customers.sql:76
+    made deterministic).  The window is global but runs over the *delta*
+    (new rows only) — dimension-delta-sized, not fact-sized."""
+    c = load_table(spark, sf_dir, "customer")
+    existing = c.filter(F.col("c_custkey") % 3 != 0)
+    newbies = c.filter(F.col("c_custkey") % 3 == 0)
+    max_sk = existing.agg(
+        F.coalesce(F.max("c_custkey"), F.lit(0)).alias("__max_sk")
+    )
+    w = Window.orderBy("c_custkey")
+    return (
+        newbies.crossJoin(F.broadcast(max_sk))
+        .select(
+            F.col("c_custkey").alias("customer_id"),
+            (F.col("__max_sk") + F.row_number().over(w)).cast("long").alias("customer_sk"),
+        )
+    )
+
+
+W1_ORACLE = """
+SELECT c_custkey AS customer_id,
+       CAST((SELECT COALESCE(MAX(c_custkey), 0) FROM customer WHERE c_custkey % 3 <> 0)
+            + ROW_NUMBER() OVER (ORDER BY c_custkey) AS BIGINT) AS customer_sk
+FROM customer WHERE c_custkey % 3 = 0
+"""
+
+# --- G1 + §2.8 census: generated date dimension -----------------------------
+
+G1_START, G1_END = "1995-01-01", "1998-12-31"
+
+
+def g1_date_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return build_date_dim(spark, G1_START, G1_END)
+
+
+G1_ORACLE = f"""
+WITH days AS (
+  SELECT CAST(g AS DATE) AS full_date
+  FROM generate_series(DATE '{G1_START}', DATE '{G1_END}', INTERVAL 1 DAY) AS t(g)
+),
+parts AS (
+  SELECT full_date,
+         dayofyear(full_date) AS doy,
+         dayofweek(date_trunc('year', full_date)) + 1 AS j,  -- 1=Sunday
+         CAST(EXTRACT(MONTH FROM full_date) AS INTEGER) AS m,
+         CAST(EXTRACT(YEAR FROM full_date) AS INTEGER) AS y
+  FROM days
+)
+SELECT
+  full_date AS date_id,
+  full_date,
+  y AS "year",
+  CAST(EXTRACT(QUARTER FROM full_date) AS INTEGER) AS quarter,
+  m AS "month",
+  monthname(full_date) AS month_name,
+  CAST(CASE WHEN doy < ((8 - j) % 7) + 1 THEN 0
+            ELSE ((doy - (((8 - j) % 7) + 1)) // 7) + 1 END AS INTEGER) AS week_of_year,
+  CAST(EXTRACT(DAY FROM full_date) AS INTEGER) AS day_of_month,
+  CAST(dayofweek(full_date) + 1 AS INTEGER) AS day_of_week,
+  dayname(full_date) AS day_name,
+  dayofweek(full_date) IN (0, 6) AS is_weekend,
+  CAST(CASE WHEN m >= 7 THEN y ELSE y - 1 END AS INTEGER) AS fiscal_year,
+  CASE WHEN strftime(full_date, '%m-%d') = '01-01' THEN 'New Year''s Day'
+       WHEN strftime(full_date, '%m-%d') = '07-04' THEN 'Independence Day'
+       WHEN strftime(full_date, '%m-%d') = '12-25' THEN 'Christmas Day'
+       ELSE NULL END AS holiday_name,
+  strftime(full_date, '%m-%d') IN ('01-01', '07-04', '12-25') AS is_holiday
+FROM parts
+"""
+
+# --- registrations ----------------------------------------------------------
+
+register(QuerySpec("p1_projection", p1_projection, P1_ORACLE, tags=("P1",)))
+register(QuerySpec("p2_ship_date_filter", p2_ship_date_filter, P2_ORACLE, tags=("P2",)))
+register(QuerySpec("p3_order_date_filter", p3_order_date_filter, P3_ORACLE, tags=("P3",)))
+register(QuerySpec(
+    "p5_change_classification", p5_change_classification, P5_ORACLE,
+    tags=("P5", "J3", "P8"),
+))
+register(QuerySpec("p6_case_buckets", p6_case_buckets, P6_ORACLE, tags=("P6",)))
+register(QuerySpec(
+    "p7_p8_left_join_nulls", p7_p8_left_join_nulls, P7_P8_ORACLE,
+    tags=("J3", "P7", "P8"),
+))
+register(QuerySpec("j1_order_lineitem_join", j1_order_lineitem_join, J1_ORACLE, tags=("J1",)))
+register(QuerySpec("j2_pit_join", j2_pit_join, J2_ORACLE, headline=True, tags=("J2",)))
+register(QuerySpec("a4_minmax_by_priority", a4_minmax_by_priority, A4_ORACLE, tags=("A4",)))
+register(QuerySpec("a5_max_sk_seed", a5_max_sk_seed, A5_ORACLE, tags=("A5", "P7")))
+register(QuerySpec("w1_surrogate_keys", w1_surrogate_keys, W1_ORACLE, tags=("W1",)))
+register(QuerySpec("g1_date_dim", g1_date_dim, G1_ORACLE, tags=("G1",)))

@@ -62,6 +62,9 @@ def _ensure_loaded() -> None:
     global _loaded
     if _loaded:
         return
-    from star_schema_etl_airflow_spark.plans import fixture_queries  # noqa: F401
+    from star_schema_etl_airflow_spark.plans import (  # noqa: F401
+        fixture_queries,
+        operators_basic,
+    )
 
     _loaded = True
