@@ -1,0 +1,108 @@
+"""Config-driven pipeline runner (orchestration operators O1-O6).
+
+The reference splits orchestration across three staggered Airflow DAGs with
+cross-DAG sensors (ingest 00:00 → core 02:00 → datamart 04:00,
+dags/*:48-66); here the same semantics collapse into one in-process runner:
+
+- O3 config fan-out: stages are registered per table from the YAML registry
+- O4 dependency order: topological sort of declared dependencies (the
+  dims-before-facts barrier falls out of fact_orders' deps)
+- O2 layer barrier: a dependency edge IS the barrier (no polling)
+- O5 callbacks: ``on_stage_complete(name, result)`` hook
+- O6 run-date threading: every stage receives the same ``run_date``;
+  re-running a date is idempotent because every sink is an upsert or a
+  partition overwrite
+
+Scheduling itself (cron) stays external, as in the reference (SURVEY §2.10).
+Scale note: stages run sequentially in dependency order within one
+SparkSession — each stage is itself fully distributed; independent stages
+could be submitted concurrently from threads sharing the session (Spark's
+scheduler interleaves jobs), an escape hatch for wide configs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable, Mapping
+from dataclasses import dataclass, field
+from graphlib import TopologicalSorter
+from typing import Any
+
+StageFn = Callable[..., Any]  # fn(spark, run_date, results: dict[str, Any])
+
+
+@dataclass
+class Stage:
+    name: str
+    fn: StageFn
+    deps: tuple[str, ...] = ()
+    layer: str | None = None  # raw | core | datamart (informational)
+
+
+@dataclass
+class Pipeline:
+    stages: dict[str, Stage] = field(default_factory=dict)
+
+    def add_stage(
+        self,
+        name: str,
+        fn: StageFn,
+        deps: Iterable[str] = (),
+        layer: str | None = None,
+    ) -> "Pipeline":
+        if name in self.stages:
+            raise ValueError(f"duplicate stage {name!r}")
+        self.stages[name] = Stage(name, fn, tuple(deps), layer)
+        return self
+
+    def topological_order(self) -> list[str]:
+        """Dims-before-facts (and every other declared edge), deterministic
+        tie-break by name.  Raises CycleError on cyclic configs."""
+        ts = TopologicalSorter()
+        for s in self.stages.values():
+            missing = [d for d in s.deps if d not in self.stages]
+            if missing:
+                raise ValueError(f"stage {s.name!r} depends on unknown {missing}")
+            ts.add(s.name, *s.deps)
+        ts.prepare()
+        order: list[str] = []
+        while ts.is_active():
+            ready = sorted(ts.get_ready())
+            order.extend(ready)
+            ts.done(*ready)
+        return order
+
+    def run(
+        self,
+        spark,
+        run_date: str,
+        on_stage_complete: Callable[[str, Any], None] | None = None,
+    ) -> dict[str, Any]:
+        """Execute all stages for one run date; returns {stage: result}."""
+        results: dict[str, Any] = {}
+        for name in self.topological_order():
+            result = self.stages[name].fn(spark, run_date, results)
+            results[name] = result
+            if on_stage_complete:
+                on_stage_complete(name, result)
+        return results
+
+
+def from_config(
+    cfg: Mapping[str, Any],
+    builders: Mapping[str, StageFn],
+    layer_of: Mapping[str, str] | None = None,
+) -> Pipeline:
+    """Build a pipeline from a domain config (shape of
+    config/sales_config.yaml) + a {table: builder fn} map.
+
+    Dependencies come from the config's ``dependencies`` lists (bare table
+    names); tables without declared deps get none (raw layer).
+    """
+    from star_schema_etl_airflow_spark.sources.schema import dependencies
+
+    p = Pipeline()
+    for name, fn in builders.items():
+        deps = [d for d in dependencies(cfg, name) if d in builders]
+        layer = (layer_of or {}).get(name)
+        p.add_stage(name, fn, deps=deps, layer=layer)
+    return p

@@ -63,6 +63,7 @@ def _ensure_loaded() -> None:
     if _loaded:
         return
     from star_schema_etl_airflow_spark.plans import (  # noqa: F401
+        core_queries,
         fixture_queries,
         operators_basic,
     )

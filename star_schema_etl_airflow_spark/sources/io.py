@@ -1,0 +1,125 @@
+"""Readers and partitioned writers (operators S1, S2, S8, S9, S10).
+
+Reader parity with the reference's CSV load (utils/operators.py:49-90):
+declared schema (never inferred), permissive tolerance knobs mapped from
+BigQuery load options, and an ``ingestion_timestamp`` audit column stamped
+at load (the column every core transform filters on but the YAML never
+declares — SURVEY.md §1.4 quirk).
+
+Writer parity with the three DML idioms:
+- ``write_append``               ← WRITE_APPEND / INSERT INTO ... SELECT
+- ``write_partition_overwrite``  ← DELETE WHERE date=X; INSERT (per-date
+  refresh, sales_summary.sql:6-7) via dynamic partition overwrite
+- ``write_full_overwrite``       ← DELETE WHERE TRUE; INSERT (full refresh,
+  customer_analytics.sql:6-7)
+
+Scale design: tables are written partitioned by their date column
+(README.md:113-116 partitioning model), so per-date refreshes rewrite one
+partition, date-predicate queries prune to one partition, and backfills
+parallelize per date.  ``ingest_date`` is materialized as an explicit DATE
+partition column because pruning on ``DATE(timestamp_col)`` cannot prune a
+timestamp-partitioned layout (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# BigQuery load-option parity (utils/operators.py:27-30,64-71):
+#   max_bad_records>0 / ignore_unknown_values → PERMISSIVE, else fail-fast.
+DEFAULT_CSV_OPTIONS = {
+    "header": "true",
+    "sep": ",",
+    "multiLine": "true",   # allow_quoted_newlines
+    "enforceSchema": "true",
+    "timestampFormat": "yyyy-MM-dd HH:mm:ss",
+    "dateFormat": "yyyy-MM-dd",
+}
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    *,
+    tolerant: bool = False,
+    options: dict | None = None,
+    stamp_ingestion: bool = True,
+) -> DataFrame:
+    """CSV load with declared schema (S1).
+
+    ``tolerant=True`` ≈ BigQuery ``max_bad_records>0``: malformed rows are
+    dropped instead of failing the load.
+    """
+    opts = dict(DEFAULT_CSV_OPTIONS)
+    opts["mode"] = "DROPMALFORMED" if tolerant else "FAILFAST"
+    if options:
+        opts.update(options)
+    df = spark.read.schema(schema).options(**opts).csv(path)
+    if stamp_ingestion:
+        df = df.withColumn("ingestion_timestamp", F.current_timestamp())
+        df = df.withColumn("ingest_date", F.to_date("ingestion_timestamp"))
+    return df
+
+
+def resolve_dated_path(template: str, run_date: str) -> str:
+    """Date-templated path resolution (S2, dags/ingest_raw_sales.py:66-84).
+
+    ``sales/orders/*.csv`` + run_date 2024-01-15 →
+    ``sales/orders/20240115/orders_20240115.csv`` (reference GCS layout,
+    README.md:70-88: per-date folder, per-date file suffix).
+    """
+    nodash = run_date.replace("-", "")
+    if "*" in template:
+        prefix, star_suffix = template.rsplit("/", 1)
+        entity = prefix.rsplit("/", 1)[-1]
+        ext = star_suffix.split(".", 1)[1] if "." in star_suffix else "csv"
+        return f"{prefix}/{nodash}/{entity}_{nodash}.{ext}"
+    return template.format(ds=run_date, ds_nodash=nodash)
+
+
+def write_append(df: DataFrame, path: str, partition_by: str | None = None) -> None:
+    """S10 / WRITE_APPEND."""
+    w = df.write.mode("append")
+    if partition_by:
+        w = w.partitionBy(partition_by)
+    w.parquet(path)
+
+
+def write_partition_overwrite(df: DataFrame, path: str, partition_by: str) -> None:
+    """S8: idempotent per-partition refresh (requires
+    spark.sql.sources.partitionOverwriteMode=dynamic, set by the session
+    factory) — only partitions present in ``df`` are replaced."""
+    df.write.mode("overwrite").partitionBy(partition_by).parquet(path)
+
+
+def write_full_overwrite(df: DataFrame, path: str, partition_by: str | None = None) -> None:
+    """S9: full-table refresh."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(partition_by)
+    w.parquet(path)
+
+
+def write_swap(df: DataFrame, path: str, partition_by: str | None = None) -> None:
+    """Read-modify-write rewrite: write to a temp sibling, then swap.
+
+    Required when ``df``'s lineage READS ``path`` (SCD2 dim rewrite, merge
+    upsert) — overwriting a path mid-read self-truncates.  The swap
+    (rename) is atomic on a local/HDFS filesystem; on object stores use a
+    table format (Delta/Iceberg) instead — documented in SURVEY §7.4.
+    """
+    import shutil
+
+    tmp = path.rstrip("/") + "__tmp_swap"
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(partition_by)
+    w.parquet(tmp)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.rename(tmp, path)

@@ -1,0 +1,116 @@
+"""SCD2 invariants over a multi-day scenario (SURVEY.md §5 test plan #2-#4).
+
+Scenario (FIXTURES.md A4): D0 initial load; D1 changes + new key + same-key
+duplicate + NULL transition; D2 no-op redelivery.  Invariants after every
+day: exactly one is_current per key; non-overlapping, gap-free
+[effective, expiration) ranges; idempotent re-application.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from star_schema_etl_airflow_spark.operators.scd2 import apply_scd2
+
+DIM_SCHEMA = T.StructType([
+    T.StructField("sk", T.LongType()),
+    T.StructField("cid", T.StringType()),
+    T.StructField("city", T.StringType()),
+    T.StructField("email", T.StringType()),
+    T.StructField("effective_date", T.DateType()),
+    T.StructField("expiration_date", T.DateType()),
+    T.StructField("is_current", T.BooleanType()),
+])
+SRC_SCHEMA = "cid string, city string, email string, v int"
+
+D0, D1, D2 = "2024-01-01", "2024-01-02", "2024-01-03"
+
+
+def _apply(spark, dim, rows, run_date):
+    src = spark.createDataFrame(rows, SRC_SCHEMA)
+    return apply_scd2(
+        dim, src, key="cid", tracked=["city", "email"], run_date=run_date,
+        sk_col="sk", order_col="v",
+    )
+
+
+@pytest.fixture(scope="module")
+def dims(spark):
+    empty = spark.createDataFrame([], DIM_SCHEMA)
+    d0 = _apply(spark, empty, [
+        ("c1", "Oslo", "a@x.com", 1),
+        ("c2", "Lima", None, 1),        # NULL email from the start
+        ("c3", "Kiev", "c@x.com", 1),
+    ], D0).cache()
+    d1 = _apply(spark, d0, [
+        ("c1", "Bonn", "a@x.com", 1),   # changed city
+        ("c2", "Lima", "b@x.com", 1),   # NULL → value transition (ref bug #5)
+        ("c3", "Kiev", "c@x.com", 1),   # unchanged redelivery
+        ("c4", "Rome", "d@x.com", 1),   # brand-new key
+        ("c1", "OLD!", "a@x.com", 0),   # same-key duplicate, stale version
+    ], D1).cache()
+    d2 = _apply(spark, d1, [
+        ("c1", "Bonn", "a@x.com", 1),   # all unchanged
+    ], D2).cache()
+    return d0, d1, d2
+
+
+def _invariants(dim):
+    # exactly one current row per key
+    bad_current = (
+        dim.filter("is_current").groupBy("cid").count().filter("count != 1").count()
+    )
+    assert bad_current == 0
+    # current rows have open expiration
+    assert dim.filter("is_current AND expiration_date IS NOT NULL").count() == 0
+    # versions don't overlap and leave no gaps: lead(effective) == expiration
+    w = F.expr("lead(effective_date) OVER (PARTITION BY cid ORDER BY effective_date)")
+    gaps = (
+        dim.withColumn("next_eff", w)
+        .filter("next_eff IS NOT NULL AND expiration_date IS DISTINCT FROM next_eff")
+        .count()
+    )
+    assert gaps == 0
+
+
+def test_d0_initial_load(dims):
+    d0, _, _ = dims
+    assert d0.count() == 3
+    _invariants(d0)
+    assert sorted(r.sk for r in d0.collect()) == [1, 2, 3]  # deterministic sks
+
+
+def test_d1_versions(dims):
+    _, d1, _ = dims
+    _invariants(d1)
+    # c1 changed (latest duplicate wins: Bonn, not OLD!), c2 NULL→value
+    cur = {r.cid: r for r in d1.filter("is_current").collect()}
+    assert cur["c1"].city == "Bonn"
+    assert cur["c2"].email == "b@x.com"
+    assert cur["c4"].city == "Rome"
+    # expired versions carry run-date expiration
+    old = {r.cid: r for r in d1.filter("NOT is_current").collect()}
+    assert str(old["c1"].expiration_date) == D1
+    assert str(old["c2"].expiration_date) == D1
+    # unchanged c3 kept its single D0 version
+    assert d1.filter("cid = 'c3'").count() == 1
+    # 3 carried originals + 2 new versions (c1, c2) + 1 new key (c4) = 6 rows
+    assert d1.count() == 6
+
+
+def test_d2_noop_is_idempotent(dims):
+    _, d1, d2 = dims
+    assert d2.count() == d1.count()
+    _invariants(d2)
+    # byte-identical content (idempotency, ref bug #6 fixed)
+    assert sorted(map(str, d1.collect())) == sorted(map(str, d2.collect()))
+
+
+def test_null_unsafe_comparison_would_miss(spark, dims):
+    """Documents WHY eqNullSafe matters: plain != misses NULL→value."""
+    d0, d1, _ = dims
+    # with reference semantics (plain !=), c2's NULL→value change is missed;
+    # our d1 must contain TWO c2 versions
+    assert d1.filter("cid = 'c2'").count() == 2
