@@ -41,6 +41,12 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Warm up: touch every fixture table once so JVM codegen + parquet
+    # footer reads don't land in the first query's timing.
+    from star_schema_etl_airflow_spark.sources.fixtures import TABLES, load_table
+    for t in TABLES:
+        load_table(spark, SF_DIR, t).count()
+
     headline = [s for s in registry.specs() if s.headline]
 
     timings: dict[str, float] = {}

@@ -34,9 +34,22 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Columnar parquet scan — Catalyst pushes filters/projections into it."""
+    """Columnar parquet scan — Catalyst pushes filters/projections into it.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; we read it as nanos-since-epoch long
+    (``spark.sql.legacy.parquet.nanosAsLong``, a runtime conf) and surface
+    it as a microsecond TimestampType so downstream code sees a normal
+    timestamp column (DuckDB oracles cast their TIMESTAMP_NS the same way).
+    """
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(table_path(sf_dir, name))
 
 
