@@ -1,0 +1,112 @@
+"""Text-pipeline primitives: tokenization, shingling, hashing, MinHash,
+SimHash — as paired Spark/DuckDB SQL expression builders.
+
+These power the LLM-training-data operators (dedup, fingerprinting, text
+stats) that extend the reference's surface.  Everything is built from
+engine built-ins (no Python UDFs): expressions stay inside whole-stage
+codegen on the Spark side and are exactly reproducible on the DuckDB
+oracle side.
+
+Hash parity: both engines expose bit-identical ``md5`` over UTF-8
+strings; ``md5_long`` takes the first 15 hex chars (60 bits, always
+positive in an int64) as the integer hash.  Production note: at 100 TB
+``xxhash64`` (Spark built-in) is ~10× cheaper than md5 — the md5 choice
+here is for cross-engine differential testing; swap ``HASH_SPARK``
+in one place to switch.
+
+Scale design: every operator built on these primitives is
+bucket-partitioned (hash/band keys), never all-pairs — candidate
+generation is a shuffle on short band-hash keys, and only same-bucket
+pairs are verified.
+"""
+
+from __future__ import annotations
+
+# Shared knobs (both engines derive from these so they cannot drift).
+N_MINHASH = 16        # minhash signature length
+LSH_BAND_ROWS = 4     # rows per band → N_MINHASH/LSH_BAND_ROWS bands
+SHINGLE_N = 3         # word n-gram size for shingles
+SIMHASH_BITS = 48      # simhash width (48 of the hash's 60 bits; fits BIGINT)
+SIMHASH_BAND_BITS = 12  # simhash bucket bands (4 bands of 12 bits)
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "on", "for")
+
+# --- paired expression templates (s: Spark SQL, d: DuckDB SQL) -------------
+
+
+def md5_long_spark(expr: str, seed: str | None = None) -> str:
+    src = f"concat('{seed}', ':', {expr})" if seed is not None else expr
+    return f"cast(conv(substring(md5({src}), 1, 15), 16, 10) as bigint)"
+
+
+def md5_long_duck(expr: str, seed: str | None = None) -> str:
+    src = f"('{seed}' || ':' || {expr})" if seed is not None else expr
+    return f"CAST(('0x' || substr(md5({src}), 1, 15)) AS BIGINT)"
+
+
+def tokens_spark(expr: str) -> str:
+    return f"split({expr}, '\\\\s+')"
+
+
+def tokens_duck(expr: str) -> str:
+    return f"string_split_regex({expr}, '\\s+')"
+
+
+def shingles_spark(toks: str, n: int = SHINGLE_N) -> str:
+    """Distinct word n-grams of a token array (docs shorter than n collapse
+    to one whole-doc shingle)."""
+    return (
+        f"array_distinct(case when size({toks}) < {n} "
+        f"then array(array_join({toks}, ' ')) "
+        f"else transform(sequence(0, size({toks}) - {n}), "
+        f"i -> array_join(slice({toks}, i + 1, {n}), ' ')) end)"
+    )
+
+
+def shingles_duck(toks: str, n: int = SHINGLE_N) -> str:
+    return (
+        f"list_distinct(CASE WHEN len({toks}) < {n} "
+        f"THEN [array_to_string({toks}, ' ')] "
+        f"ELSE list_transform(range(0, len({toks}) - {n} + 1), "
+        f"i -> array_to_string({toks}[i + 1 : i + {n}], ' ')) END)"
+    )
+
+
+def char_ngrams_spark(expr: str, n: int = 4) -> str:
+    return (
+        f"array_distinct(case when length({expr}) < {n} then array({expr}) "
+        f"else transform(sequence(0, length({expr}) - {n}), "
+        f"i -> substring({expr}, i + 1, {n})) end)"
+    )
+
+
+def char_ngrams_duck(expr: str, n: int = 4) -> str:
+    return (
+        f"list_distinct(CASE WHEN length({expr}) < {n} THEN [{expr}] "
+        f"ELSE list_transform(range(0, length({expr}) - {n} + 1), "
+        f"i -> substr({expr}, i + 1, {n})) END)"
+    )
+
+
+def minhash_spark(shingles: str, seed: int) -> str:
+    """One minhash component: min over shingles of the seeded hash."""
+    return f"array_min(transform({shingles}, s -> {md5_long_spark('s', str(seed))}))"
+
+
+def minhash_duck(shingles: str, seed: int) -> str:
+    return f"list_min(list_transform({shingles}, s -> {md5_long_duck('s', str(seed))}))"
+
+
+def jaccard_spark(a: str, b: str) -> str:
+    """Exact Jaccard of two *distinct-element* arrays (int/int division in
+    double — bit-identical across engines)."""
+    return (
+        f"cast(size(array_intersect({a}, {b})) as double) "
+        f"/ cast(size(array_union({a}, {b})) as double)"
+    )
+
+
+def jaccard_duck(a: str, b: str) -> str:
+    return (
+        f"CAST(len(list_intersect({a}, {b})) AS DOUBLE) "
+        f"/ CAST(len(list_distinct(list_concat({a}, {b}))) AS DOUBLE)"
+    )

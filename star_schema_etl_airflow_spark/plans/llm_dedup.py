@@ -1,0 +1,379 @@
+"""Deduplication operators over the ``documents`` fixture: exact
+(hash-groupBy), MinHash+LSH banding, SimHash hamming buckets, and direct
+n-gram Jaccard — the LLM-training-data dedup family.
+
+The fixture corpus has no duplicates, so every query runs over
+``corpus`` = documents ∪ exact copies (every 10th doc, id+2_000_000)
+∪ near-duplicates (every 5th doc with every 7th token dropped,
+id+1_000_000).  Both engines build the corpus from the same parquet, so
+the differential check covers the *whole* pipeline including candidate
+generation.
+
+Scale design (100 TB):
+- exact dedup groups on a 60-bit content hash, never raw text — the
+  shuffle key is 8 bytes/row.
+- MinHash/SimHash candidate generation is bucket-partitioned (LSH bands /
+  hamming bands): the only shuffles are (a) groupBy doc for signatures,
+  (b) groupBy band-key for buckets, and only same-bucket pairs are
+  Jaccard/hamming-verified — no all-pairs stage anywhere.
+- signatures are fixed-width ints; the verify join re-reads only
+  candidate docs' shingle sets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from star_schema_etl_airflow_spark.functions.text import (
+    LSH_BAND_ROWS,
+    N_MINHASH,
+    SIMHASH_BAND_BITS,
+    SIMHASH_BITS,
+    char_ngrams_duck,
+    char_ngrams_spark,
+    jaccard_duck,
+    jaccard_spark,
+    md5_long_duck,
+    md5_long_spark,
+    minhash_duck,
+    minhash_spark,
+    shingles_duck,
+    shingles_spark,
+    tokens_duck,
+    tokens_spark,
+)
+from star_schema_etl_airflow_spark.registry import QuerySpec, register
+from star_schema_etl_airflow_spark.sources.fixtures import load_table
+
+# --- corpus with synthetic duplicates --------------------------------------
+
+NEAR_DUP_OFFSET = 1_000_000
+EXACT_DUP_OFFSET = 2_000_000
+
+_TOKS_S = tokens_spark("text")
+_TOKS_D = tokens_duck("text")
+
+# drop every 7th token (0-based index) — ~14% mutation
+_MUTATE_S = f"array_join(filter({_TOKS_S}, (x, i) -> i % 7 != 0), ' ')"
+_MUTATE_D = (
+    f"array_to_string(list_transform("
+    f"list_filter(range(0, len({_TOKS_D})), i -> i % 7 <> 0), "
+    f"i -> ({_TOKS_D})[i + 1]), ' ')"
+)
+
+
+def build_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + EXACT_DUP_OFFSET).alias("doc_id"), "text")
+    )
+    near = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .select(
+            (F.col("doc_id") + NEAR_DUP_OFFSET).alias("doc_id"),
+            F.expr(_MUTATE_S).alias("text"),
+        )
+    )
+    return docs.unionByName(exact).unionByName(near)
+
+
+CORPUS_DUCK = f"""
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {EXACT_DUP_OFFSET}, text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + {NEAR_DUP_OFFSET}, {_MUTATE_D} FROM documents WHERE doc_id % 5 = 0
+"""
+
+# --- exact dedup: hash-groupBy ---------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group on the 60-bit content hash, keep the lowest
+    doc_id as canonical.  (Grouping on the hash, not the text, keeps the
+    shuffle key fixed-width at scale; hash collisions are ~2^-30 at 1e9
+    docs and a residual exact-text check can be added per group.)"""
+    corpus = build_corpus(spark, sf_dir)
+    return (
+        corpus.select(F.expr(md5_long_spark("text")).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+DEDUP_EXACT_ORACLE = f"""
+WITH corpus AS ({CORPUS_DUCK})
+SELECT {md5_long_duck('text')} AS content_hash,
+       MIN(doc_id) AS canonical_doc_id,
+       COUNT(*) AS n_copies
+FROM corpus
+GROUP BY 1
+"""
+
+# --- MinHash + LSH banding -------------------------------------------------
+
+_N_BANDS = N_MINHASH // LSH_BAND_ROWS
+JACCARD_THRESHOLD = 0.5
+
+_SH_S = shingles_spark(_TOKS_S)
+_SH_D = shingles_duck(_TOKS_D)
+
+
+def _signature_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id, shingles, mh0..mh{N-1}."""
+    corpus = build_corpus(spark, sf_dir)
+    cols = [F.col("doc_id"), F.expr(_SH_S).alias("shingles")]
+    sig = corpus.select(*cols)
+    for j in range(N_MINHASH):
+        sig = sig.withColumn(f"mh{j}", F.expr(minhash_spark("shingles", j)))
+    return sig
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs: shingle → 16 minhashes → 4 bands of 4 →
+    bucket-join on (band, band_key) → exact-Jaccard verify ≥ 0.5."""
+    sig = _signature_df(spark, sf_dir)
+
+    band_exprs = []
+    for b in range(_N_BANDS):
+        row = ", ".join(f"mh{b * LSH_BAND_ROWS + r}" for r in range(LSH_BAND_ROWS))
+        band_exprs.append(f"{b}, md5(concat_ws(',', {row}))")
+    buckets = sig.select(
+        "doc_id",
+        F.expr(f"stack({_N_BANDS}, {', '.join(band_exprs)}) as (band_idx, band_key)"),
+    )
+
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    sh = sig.select("doc_id", "shingles")
+    return (
+        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sh.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(jaccard_spark("sa.shingles", "sb.shingles")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def _duck_minhash_sig() -> str:
+    mh = ",\n         ".join(
+        f"{minhash_duck('shingles', j)} AS mh{j}" for j in range(N_MINHASH)
+    )
+    return f"""
+sig AS (
+  SELECT doc_id, {_SH_D} AS shingles FROM corpus
+),
+sigh AS (
+  SELECT doc_id, shingles,
+         {mh}
+  FROM sig
+)"""
+
+
+def _duck_bands() -> str:
+    parts = []
+    for b in range(_N_BANDS):
+        row = " || ',' || ".join(
+            f"mh{b * LSH_BAND_ROWS + r}" for r in range(LSH_BAND_ROWS)
+        )
+        parts.append(
+            f"SELECT doc_id, {b} AS band_idx, md5({row}) AS band_key FROM sigh"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+DEDUP_MINHASH_ORACLE = f"""
+WITH corpus AS ({CORPUS_DUCK}),
+{_duck_minhash_sig()},
+buckets AS (
+{_duck_bands()}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a JOIN buckets b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       {jaccard_duck('sa.shingles', 'sb.shingles')} AS jaccard
+FROM cand c
+JOIN sigh sa ON c.doc_a = sa.doc_id
+JOIN sigh sb ON c.doc_b = sb.doc_id
+WHERE {jaccard_duck('sa.shingles', 'sb.shingles')} >= {JACCARD_THRESHOLD}
+"""
+
+# --- SimHash hamming buckets -----------------------------------------------
+
+HAMMING_THRESHOLD = 4
+_N_SIM_BANDS = SIMHASH_BITS // SIMHASH_BAND_BITS
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 48-bit frequency-weighted simhash per doc,
+    bucket on 4 12-bit bands, verify hamming distance ≤ 4 on candidates."""
+    corpus = build_corpus(spark, sf_dir)
+    tok = corpus.select(
+        "doc_id", F.explode(F.expr(_TOKS_S)).alias("tok")
+    ).withColumn("h", F.expr(md5_long_spark("tok")))
+
+    bit_sums = [
+        F.sum(
+            F.when(F.expr(f"(shiftright(h, {i}) & 1) = 1"), 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    sim_expr = " + ".join(
+        f"(case when b{i} > 0 then {1 << i}L else 0L end)" for i in range(SIMHASH_BITS)
+    )
+    sim = (
+        tok.groupBy("doc_id")
+        .agg(*bit_sums)
+        .select("doc_id", F.expr(sim_expr).alias("simhash"))
+    )
+
+    band_exprs = ", ".join(
+        f"{k}, shiftright(simhash, {k * SIMHASH_BAND_BITS}) & {(1 << SIMHASH_BAND_BITS) - 1}"
+        for k in range(_N_SIM_BANDS)
+    )
+    buckets = sim.select(
+        "doc_id",
+        "simhash",
+        F.expr(f"stack({_N_SIM_BANDS}, {band_exprs}) as (band_idx, band_key)"),
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= HAMMING_THRESHOLD)
+    )
+
+
+def _duck_simhash() -> str:
+    bit_sums = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    sim_expr = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(SIMHASH_BITS)
+    )
+    return f"""
+tok AS (
+  SELECT doc_id, {md5_long_duck('tok')} AS h
+  FROM (SELECT doc_id, unnest({_TOKS_D}) AS tok FROM corpus)
+),
+bits AS (
+  SELECT doc_id,
+         {bit_sums}
+  FROM tok GROUP BY doc_id
+),
+sim AS (
+  SELECT doc_id, {sim_expr} AS simhash FROM bits
+)"""
+
+
+def _duck_sim_bands() -> str:
+    parts = [
+        f"SELECT doc_id, simhash, {k} AS band_idx, "
+        f"(simhash >> {k * SIMHASH_BAND_BITS}) & {(1 << SIMHASH_BAND_BITS) - 1} AS band_key "
+        f"FROM sim"
+        for k in range(_N_SIM_BANDS)
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+DEDUP_SIMHASH_ORACLE = f"""
+WITH corpus AS ({CORPUS_DUCK}),
+{_duck_simhash()},
+buckets AS (
+{_duck_sim_bands()}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM buckets a JOIN buckets b
+  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+ AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_THRESHOLD}
+"""
+
+# --- direct n-gram Jaccard on known orig↔mutant pairs ----------------------
+
+_CG_S_A = char_ngrams_spark("a.text")
+_CG_S_B = char_ngrams_spark("b.text")
+_CG_D_A = char_ngrams_duck("a.text")
+_CG_D_B = char_ngrams_duck("b.text")
+
+
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise similarity scoring: char-4-gram and word-3-gram Jaccard for
+    each original↔mutant pair (the scoring kernel the LSH pipelines verify
+    with, exposed standalone)."""
+    corpus = build_corpus(spark, sf_dir)
+    orig = corpus.filter(F.col("doc_id") < NEAR_DUP_OFFSET).alias("a")
+    mut = corpus.filter(
+        (F.col("doc_id") >= NEAR_DUP_OFFSET) & (F.col("doc_id") < EXACT_DUP_OFFSET)
+    ).alias("b")
+    pairs = orig.join(
+        mut, F.col("a.doc_id") == F.col("b.doc_id") - NEAR_DUP_OFFSET
+    )
+    return pairs.select(
+        F.col("a.doc_id").alias("orig_id"),
+        F.col("b.doc_id").alias("dup_id"),
+        F.expr(jaccard_spark(_CG_S_A, _CG_S_B)).alias("jaccard_char4"),
+        F.expr(
+            jaccard_spark(
+                shingles_spark(tokens_spark("a.text")),
+                shingles_spark(tokens_spark("b.text")),
+            )
+        ).alias("jaccard_word3"),
+    )
+
+
+NGRAM_JACCARD_ORACLE = f"""
+WITH corpus AS ({CORPUS_DUCK})
+SELECT a.doc_id AS orig_id,
+       b.doc_id AS dup_id,
+       {jaccard_duck(_CG_D_A, _CG_D_B)} AS jaccard_char4,
+       {jaccard_duck(shingles_duck(tokens_duck('a.text')), shingles_duck(tokens_duck('b.text')))} AS jaccard_word3
+FROM corpus a
+JOIN corpus b ON a.doc_id = b.doc_id - {NEAR_DUP_OFFSET}
+WHERE a.doc_id < {NEAR_DUP_OFFSET}
+  AND b.doc_id >= {NEAR_DUP_OFFSET} AND b.doc_id < {EXACT_DUP_OFFSET}
+"""
+
+register(QuerySpec("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE,
+                   tags=("LLM-dedup",)))
+register(QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh, DEDUP_MINHASH_ORACLE,
+                   headline=True, tags=("LLM-dedup",)))
+register(QuerySpec("dedup_simhash", dedup_simhash, DEDUP_SIMHASH_ORACLE,
+                   tags=("LLM-dedup",)))
+register(QuerySpec("ngram_jaccard", ngram_jaccard, NGRAM_JACCARD_ORACLE,
+                   tags=("LLM-dedup",)))

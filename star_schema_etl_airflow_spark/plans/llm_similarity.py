@@ -1,0 +1,216 @@
+"""Embedding similarity search over the ``embeddings`` fixture
+(array<float>, 64-dim): brute-force cosine top-k as the exact baseline,
+and a signed-random-projection LSH variant as the scale path.
+
+Cosine arithmetic is done in double precision with a left-fold in array
+order on both engines, then rounded to 9 decimals before ranking so the
+comparison (and the rank order) is engine-independent.
+
+Scale design (100 TB of vectors):
+- brute-force is a broadcast of the (small) query set against a map-only
+  scan of the candidates — no shuffle on the big side; per-query top-k is
+  a partial top-k per partition then a k-sized merge (window over
+  query_id partitions, never a global sort).
+- the LSH variant buckets candidates by 16 hyperplane sign bits: the
+  scan computes a 16-bit bucket key per vector, candidates are joined to
+  queries *within the same bucket only* — candidate volume drops ~2^16×
+  at the cost of recall; multi-probe (flipping low-margin bits) is the
+  standard recall knob, and an IVF (k-means coarse quantizer) drops in by
+  replacing the bucket key with the nearest-centroid id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from star_schema_etl_airflow_spark.registry import QuerySpec, register
+from star_schema_etl_airflow_spark.sources.fixtures import load_table
+
+N_QUERIES = 10   # vec_id < 10 are the query vectors
+TOP_K = 10
+EMB_DIM = 64
+# LSH hyperplanes → 2^N buckets.  Sized to the corpus: the bucket count
+# should be ~corpus_size / desired_bucket_occupancy.  6 bits → 64 buckets
+# keeps the 500-vector fixture's buckets populated; at 1e9+ vectors use
+# 16-24 bits (the expression is generated, so this is a one-line change).
+N_PLANES = 6
+COS_DECIMALS = 9
+
+
+def _dot_spark(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+        f"cast(0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def _norm_spark(a: str) -> str:
+    return f"sqrt({_dot_spark(a, a)})"
+
+
+_COS_SPARK = (
+    f"round({_dot_spark('q.embedding', 'c.embedding')} "
+    f"/ ({_norm_spark('q.embedding')} * {_norm_spark('c.embedding')}), {COS_DECIMALS})"
+)
+
+
+# DuckDB: fold in array order via list_sum over pairwise products keeps the
+# same left-to-right double accumulation as Spark's aggregate().
+def _cos_duck(a: str, b: str) -> str:
+    dot = (f"list_sum(list_transform(range(1, {EMB_DIM} + 1), "
+           f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))")
+    na = (f"sqrt(list_sum(list_transform(range(1, {EMB_DIM} + 1), "
+          f"i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))")
+    nb = (f"sqrt(list_sum(list_transform(range(1, {EMB_DIM} + 1), "
+          f"i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))))")
+    return f"round({dot} / ({na} * {nb}), {COS_DECIMALS})"
+
+
+# --- brute-force top-k ------------------------------------------------------
+
+
+def embed_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector (brute force).
+
+    The query set is broadcast; candidates stream map-only; ranking is a
+    per-query window (partitioned by query_id — k rows per partition
+    survive, no global sort)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("cand_id"), "embedding", "label"
+    )
+    scored = (
+        F.broadcast(q).alias("q")
+        .crossJoin(c.alias("c"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.col("c.label").alias("cand_label"),
+            F.expr(_COS_SPARK).alias("cosine"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+EMBED_TOPK_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+c AS (
+  SELECT vec_id AS cand_id, embedding, label AS cand_label
+  FROM embeddings WHERE vec_id >= {N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, c.cand_id, c.cand_label,
+         {_cos_duck('q.embedding', 'c.embedding')} AS cosine
+  FROM q CROSS JOIN c
+)
+SELECT query_id, cand_id, cand_label, cosine,
+       CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+  FROM scored
+)
+WHERE rank <= {TOP_K}
+"""
+
+# --- LSH-bucketed ANN -------------------------------------------------------
+
+# Deterministic hyperplanes: seeded Gaussian, embedded as literals in BOTH
+# engines' SQL so the bucketing is exactly reproducible.
+_PLANES = np.random.default_rng(42).standard_normal((N_PLANES, EMB_DIM))
+
+
+def _plane_literal_spark(p: np.ndarray) -> str:
+    return "array(" + ", ".join(f"cast({x!r} as double)" for x in p) + ")"
+
+
+def _plane_literal_duck(p: np.ndarray) -> str:
+    return "[" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in p) + "]"
+
+
+def _bucket_spark(emb: str) -> str:
+    bits = []
+    for j in range(N_PLANES):
+        dot = _dot_spark(emb, _plane_literal_spark(_PLANES[j]))
+        bits.append(f"(case when {dot} >= 0 then {1 << j}L else 0L end)")
+    return " + ".join(bits)
+
+
+def _bucket_duck(emb: str) -> str:
+    bits = []
+    for j in range(N_PLANES):
+        dot = (f"list_sum(list_transform(range(1, {EMB_DIM} + 1), "
+               f"i -> CAST({emb}[i] AS DOUBLE) * ({_plane_literal_duck(_PLANES[j])})[i]))")
+        bits.append(f"(CASE WHEN {dot} >= 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)")
+    return " + ".join(bits)
+
+
+def embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: candidates are only scored when they share the
+    16-bit hyperplane-sign bucket with the query (the 2^16-way partition of
+    the vector space that makes the search sub-linear at scale)."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", F.expr(_bucket_spark("embedding"))
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding"), "bucket"
+    )
+    c = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding"), "bucket"
+    )
+    scored = (
+        F.broadcast(q).alias("q")
+        .join(c.alias("c"), "bucket")
+        .select("query_id", "cand_id", F.expr(_COS_SPARK).alias("cosine"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+EMBED_ANN_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, embedding, {_bucket_duck('embedding')} AS bucket FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding, bucket FROM e WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id AS cand_id, embedding, bucket FROM e WHERE vec_id >= {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, c.cand_id,
+         {_cos_duck('q.embedding', 'c.embedding')} AS cosine
+  FROM q JOIN c USING (bucket)
+)
+SELECT query_id, cand_id, cosine, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+  FROM scored
+)
+WHERE rank <= {TOP_K}
+"""
+
+register(QuerySpec("embed_topk_cosine", embed_topk_cosine, EMBED_TOPK_ORACLE,
+                   headline=True, tags=("LLM-similarity",)))
+register(QuerySpec("embed_ann_lsh", embed_ann_lsh, EMBED_ANN_ORACLE,
+                   tags=("LLM-similarity",)))

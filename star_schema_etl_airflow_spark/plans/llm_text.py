@@ -1,0 +1,148 @@
+"""Text-analysis operators over the ``documents`` fixture — the
+training-data-pipeline extension surface (quality scoring, language ID,
+fingerprinting).  No reference equivalent (the reference is a sales ELT);
+these extend the engine per the build plan (SURVEY.md §7.2 M7).
+
+All expressions are engine built-ins (higher-order array functions), so
+the Spark side stays in whole-stage codegen and the DuckDB oracle is an
+exact replica.  Scale: every query is a single projection/aggregation
+over the document scan — no shuffle except the final nothing; at 100 TB
+these run map-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from star_schema_etl_airflow_spark.functions.text import (
+    STOPWORDS,
+    md5_long_duck,
+    md5_long_spark,
+    minhash_duck,
+    minhash_spark,
+    shingles_duck,
+    shingles_spark,
+    tokens_duck,
+    tokens_spark,
+)
+from star_schema_etl_airflow_spark.registry import QuerySpec, register
+from star_schema_etl_airflow_spark.sources.fixtures import load_table
+
+_TOKS_S = tokens_spark("text")
+_TOKS_D = tokens_duck("text")
+
+# --- text_stats: token counts, type-token ratio, length quality gate -------
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.expr(f"size({_TOKS_S})").alias("n_tokens"),
+        F.expr(f"size(array_distinct({_TOKS_S}))").alias("n_distinct_tokens"),
+        F.expr(
+            f"cast(aggregate(transform({_TOKS_S}, x -> length(x)), 0L, (a, x) -> a + x) as double)"
+            f" / cast(size({_TOKS_S}) as double)"
+        ).alias("avg_token_len"),
+        F.expr(
+            f"cast(size(array_distinct({_TOKS_S})) as double) / cast(size({_TOKS_S}) as double)"
+        ).alias("type_token_ratio"),
+    ).withColumn(
+        "quality_bucket",
+        F.when((F.col("n_tokens") >= 20) & (F.col("type_token_ratio") >= 0.15), "keep")
+        .when(F.col("n_tokens") >= 20, "review")
+        .otherwise("drop"),
+    )
+
+
+TEXT_STATS_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         len({_TOKS_D}) AS n_tokens,
+         len(list_distinct({_TOKS_D})) AS n_distinct_tokens,
+         CAST(list_sum(list_transform({_TOKS_D}, x -> length(x))) AS DOUBLE)
+           / CAST(len({_TOKS_D}) AS DOUBLE) AS avg_token_len,
+         CAST(len(list_distinct({_TOKS_D})) AS DOUBLE)
+           / CAST(len({_TOKS_D}) AS DOUBLE) AS type_token_ratio
+  FROM documents
+)
+SELECT doc_id, lang, CAST(n_tokens AS INTEGER) AS n_tokens,
+       CAST(n_distinct_tokens AS INTEGER) AS n_distinct_tokens,
+       avg_token_len, type_token_ratio,
+       CASE WHEN n_tokens >= 20 AND type_token_ratio >= 0.15 THEN 'keep'
+            WHEN n_tokens >= 20 THEN 'review'
+            ELSE 'drop' END AS quality_bucket
+FROM t
+"""
+
+# --- lang_id: stopword-density heuristic -----------------------------------
+
+_STOP_IN = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-free language ID heuristic: density of English stopwords.
+
+    A real pipeline swaps the predicate for per-language character-n-gram
+    profiles; the operator shape (map-only scoring projection) is identical.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("declared_lang"),
+        F.expr(
+            f"cast(size(filter({_TOKS_S}, x -> x in ({_STOP_IN}))) as double)"
+            f" / cast(size({_TOKS_S}) as double)"
+        ).alias("stopword_ratio"),
+    ).withColumn(
+        "predicted_lang",
+        F.when(F.col("stopword_ratio") >= 0.05, "en").otherwise("und"),
+    )
+
+
+LANG_ID_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang AS declared_lang,
+         CAST(len(list_filter({_TOKS_D}, x -> x IN ({_STOP_IN}))) AS DOUBLE)
+           / CAST(len({_TOKS_D}) AS DOUBLE) AS stopword_ratio
+  FROM documents
+)
+SELECT doc_id, declared_lang, stopword_ratio,
+       CASE WHEN stopword_ratio >= 0.05 THEN 'en' ELSE 'und' END AS predicted_lang
+FROM t
+"""
+
+# --- doc_fingerprint: content hash + min-shingle rolling fingerprint -------
+
+_SH_S = shingles_spark(_TOKS_S)
+_SH_D = shingles_duck(_TOKS_D)
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document fingerprints: full-content md5, integer content hash,
+    and the min word-shingle hash (winnowing-style rolling fingerprint —
+    stable under small appends, unlike the full hash)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("content_md5"),
+        F.expr(md5_long_spark("text")).alias("content_hash"),
+        F.expr(minhash_spark(_SH_S, 0)).alias("min_shingle_hash"),
+    )
+
+
+DOC_FINGERPRINT_ORACLE = f"""
+SELECT doc_id,
+       md5(text) AS content_md5,
+       {md5_long_duck('text')} AS content_hash,
+       {minhash_duck(_SH_D, 0)} AS min_shingle_hash
+FROM documents
+"""
+
+register(QuerySpec("text_stats", text_stats, TEXT_STATS_ORACLE,
+                   tags=("LLM-text",)))
+register(QuerySpec("lang_id", lang_id, LANG_ID_ORACLE, tags=("LLM-text",)))
+register(QuerySpec("doc_fingerprint", doc_fingerprint, DOC_FINGERPRINT_ORACLE,
+                   tags=("LLM-text",)))

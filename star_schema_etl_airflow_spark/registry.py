@@ -65,6 +65,9 @@ def _ensure_loaded() -> None:
     from star_schema_etl_airflow_spark.plans import (  # noqa: F401
         core_queries,
         fixture_queries,
+        llm_dedup,
+        llm_similarity,
+        llm_text,
         operators_basic,
     )
 
