@@ -64,10 +64,12 @@ def _ensure_loaded() -> None:
         return
     from star_schema_etl_airflow_spark.plans import (  # noqa: F401
         core_queries,
+        events_queries,
         fixture_queries,
         llm_dedup,
         llm_similarity,
         llm_text,
+        multimodal_queries,
         operators_basic,
     )
 

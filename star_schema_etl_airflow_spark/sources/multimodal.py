@@ -1,0 +1,98 @@
+"""Multimodal column plumbing: opaque ``binary`` payloads with typed
+metadata, processed by Arrow-batched ``mapInPandas`` — the pattern a
+training-data pipeline uses for image/audio/video columns at 100 TB.
+
+The container has no image/audio codecs, so the *decode* step is a
+clearly-marked stub: ``decode_media`` raises ``NotImplementedError`` for
+real decoding, and ``extract_features`` computes deterministic
+byte-level features (size, md5, a fixed-stride byte sample) so the whole
+Spark-side pipeline — schema, Arrow batch shape, partitioning, UDF
+signature — is real and differentially testable (the md5/byte features
+are reproducible in the DuckDB oracle over the same synthesized
+payloads).
+
+Scale design: payloads stay opaque binary end-to-end (no driver
+collect); ``mapInPandas`` streams Arrow record batches through Python
+with ~10-100× less overhead than row-at-a-time UDFs; heavy media work
+would set ``spark.sql.execution.arrow.maxRecordsPerBatch`` to bound
+per-batch memory (payload_bytes × batch_rows) and repartition by size
+class first so batches are uniform.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from star_schema_etl_airflow_spark.sources.fixtures import load_table
+
+MEDIA_TYPES = ("image", "audio", "video")
+SAMPLE_STRIDE = 37  # fixed stride for the deterministic byte sample
+SAMPLE_LEN = 8
+
+FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("media_type", T.StringType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("payload_md5", T.StringType()),
+    T.StructField("byte_sample", T.ArrayType(T.LongType())),
+])
+
+
+def build_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize a multimodal table from the documents fixture: the text
+    bytes play the opaque payload; media_type cycles deterministically."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in MEDIA_TYPES]),
+            (F.col("doc_id") % len(MEDIA_TYPES) + 1).cast("int"),
+        ).alias("media_type"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.col("n_chars").alias("n_bytes_declared"),
+            F.col("source").alias("origin"),
+        ).alias("meta"),
+    )
+
+
+def decode_media(payload: bytes, media_type: str):
+    """Real decode (PIL / soundfile / video frames) — not available in
+    this environment.  The function exists so the pipeline shape is
+    complete; swap the body for the real codec in production."""
+    raise NotImplementedError(
+        f"no {media_type} codec in this environment; "
+        "extract_features uses byte-level features instead"
+    )
+
+
+def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched feature extraction (the mapInPandas kernel)."""
+    for pdf in batches:
+        payloads = pdf["payload"]
+        yield pd.DataFrame({
+            "media_id": pdf["media_id"],
+            "media_type": pdf["media_type"],
+            "n_bytes": payloads.map(len).astype("int64"),
+            "payload_md5": payloads.map(lambda b: hashlib.md5(b).hexdigest()),
+            "byte_sample": payloads.map(
+                lambda b: [int(x) for x in b[::SAMPLE_STRIDE][:SAMPLE_LEN]]
+            ),
+        })
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Deterministic byte-level features via Arrow-batched mapInPandas."""
+    return media.mapInPandas(_feature_batches, schema=FEATURE_SCHEMA)
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """media table → mapInPandas feature extraction (registered query)."""
+    return extract_features(build_media_table(spark, sf_dir))

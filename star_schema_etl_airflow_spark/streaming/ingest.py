@@ -1,0 +1,104 @@
+"""Structured Streaming ingest over the ``events`` fixture.
+
+The reference is strictly daily batch (SURVEY.md §2.9); this is the
+planned Spark-native extension: a file-source stream with an event-time
+watermark feeding the same tumbling aggregation as the batch
+``events_tumbling`` query — the batch query is the differential oracle
+for this streaming path (tests/test_streaming.py asserts they agree).
+
+Scale design: the file source at 100 TB becomes Kafka/Kinesis with the
+same plan; the watermark bounds state (late events beyond 2 hours are
+dropped), and the windowed aggregate's state store is keyed by
+(window, event_type) — small, bounded cardinality.  ``maxFilesPerTrigger``
+is the ingestion rate knob for file sources.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from star_schema_etl_airflow_spark.sources.fixtures import table_path
+
+WATERMARK = "2 hours"
+WINDOW = "1 hour"
+
+# Parquet-on-disk schema with ``spark.sql.legacy.parquet.nanosAsLong``:
+# the TIMESTAMP(NANOS) column arrives as nanos-since-epoch int64.
+EVENTS_RAW_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.LongType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def _as_stream_dir(sf_dir: str) -> str:
+    """Spark's file stream source requires a *directory*; the fixture is a
+    single parquet file.  Stage a stable symlink directory under /tmp
+    (re-created idempotently) — in production this is simply the landing
+    directory new files arrive in."""
+    base = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_stream_{abs(hash(sf_dir)) % 10**8}"
+    )
+    os.makedirs(base, exist_ok=True)
+    link = os.path.join(base, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(table_path(sf_dir, "events"), link)
+    return base
+
+
+def stream_events(spark: SparkSession, sf_dir: str,
+                  max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream of the events table with a proper timestamp."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(_as_stream_dir(sf_dir))
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window rollup — the streaming twin of the
+    batch ``events_tumbling`` query (same grouping, same aggregates; the
+    batch form is the oracle)."""
+    ev = stream_events(spark, sf_dir)
+    return (
+        ev.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", WINDOW), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,10)")).cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("hour"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_to_memory(spark: SparkSession, sf_dir: str, name: str = "stream_rollup") -> DataFrame:
+    """Execute the streaming rollup to completion against the (static)
+    fixture directory via a memory sink; returns the result as a batch
+    DataFrame.  Complete mode: every trigger emits full state, which the
+    test compares against the batch twin."""
+    q = (
+        streaming_tumbling(spark, sf_dir)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
