@@ -131,7 +131,11 @@ def build_sales_pipeline(wh: SalesWarehouse) -> Pipeline:
             df = df.withColumn(
                 "ingestion_timestamp", F.lit(f"{run_date} 00:00:00").cast("timestamp")
             ).withColumn("ingest_date", F.to_date("ingestion_timestamp"))
-            sio.write_append(df, wh.path("raw", table), partition_by="ingest_date")
+            # dynamic partition overwrite of the run_date partition instead of
+            # the reference's WRITE_APPEND: re-running a date replaces that
+            # day's slice rather than duplicating it (fixes ref bug #6's raw
+            # half; other dates' partitions are untouched)
+            sio.write_partition_overwrite(df, wh.path("raw", table), "ingest_date")
             return df.count()
 
         return ingest
@@ -250,13 +254,24 @@ def build_sales_pipeline(wh: SalesWarehouse) -> Pipeline:
         return wh.read("datamart", "sales_summary")
 
     def customer_analytics(spark, run_date, results):
-        """Full refresh (S9) over current customer profiles (P4)."""
+        """Full refresh (S9) over current customer profiles (P4).
+
+        Deliberate deviation from customer_analytics.sql:37-44: the
+        reference joins facts to dims on customer_sk AND is_current, which
+        silently drops every order that resolved a *historical* SCD2
+        version.  The intent (lifetime metrics under the current profile)
+        needs sk → business key via ALL versions first, then the current
+        profile attached by business key.
+        """
         fo = wh.read("core", "fact_orders")
-        dc = wh.read("core", "dim_customers").filter("is_current").select(
-            "customer_sk", "customer_id", "first_name", "last_name", "city", "state"
+        dim = wh.read("core", "dim_customers")
+        sk_map = dim.select("customer_sk", "customer_id")
+        dc = dim.filter("is_current").select(
+            "customer_id", "first_name", "last_name", "city", "state"
         )
         per_cust = (
-            fo.join(F.broadcast(dc), "customer_sk")
+            fo.join(F.broadcast(sk_map), "customer_sk")
+            .join(F.broadcast(dc), "customer_id")
             .groupBy("customer_id", "first_name", "last_name", "city", "state")
             .agg(
                 F.min("order_date").alias("first_order_date"),

@@ -123,3 +123,6 @@ def write_swap(df: DataFrame, path: str, partition_by: str | None = None) -> Non
     if os.path.exists(path):
         shutil.rmtree(path)
     os.rename(tmp, path)
+    # the rename happened outside Spark's writers — drop the session's
+    # cached file listing for the path or later reads serve deleted files
+    df.sparkSession.catalog.refreshByPath(path)
