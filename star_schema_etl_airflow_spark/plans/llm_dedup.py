@@ -36,12 +36,14 @@ from star_schema_etl_airflow_spark.functions.text import (
     jaccard_spark,
     md5_long_duck,
     md5_long_spark,
-    minhash_duck,
-    minhash_spark,
+    shingle_hashes_duck,
+    shingle_hashes_spark,
     shingles_duck,
     shingles_spark,
     tokens_duck,
     tokens_spark,
+    uhash_min_duck,
+    uhash_min_spark,
 )
 from star_schema_etl_airflow_spark.registry import QuerySpec, register
 from star_schema_etl_airflow_spark.sources.fixtures import load_table
@@ -125,19 +127,30 @@ _SH_D = shingles_duck(_TOKS_D)
 
 
 def _signature_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id, shingles, mh0..mh{N-1}."""
+    """doc_id, shingles, mh0..mh{N-1}.
+
+    One md5 pass per shingle (``shingle_hashes``), then the N components
+    are integer universal hashes over the pre-hashed array."""
     corpus = build_corpus(spark, sf_dir)
-    cols = [F.col("doc_id"), F.expr(_SH_S).alias("shingles")]
-    sig = corpus.select(*cols)
+    sig = corpus.select(
+        F.col("doc_id"),
+        F.expr(_SH_S).alias("shingles"),
+    ).withColumn("hashes", F.expr(shingle_hashes_spark("shingles")))
     for j in range(N_MINHASH):
-        sig = sig.withColumn(f"mh{j}", F.expr(minhash_spark("shingles", j)))
-    return sig
+        sig = sig.withColumn(f"mh{j}", F.expr(uhash_min_spark("hashes", j)))
+    return sig.drop("hashes")
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs: shingle → 16 minhashes → 4 bands of 4 →
-    bucket-join on (band, band_key) → exact-Jaccard verify ≥ 0.5."""
-    sig = _signature_df(spark, sf_dir)
+    bucket-join on (band, band_key) → exact-Jaccard verify ≥ 0.5.
+
+    The signature relation feeds both sides of the bucket self-join AND
+    the verify joins; without a persist Spark recomputes the shingle+hash
+    projection four times (Catalyst reuses exchanges, not arbitrary
+    subtrees).  At 100 TB the signature table would be a materialized
+    intermediate (write once, read four times) for the same reason."""
+    sig = _signature_df(spark, sf_dir).persist()
 
     band_exprs = []
     for b in range(_N_BANDS):
@@ -175,11 +188,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _duck_minhash_sig() -> str:
     mh = ",\n         ".join(
-        f"{minhash_duck('shingles', j)} AS mh{j}" for j in range(N_MINHASH)
+        f"{uhash_min_duck('hashes', j)} AS mh{j}" for j in range(N_MINHASH)
     )
     return f"""
 sig AS (
-  SELECT doc_id, {_SH_D} AS shingles FROM corpus
+  SELECT doc_id, shingles, {shingle_hashes_duck('shingles')} AS hashes
+  FROM (SELECT doc_id, {_SH_D} AS shingles FROM corpus)
 ),
 sigh AS (
   SELECT doc_id, shingles,
