@@ -71,6 +71,7 @@ def _ensure_loaded() -> None:
         llm_text,
         multimodal_queries,
         operators_basic,
+        sql_queries,
     )
 
     _loaded = True
