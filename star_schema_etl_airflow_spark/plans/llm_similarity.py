@@ -210,7 +210,72 @@ FROM (
 WHERE rank <= {TOP_K}
 """
 
+# --- embedding-cosine near-dup detection -----------------------------------
+
+# The fixture vectors are near-orthogonal (max pairwise cosine ≈ 0.51), so
+# near-dups are constructed: every 5th vector gets a copy (id + 1_000_000)
+# with +0.0625 added to its first component (exact in float32) — cosine ≈ 0.998 to its original.
+EMB_DUP_OFFSET = 1_000_000
+EMB_COS_THRESHOLD = 0.98
+
+# float32 arithmetic is identical in both engines (0.0625 is exact; IEEE add).
+_PERTURB_S = ("concat(array(cast(embedding[0] + cast(0.0625 as float) as float)), "
+              "slice(embedding, 2, size(embedding) - 1))")
+_PERTURB_D = ("[CAST(embedding[1] + CAST(0.0625 AS FLOAT) AS FLOAT)] "
+              "|| embedding[2:len(embedding)]")
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: LSH-bucket candidates (same
+    hyperplane-sign key), verify cosine ≥ threshold.  The all-pairs
+    comparison never happens — candidates come only from shared buckets,
+    which is what makes this run at 1e9+ vectors."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dup = (
+        emb.filter(F.col("vec_id") % 5 == 0)
+        .select(
+            (F.col("vec_id") + EMB_DUP_OFFSET).alias("vec_id"),
+            F.expr(_PERTURB_S).alias("embedding"),
+        )
+    )
+    corpus = emb.unionByName(dup).withColumn(
+        "bucket", F.expr(_bucket_spark("embedding"))
+    )
+    a, b = corpus.alias("q"), corpus.alias("c")
+    return (
+        a.join(
+            b,
+            (F.col("q.bucket") == F.col("c.bucket"))
+            & (F.col("q.vec_id") < F.col("c.vec_id")),
+        )
+        .select(
+            F.col("q.vec_id").alias("vec_a"),
+            F.col("c.vec_id").alias("vec_b"),
+            F.expr(_COS_SPARK).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= EMB_COS_THRESHOLD)
+    )
+
+
+DEDUP_EMBEDDING_ORACLE = f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {EMB_DUP_OFFSET}, {_PERTURB_D}
+  FROM embeddings WHERE vec_id % 5 = 0
+),
+e AS (
+  SELECT vec_id, embedding, {_bucket_duck('embedding')} AS bucket FROM corpus
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {_cos_duck('a.embedding', 'b.embedding')} AS cosine
+FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {_cos_duck('a.embedding', 'b.embedding')} >= {EMB_COS_THRESHOLD}
+"""
+
 register(QuerySpec("embed_topk_cosine", embed_topk_cosine, EMBED_TOPK_ORACLE,
                    headline=True, tags=("LLM-similarity",)))
 register(QuerySpec("embed_ann_lsh", embed_ann_lsh, EMBED_ANN_ORACLE,
                    tags=("LLM-similarity",)))
+register(QuerySpec("dedup_embedding_cosine", dedup_embedding_cosine,
+                   DEDUP_EMBEDDING_ORACLE, tags=("LLM-dedup", "LLM-similarity")))

@@ -32,6 +32,10 @@ from star_schema_etl_airflow_spark.sources.fixtures import load_table
 _TOKS_S = tokens_spark("text")
 _TOKS_D = tokens_duck("text")
 
+# letter runs | digit runs | single non-alnum-non-space chars
+_SUBWORD_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]"
+_SUBWORD_RE_D = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
 # --- text_stats: token counts, type-token ratio, length quality gate -------
 
 
@@ -49,6 +53,14 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             f"cast(size(array_distinct({_TOKS_S})) as double) / cast(size({_TOKS_S}) as double)"
         ).alias("type_token_ratio"),
+        # BPE-ish pre-tokenization count: letter runs, digit runs, and
+        # individual punctuation marks — the cheap stand-in for a real BPE
+        # vocab's token count (both engines' regex agree on this subset)
+        F.expr(f"regexp_count(text, '{_SUBWORD_RE}')").alias("n_subword_tokens"),
+        F.expr(
+            f"cast(regexp_count(text, '[^a-zA-Z0-9\\\\s]') as double)"
+            f" / cast(length(text) as double)"
+        ).alias("punct_ratio"),
     ).withColumn(
         "quality_bucket",
         F.when((F.col("n_tokens") >= 20) & (F.col("type_token_ratio") >= 0.15), "keep")
@@ -65,12 +77,16 @@ WITH t AS (
          CAST(list_sum(list_transform({_TOKS_D}, x -> length(x))) AS DOUBLE)
            / CAST(len({_TOKS_D}) AS DOUBLE) AS avg_token_len,
          CAST(len(list_distinct({_TOKS_D})) AS DOUBLE)
-           / CAST(len({_TOKS_D}) AS DOUBLE) AS type_token_ratio
+           / CAST(len({_TOKS_D}) AS DOUBLE) AS type_token_ratio,
+         CAST(len(regexp_extract_all(text, '{_SUBWORD_RE_D}')) AS INTEGER)
+           AS n_subword_tokens,
+         CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
+           / CAST(length(text) AS DOUBLE) AS punct_ratio
   FROM documents
 )
 SELECT doc_id, lang, CAST(n_tokens AS INTEGER) AS n_tokens,
        CAST(n_distinct_tokens AS INTEGER) AS n_distinct_tokens,
-       avg_token_len, type_token_ratio,
+       avg_token_len, type_token_ratio, n_subword_tokens, punct_ratio,
        CASE WHEN n_tokens >= 20 AND type_token_ratio >= 0.15 THEN 'keep'
             WHEN n_tokens >= 20 THEN 'review'
             ELSE 'drop' END AS quality_bucket
