@@ -41,6 +41,58 @@ CHANGE_CHANGED = "changed"
 CHANGE_UNCHANGED = "unchanged"
 
 
+def assign_surrogate_keys(
+    df: DataFrame,
+    key: str,
+    start_sk: int,
+    sk_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic dense surrogate keys ``start_sk+1 ..`` ordered by the
+    business key — WITHOUT a single-partition global window.
+
+    The 100 TB-safe construction (the escape hatch documented in the module
+    docstring): range-partition by key, rank *within* each partition
+    (parallel windows), then add per-partition offsets computed from the
+    partition counts (a tiny driver-side cumulative sum).  Range partitions
+    are ordered key ranges, so offset + local rank IS the global rank —
+    the result is identical to ``row_number() over (order by key)`` while
+    every stage stays parallel.
+    """
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    local = (
+        df.repartitionByRange(n, F.col(key))
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn(
+            "__rn",
+            F.row_number().over(Window.partitionBy("__pid").orderBy(key)),
+        )
+        # persist: the range sampling must not re-run between the counts
+        # action and the final read, or pids could shift
+        .persist()
+    )
+    counts = {
+        r["__pid"]: r["cnt"]
+        for r in local.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    omap = F.create_map(
+        *[F.lit(v) for pair in offsets.items() for v in pair]
+    ) if offsets else F.create_map()
+    return (
+        local.withColumn(
+            sk_col,
+            (F.lit(start_sk) + F.coalesce(omap[F.col("__pid")], F.lit(0)) + F.col("__rn"))
+            .cast("long"),
+        )
+        .drop("__pid", "__rn")
+    )
+
+
 def dedupe_latest(source: DataFrame, key: str, order_col: str) -> DataFrame:
     """Latest row per business key (highest ``order_col``; ties broken by
     the key itself for determinism)."""
@@ -94,6 +146,7 @@ def apply_scd2(
     effective_col: str = "effective_date",
     expiration_col: str = "expiration_date",
     current_col: str = "is_current",
+    distributed_keys: bool = False,
 ) -> DataFrame:
     """Apply one day's slice to an SCD2 dimension; returns the new dimension.
 
@@ -135,14 +188,27 @@ def apply_scd2(
     # dim_customers.sql:6-9,76 — made deterministic via ORDER BY key).
     max_sk = dim.agg(F.coalesce(F.max(sk_col), F.lit(0)).alias("__max_sk"))
     to_insert = classified.filter(F.col("change_type") != CHANGE_UNCHANGED)
-    w = Window.orderBy(key)
+    if distributed_keys:
+        # huge-delta path: parallel range-partitioned ranking (same keys
+        # as the global window, no single-partition bottleneck)
+        start = max_sk.first()["__max_sk"]
+        keyed = assign_surrogate_keys(to_insert, key, start, sk_col)
+    else:
+        # daily-delta path: one global window over thousands of rows
+        w = Window.orderBy(key)
+        keyed = (
+            to_insert.crossJoin(F.broadcast(max_sk))
+            .withColumn(
+                sk_col, (F.col("__max_sk") + F.row_number().over(w)).cast("long")
+            )
+            .drop("__max_sk")
+        )
     inserted = (
-        to_insert.crossJoin(F.broadcast(max_sk))
-        .withColumn(sk_col, (F.col("__max_sk") + F.row_number().over(w)).cast("long"))
+        keyed
         .withColumn(effective_col, run)
         .withColumn(expiration_col, F.lit(None).cast("date"))
         .withColumn(current_col, F.lit(True))
-        .drop("__max_sk", "change_type")
+        .drop("change_type")
     )
 
     cols = [sk_col, key, *tracked, effective_col, expiration_col, current_col]

@@ -114,3 +114,51 @@ def test_null_unsafe_comparison_would_miss(spark, dims):
     # with reference semantics (plain !=), c2's NULL→value change is missed;
     # our d1 must contain TWO c2 versions
     assert d1.filter("cid = 'c2'").count() == 2
+
+
+def test_distributed_surrogate_keys_match_global(spark):
+    """assign_surrogate_keys (range-partitioned, parallel) must produce
+    exactly the keys a global `row_number() over (order by key)` would."""
+    from pyspark.sql import functions as F
+
+    from star_schema_etl_airflow_spark.operators.scd2 import assign_surrogate_keys
+
+    df = spark.range(0, 5000).select(
+        F.concat(F.lit("k"), F.format_string("%06d", (F.col("id") * 7919) % 100000))
+        .alias("bk"),
+        (F.col("id") * 2).alias("payload"),
+    )
+    out = assign_surrogate_keys(df, "bk", start_sk=100, sk_col="sk", num_partitions=8)
+    rows = out.select("bk", "sk").collect()
+    expected = {
+        bk: 100 + i + 1
+        for i, bk in enumerate(sorted(r.bk for r in rows))
+    }
+    assert len(rows) == 5000
+    for r in rows:
+        assert r.sk == expected[r.bk], (r.bk, r.sk, expected[r.bk])
+
+
+def test_apply_scd2_distributed_keys_equivalent(spark):
+    """distributed_keys=True yields the same dimension as the default path."""
+    from pyspark.sql import functions as F
+
+    from star_schema_etl_airflow_spark.operators.scd2 import apply_scd2
+
+    dim = spark.createDataFrame(
+        [(1, "a", "x", "2024-01-01", None, True),
+         (2, "b", "y", "2024-01-01", None, True)],
+        "sk long, bk string, attr string, effective_date string, expiration_date string, is_current boolean",
+    ).select(
+        "sk", "bk", "attr",
+        F.col("effective_date").cast("date").alias("effective_date"),
+        F.col("expiration_date").cast("date").alias("expiration_date"),
+        "is_current",
+    )
+    src = spark.createDataFrame(
+        [("a", "x2"), ("c", "z")], "bk string, attr string"
+    )
+    kw = dict(key="bk", tracked=["attr"], run_date="2024-02-01", sk_col="sk")
+    base = apply_scd2(dim, src, **kw).sort("sk").collect()
+    dist = apply_scd2(dim, src, distributed_keys=True, **kw).sort("sk").collect()
+    assert base == dist
