@@ -73,6 +73,42 @@ def decode_media(payload: bytes, media_type: str):
     )
 
 
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """Image resize — requires a codec (PIL); explicit stub."""
+    raise NotImplementedError("no image codec in this environment")
+
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("frame", T.BinaryType()),
+])
+
+
+def frame_sample(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Sample ``n_frames`` evenly spaced "frames" from each video payload.
+
+    Without a video codec the frames are deterministic byte slices (the
+    payload split into n equal chunks) — the *plumbing* (one input row →
+    n output rows through an Arrow-batched iterator, binary in/binary
+    out) is exactly what a real ffmpeg-backed sampler uses; only the
+    slicing lambda changes."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vids = pdf[pdf["media_type"] == "video"]
+            out = []
+            for media_id, payload in zip(vids["media_id"], vids["payload"]):
+                step = max(1, len(payload) // n_frames)
+                for i in range(n_frames):
+                    chunk = payload[i * step:(i + 1) * step]
+                    if chunk:
+                        out.append((media_id, i, bytes(chunk)))
+            yield pd.DataFrame(out, columns=["media_id", "frame_idx", "frame"])
+
+    return media.mapInPandas(sample, schema=FRAME_SCHEMA)
+
+
 def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Arrow-batched feature extraction (the mapInPandas kernel)."""
     for pdf in batches:

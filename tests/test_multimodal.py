@@ -40,3 +40,36 @@ def test_feature_extraction_roundtrip(spark):
 def test_decode_is_explicit_stub():
     with pytest.raises(NotImplementedError):
         decode_media(b"\x89PNG", "image")
+
+
+def test_resize_is_explicit_stub():
+    from star_schema_etl_airflow_spark.sources.multimodal import resize_image
+
+    with pytest.raises(NotImplementedError):
+        resize_image(b"\xff\xd8", 224, 224)
+
+
+def test_frame_sample_plumbing(spark):
+    from star_schema_etl_airflow_spark.sources.multimodal import (
+        build_media_table,
+        frame_sample,
+    )
+
+    media = build_media_table(spark, SF_DIR)
+    frames = frame_sample(media, n_frames=4)
+    assert dict(frames.dtypes)["frame"] == "binary"
+
+    n_videos = media.filter("media_type = 'video'").count()
+    per_media = frames.groupBy("media_id").count().collect()
+    assert len(per_media) == n_videos
+    assert all(r["count"] == 4 for r in per_media)
+
+    # frames of one video concatenate back into a payload prefix
+    vid = media.filter("media_type = 'video'").first()
+    got = b"".join(
+        bytes(r.frame) for r in sorted(
+            frames.filter(f"media_id = {vid.media_id}").collect(),
+            key=lambda r: r.frame_idx,
+        )
+    )
+    assert vid.payload.startswith(got[: len(vid.payload) // 4])

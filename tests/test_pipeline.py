@@ -172,3 +172,15 @@ def test_rerun_is_idempotent(spark, warehouse):
         after = warehouse.read(layer, t).sort(*sorted(
             warehouse.read(layer, t).columns)).collect()
         assert after == rows, f"{layer}.{t} changed on rerun"
+
+
+def test_stage_callbacks(spark, tmp_path):
+    """O5 analog: on_stage_complete fires once per stage in topo order."""
+    cfg = load_config(CONFIG)
+    base = str(tmp_path)
+    _write_landing(base, cfg)
+    wh = SalesWarehouse(spark, base, cfg)
+    pipeline = build_sales_pipeline(wh)
+    seen = []
+    pipeline.run(spark, D1, on_stage_complete=lambda name, result: seen.append(name))
+    assert seen == pipeline.topological_order()
