@@ -147,6 +147,7 @@ def apply_scd2(
     expiration_col: str = "expiration_date",
     current_col: str = "is_current",
     distributed_keys: bool = False,
+    persist_classified: bool = False,
 ) -> DataFrame:
     """Apply one day's slice to an SCD2 dimension; returns the new dimension.
 
@@ -161,7 +162,13 @@ def apply_scd2(
     src = src.select(key, *tracked)
 
     cur = dim.filter(F.col(current_col))
-    classified = classify_changes(src, cur, key, tracked).cache()
+    # classified feeds both the expire set and the insert set; measured:
+    # recomputing the (delta-sized) classify join twice is cheaper than a
+    # cache materialization at daily-delta scale — persist only for deltas
+    # big enough that the double scan dominates
+    classified = classify_changes(src, cur, key, tracked)
+    if persist_classified:
+        classified = classified.persist()
 
     changed_keys = (
         classified.filter(F.col("change_type") == CHANGE_CHANGED).select(key)
