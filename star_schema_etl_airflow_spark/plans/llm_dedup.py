@@ -127,18 +127,21 @@ _SH_D = shingles_duck(_TOKS_D)
 
 
 def _signature_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id, shingles, mh0..mh{N-1}.
+    """doc_id, hashes (distinct hashed shingles), mh0..mh{N-1}.
 
     One md5 pass per shingle (``shingle_hashes``), then the N components
-    are integer universal hashes over the pre-hashed array."""
+    are integer universal hashes over the pre-hashed array.  Only the
+    int hashes travel downstream — the Jaccard verify compares hashed
+    shingle sets (identical result modulo ~2^-30 collisions, same on
+    both engines), so shuffles carry fixed-width ints, never the strings."""
     corpus = build_corpus(spark, sf_dir)
     sig = corpus.select(
         F.col("doc_id"),
-        F.expr(_SH_S).alias("shingles"),
-    ).withColumn("hashes", F.expr(shingle_hashes_spark("shingles")))
+        F.expr(f"array_distinct({shingle_hashes_spark(_SH_S)})").alias("hashes"),
+    )
     for j in range(N_MINHASH):
         sig = sig.withColumn(f"mh{j}", F.expr(uhash_min_spark("hashes", j)))
-    return sig.drop("hashes")
+    return sig
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -173,14 +176,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    sh = sig.select("doc_id", "shingles")
+    sh = sig.select("doc_id", "hashes")
     return (
         cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
         .join(sh.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
         .select(
             "doc_a",
             "doc_b",
-            F.expr(jaccard_spark("sa.shingles", "sb.shingles")).alias("jaccard"),
+            F.expr(jaccard_spark("sa.hashes", "sb.hashes")).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
@@ -192,11 +195,11 @@ def _duck_minhash_sig() -> str:
     )
     return f"""
 sig AS (
-  SELECT doc_id, shingles, {shingle_hashes_duck('shingles')} AS hashes
-  FROM (SELECT doc_id, {_SH_D} AS shingles FROM corpus)
+  SELECT doc_id, list_distinct({shingle_hashes_duck(_SH_D)}) AS hashes
+  FROM corpus
 ),
 sigh AS (
-  SELECT doc_id, shingles,
+  SELECT doc_id, hashes,
          {mh}
   FROM sig
 )"""
@@ -227,11 +230,11 @@ cand AS (
    AND a.doc_id < b.doc_id
 )
 SELECT c.doc_a, c.doc_b,
-       {jaccard_duck('sa.shingles', 'sb.shingles')} AS jaccard
+       {jaccard_duck('sa.hashes', 'sb.hashes')} AS jaccard
 FROM cand c
 JOIN sigh sa ON c.doc_a = sa.doc_id
 JOIN sigh sb ON c.doc_b = sb.doc_id
-WHERE {jaccard_duck('sa.shingles', 'sb.shingles')} >= {JACCARD_THRESHOLD}
+WHERE {jaccard_duck('sa.hashes', 'sb.hashes')} >= {JACCARD_THRESHOLD}
 """
 
 # --- SimHash hamming buckets -----------------------------------------------
