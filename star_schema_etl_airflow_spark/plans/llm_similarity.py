@@ -51,10 +51,14 @@ def _norm_spark(a: str) -> str:
     return f"sqrt({_dot_spark(a, a)})"
 
 
-_COS_SPARK = (
-    f"round({_dot_spark('q.embedding', 'c.embedding')} "
-    f"/ ({_norm_spark('q.embedding')} * {_norm_spark('c.embedding')}), {COS_DECIMALS})"
-)
+def _cos_spark(a: str, b: str) -> str:
+    return (
+        f"round({_dot_spark(a, b)} "
+        f"/ ({_norm_spark(a)} * {_norm_spark(b)}), {COS_DECIMALS})"
+    )
+
+
+_COS_SPARK = _cos_spark("q.embedding", "c.embedding")
 
 
 # DuckDB: fold in array order via list_sum over pairwise products keeps the
@@ -273,8 +277,114 @@ FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE {_cos_duck('a.embedding', 'b.embedding')} >= {EMB_COS_THRESHOLD}
 """
 
+# --- IVF (inverted-file) ANN ------------------------------------------------
+
+# Coarse quantizer: K "centroid" vectors taken deterministically from the
+# corpus (random-init stand-in for a k-means codebook — the assignment /
+# probe plumbing below is exactly what a trained codebook plugs into).
+IVF_K = 8         # number of cells
+IVF_NPROBE = 2    # cells probed per query
+
+
+def embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: assign every candidate to its nearest centroid (inverted
+    lists), probe each query's IVF_NPROBE nearest cells, rank only within
+    probed cells.
+
+    Scale design: the centroid set is tiny and broadcast; assignment is
+    map-only over the candidate scan; the search join is candidate-volume
+    × (nprobe/K) — the 1/K fan-in that makes IVF sub-linear.  A k-means
+    codebook and product quantization drop in without changing the plan
+    shape."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + IVF_K)
+    ).select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec"))
+
+    def nearest_cells(df: DataFrame, id_col: str, n: int) -> DataFrame:
+        scored = df.alias("v").crossJoin(F.broadcast(cents).alias("ct")).select(
+            F.col(f"v.{id_col}"),
+            F.col("v.embedding"),
+            F.col("ct.cent_id"),
+            F.expr(_cos_spark("v.embedding", "ct.cvec")).alias("ccos"),
+        )
+        w = Window.partitionBy(id_col).orderBy(F.col("ccos").desc(), F.col("cent_id"))
+        return (
+            scored.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= n)
+            .drop("__r", "ccos")
+        )
+
+    cand_cells = nearest_cells(
+        emb.filter(F.col("vec_id") >= N_QUERIES).select(
+            F.col("vec_id").alias("cand_id"), "embedding"
+        ),
+        "cand_id", 1,
+    )
+    probe_cells = nearest_cells(
+        emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        ),
+        "query_id", IVF_NPROBE,
+    )
+
+    scored = (
+        probe_cells.alias("q")
+        .join(cand_cells.alias("c"), "cent_id")
+        .select("query_id", "cand_id", F.expr(_COS_SPARK).alias("cosine"))
+        .distinct()
+    )
+    from pyspark.sql import Window as W2
+
+    w = W2.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+def _duck_nearest_cells(src: str, id_col: str, n: int) -> str:
+    return f"""
+  SELECT {id_col}, embedding, cent_id FROM (
+    SELECT v.{id_col}, v.embedding, ct.cent_id,
+           {_cos_duck('v.embedding', 'ct.cvec')} AS ccos,
+           ROW_NUMBER() OVER (PARTITION BY v.{id_col}
+                              ORDER BY {_cos_duck('v.embedding', 'ct.cvec')} DESC,
+                                       ct.cent_id) AS r
+    FROM {src} v CROSS JOIN cents ct
+  ) WHERE r <= {n}
+"""
+
+
+EMBED_IVF_ORACLE = f"""
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
+  WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + IVF_K}
+),
+cand AS (SELECT vec_id AS cand_id, embedding FROM embeddings WHERE vec_id >= {N_QUERIES}),
+qry AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}),
+cand_cells AS ({_duck_nearest_cells('cand', 'cand_id', 1)}),
+probe_cells AS ({_duck_nearest_cells('qry', 'query_id', IVF_NPROBE)}),
+scored AS (
+  SELECT DISTINCT q.query_id, c.cand_id,
+         {_cos_duck('q.embedding', 'c.embedding')} AS cosine
+  FROM probe_cells q JOIN cand_cells c USING (cent_id)
+)
+SELECT query_id, cand_id, cosine, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+  FROM scored
+)
+WHERE rank <= {TOP_K}
+"""
+
 register(QuerySpec("embed_topk_cosine", embed_topk_cosine, EMBED_TOPK_ORACLE,
                    headline=True, tags=("LLM-similarity",)))
+register(QuerySpec("embed_ann_ivf", embed_ann_ivf, EMBED_IVF_ORACLE,
+                   tags=("LLM-similarity",)))
 register(QuerySpec("embed_ann_lsh", embed_ann_lsh, EMBED_ANN_ORACLE,
                    tags=("LLM-similarity",)))
 register(QuerySpec("dedup_embedding_cosine", dedup_embedding_cosine,
