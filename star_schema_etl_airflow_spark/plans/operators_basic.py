@@ -385,3 +385,24 @@ register(QuerySpec("a4_minmax_by_priority", a4_minmax_by_priority, A4_ORACLE, ta
 register(QuerySpec("a5_max_sk_seed", a5_max_sk_seed, A5_ORACLE, tags=("A5", "P7")))
 register(QuerySpec("w1_surrogate_keys", w1_surrogate_keys, W1_ORACLE, tags=("W1",)))
 register(QuerySpec("g1_date_dim", g1_date_dim, G1_ORACLE, tags=("G1",)))
+
+
+# --- P4: current-version filter -------------------------------------------
+
+
+def p4_current_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """is_current = TRUE as WHERE (customer_analytics.sql:44) over the
+    synthetic SCD2 dimension — prunes to the open versions."""
+    dim = synthetic_scd2_customer_dim(spark, sf_dir)
+    return dim.filter(F.col("is_current")).select(
+        "customer_sk", "customer_id", "mktsegment", "effective_date"
+    )
+
+
+P4_ORACLE = f"""
+WITH dim AS ({SCD2_CUSTOMER_DIM_SQL})
+SELECT customer_sk, customer_id, mktsegment, effective_date
+FROM dim WHERE is_current
+"""
+
+register(QuerySpec("p4_current_filter", p4_current_filter, P4_ORACLE, tags=("P4",)))
