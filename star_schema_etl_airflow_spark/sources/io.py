@@ -105,6 +105,31 @@ def write_full_overwrite(df: DataFrame, path: str, partition_by: str | None = No
     w.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: str | list[str],
+    n_buckets: int = 32,
+    sort_by: str | list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table (hash-bucketed by the join/merge key).
+
+    The 100 TB join strategy for big⋈big on a stable key (fact⋈fact, the
+    daily MERGE anti-join, repeated order-key joins): both sides bucketed
+    by the key join WITHOUT a shuffle — Catalyst sees the matching
+    ``HashPartitioning`` from the bucket spec and drops the Exchange on
+    each bucketed side (see tests/test_bucketing.py for the plan-level
+    proof).  Bucketing requires a managed table (metastore carries the
+    bucket spec), hence ``saveAsTable`` rather than a path write."""
+    keys = [bucket_by] if isinstance(bucket_by, str) else list(bucket_by)
+    w = df.write.mode(mode).bucketBy(n_buckets, *keys)
+    if sort_by:
+        sort_keys = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+        w = w.sortBy(*sort_keys)
+    w.format("parquet").saveAsTable(table)
+
+
 def write_swap(df: DataFrame, path: str, partition_by: str | None = None) -> None:
     """Read-modify-write rewrite: write to a temp sibling, then swap.
 
