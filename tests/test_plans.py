@@ -1,0 +1,52 @@
+"""Physical-plan regression tests: the plans we shipped are the plans we
+meant to ship (broadcast dims, pruned scans, no cartesian joins).  These
+fail if a refactor silently degrades the 100 TB story."""
+
+from __future__ import annotations
+
+from star_schema_etl_airflow_spark.plans.core_queries import fact_orders
+from star_schema_etl_airflow_spark.plans.datamart import (
+    customer_analytics,
+    sales_summary,
+)
+from star_schema_etl_airflow_spark.plans.llm_dedup import dedup_minhash_lsh
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_sales_summary_broadcasts_dims_and_prunes_columns(spark):
+    df = sales_summary(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the lineitem scan must read exactly the 4 referenced columns
+    scan = next(p for p in plan.split("FileScan")[1:] if "lineitem" in p)
+    schema = scan.split("ReadSchema:")[1].splitlines()[0]
+    assert set(
+        c.split(":")[0] for c in schema.strip().strip("struct<>").split(",")
+    ) == {"l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"}
+
+
+def test_customer_analytics_no_cartesian(spark):
+    plan = _plan(customer_analytics(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_fact_orders_pit_joins_broadcast_dims(spark):
+    plan = _plan(fact_orders(spark, SF_DIR))
+    # both PIT joins must be broadcast (range residual as join condition,
+    # never a cartesian/nested-loop over the fact stream)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_no_cartesian(spark):
+    plan = _plan(dedup_minhash_lsh(spark, SF_DIR))
+    # candidate generation is a hash join on (band_idx, band_key), with the
+    # doc_id inequality as a residual condition — not a cross product
+    assert "CartesianProduct" not in plan
