@@ -78,7 +78,12 @@ def build_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_MUTATE_S).alias("text"),
         )
     )
-    return docs.unionByName(exact).unionByName(near)
+    # the fixture is one parquet file → 1 partition per union branch, which
+    # serializes the (compute-heavy) hashing downstream; spread the rows
+    # over every core first.  At scale the input arrives in many splits and
+    # this repartition is dropped (it would be an unnecessary shuffle).
+    n = spark.sparkContext.defaultParallelism
+    return docs.unionByName(exact).unionByName(near).repartition(n, "doc_id")
 
 
 CORPUS_DUCK = f"""
@@ -135,13 +140,17 @@ def _signature_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle sets (identical result modulo ~2^-30 collisions, same on
     both engines), so shuffles carry fixed-width ints, never the strings."""
     corpus = build_corpus(spark, sf_dir)
-    sig = corpus.select(
+    # single select (one analysis pass) — a 16-step withColumn chain costs
+    # ~1.5s of repeated plan analysis for the same result
+    return corpus.select(
         F.col("doc_id"),
         F.expr(f"array_distinct({shingle_hashes_spark(_SH_S)})").alias("hashes"),
+    ).select(
+        "doc_id",
+        "hashes",
+        *[F.expr(uhash_min_spark("hashes", j)).alias(f"mh{j}")
+          for j in range(N_MINHASH)],
     )
-    for j in range(N_MINHASH):
-        sig = sig.withColumn(f"mh{j}", F.expr(uhash_min_spark("hashes", j)))
-    return sig
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
