@@ -1,0 +1,203 @@
+"""Time-series operators over the ``events`` fixture: bucketed range join,
+hypertable-style multi-granularity rollup, and JSON property extraction.
+
+No reference equivalent (the reference is a daily-batch sales ELT); these
+extend the engine's surface for event/time-series workloads the way
+TimescaleDB hypertables and Databricks/DuckDB range-join binning do — but
+expressed as plain DataFrame plans so Catalyst keeps optimizing them.
+
+Scale design (100 TB):
+
+- **Range join** (`events_range_join`): the naive plan for "events of the
+  same user within the 30 min before each purchase" is an equi-join on
+  ``user_id`` whose range predicate runs as a post-join filter — per-user
+  event history × purchases blowup for power users.  The bucketed band
+  join bins both sides into window-sized time buckets and joins on
+  ``(user_id, bucket)``, replicating each build row into the 2 buckets it
+  can influence; the join key now bounds candidates to ±1 window, so
+  fan-out per probe is O(events in 2 buckets), independent of history
+  length.  This is the standard range-join binning rewrite, done with two
+  DataFrame ops (explode + equi-join) that AQE can still re-plan.
+- **Hypertable rollup** (`hypertable_rollup`): the day aggregate is
+  derived from the persisted *hour* aggregate, never from raw events —
+  decomposable aggregates (COUNT→SUM, SUM→SUM, MIN/MAX→MIN/MAX) reagg
+  losslessly, and distinct users carry as per-hour partial sets merged at
+  day grain (the exact-set stand-in for the HLL sketch merge you'd use at
+  100 TB; the operator shape — partial per fine bucket, merge at coarse
+  bucket — is identical).  The differential oracle computes the day grain
+  directly from raw events, so a green row *proves* the reaggregation is
+  lossless.
+- **JSON extraction** (`events_json_extract`): ``get_json_object`` is a
+  JVM built-in (no UDF); the projection is map-only and prunes to the two
+  columns it reads.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from star_schema_etl_airflow_spark.functions import safe_divide
+from star_schema_etl_airflow_spark.registry import QuerySpec, register
+from star_schema_etl_airflow_spark.sources.fixtures import load_table
+
+WINDOW_SECONDS = 30 * 60  # range-join lookback = bucket width
+
+# --- bucketed range join ---------------------------------------------------
+
+
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per purchase event: count/distinct-types/value-sum of the same
+    user's events in the strict 30-minute window before it.
+
+    Band-join construction: probe (purchases) keyed by its time bucket;
+    build (all events) replicated to its own bucket and the next one —
+    a window ``[ts-30m, ts)`` starting in bucket ``k`` only reaches
+    builds in buckets ``k-1`` and ``k``, so equality on the replicated
+    bucket covers exactly the candidates.  Each build row meets a given
+    probe through one bucket only (the probe's own), so no dedup step
+    is needed.  The exact range predicate then filters candidates.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.floor(F.unix_timestamp("ts") / WINDOW_SECONDS)
+
+    probe = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", bucket.alias("bucket"))
+        .alias("a")
+    )
+    build = (
+        ev.select(
+            F.col("user_id").alias("b_user_id"),
+            F.col("ts").alias("b_ts"),
+            F.col("event_type").alias("b_type"),
+            F.col("value").alias("b_value"),
+            F.explode(F.array(bucket, bucket + 1)).alias("bucket"),
+        )
+        .alias("b")
+    )
+    joined = probe.join(
+        build,
+        (F.col("a.user_id") == F.col("b.b_user_id"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("b.b_ts") >= F.col("a.ts") - F.expr(f"INTERVAL {WINDOW_SECONDS} SECOND"))
+        & (F.col("b.b_ts") < F.col("a.ts")),
+        "left",
+    )
+    return joined.groupBy("a.event_id").agg(
+        F.count("b.b_ts").alias("n_prior_events"),
+        F.countDistinct("b.b_type").alias("n_prior_types"),
+        F.coalesce(
+            F.sum(F.col("b.b_value").cast("decimal(28,10)")), F.lit(0)
+        ).cast("double").alias("prior_value"),
+    )
+
+
+EVENTS_RANGE_JOIN_ORACLE = f"""
+SELECT a.event_id,
+       COUNT(b.ts) AS n_prior_events,
+       COUNT(DISTINCT b.event_type) AS n_prior_types,
+       CAST(COALESCE(SUM(CAST(b.value AS DECIMAL(28,10))), 0) AS DOUBLE) AS prior_value
+FROM events a
+LEFT JOIN events b
+  ON b.user_id = a.user_id
+ AND b.ts >= a.ts - INTERVAL {WINDOW_SECONDS} SECOND
+ AND b.ts <  a.ts
+WHERE a.event_type = 'purchase'
+GROUP BY a.event_id
+"""
+
+# --- hypertable rollup: hour partials → day merge --------------------------
+
+
+def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day × event-type rollup computed FROM the hour rollup (continuous-
+    aggregate style).  Counts/sums/min/max reagg as decomposable
+    aggregates; distinct users merge from per-hour partial sets."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"),
+            "event_type",
+        ).agg(
+            F.count("*").alias("h_events"),
+            F.sum(F.col("value").cast("decimal(28,10)")).alias("h_value"),
+            F.min("value").alias("h_min"),
+            F.max("value").alias("h_max"),
+            F.collect_set("user_id").alias("h_users"),
+        )
+    )
+    return (
+        hourly.groupBy(
+            F.to_date("hour").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_hours"),
+            F.sum("h_events").alias("n_events"),
+            F.sum("h_value").cast("double").alias("total_value"),
+            F.min("h_min").alias("min_value"),
+            F.max("h_max").alias("max_value"),
+            F.size(F.array_distinct(F.flatten(F.collect_list("h_users")))).alias(
+                "n_users"
+            ),
+        )
+        .withColumn("avg_value", safe_divide(F.col("total_value"), F.col("n_events")))
+    )
+
+
+HYPERTABLE_ROLLUP_ORACLE = """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       event_type,
+       COUNT(DISTINCT date_trunc('hour', ts)) AS n_hours,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS total_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value,
+       CAST(COUNT(DISTINCT user_id) AS INTEGER) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS avg_value
+FROM events
+GROUP BY 1, 2
+"""
+
+# --- JSON property extraction ----------------------------------------------
+
+
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the ``props`` JSON column (JVM built-in ``get_json_object``)
+    and aggregate the extracted value per event type."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.countDistinct("k").alias("n_distinct_k"),
+        )
+    )
+
+
+EVENTS_JSON_EXTRACT_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum,
+       CAST(MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS k_min,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS k_max,
+       COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS INTEGER)) AS n_distinct_k
+FROM events
+GROUP BY 1
+"""
+
+register(QuerySpec("events_range_join", events_range_join,
+                   EVENTS_RANGE_JOIN_ORACLE, headline=True,
+                   tags=("range-join", "streaming-batch-twin")))
+register(QuerySpec("hypertable_rollup", hypertable_rollup,
+                   HYPERTABLE_ROLLUP_ORACLE,
+                   tags=("rollup", "streaming-batch-twin")))
+register(QuerySpec("events_json_extract", events_json_extract,
+                   EVENTS_JSON_EXTRACT_ORACLE,
+                   tags=("json",)))

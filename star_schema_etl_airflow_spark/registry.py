@@ -71,7 +71,9 @@ def _ensure_loaded() -> None:
         llm_text,
         multimodal_queries,
         operators_basic,
+        sketches,
         sql_queries,
+        timeseries,
     )
 
     _loaded = True

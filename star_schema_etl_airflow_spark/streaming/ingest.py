@@ -87,6 +87,57 @@ def streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _as_dup_stream_dir(sf_dir: str) -> str:
+    """A landing directory where the same batch arrived TWICE (two files
+    with identical rows) — the at-least-once-delivery shape streaming
+    dedup exists for."""
+    base = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_dupstream_{abs(hash(sf_dir)) % 10**8}"
+    )
+    os.makedirs(base, exist_ok=True)
+    for fname in ("events_a.parquet", "events_b.parquet"):
+        link = os.path.join(base, fname)
+        if not os.path.exists(link):
+            os.symlink(table_path(sf_dir, "events"), link)
+    return base
+
+
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup on the event key with watermark-bounded state
+    (``dropDuplicatesWithinWatermark``): duplicates arriving within the
+    watermark horizon are dropped, and key state older than the watermark
+    is evicted — the unbounded-state ``dropDuplicates`` alternative is a
+    memory leak at 100 TB/day ingest rates.
+
+    Reads a landing dir where every event was delivered twice; the batch
+    twin (``SELECT DISTINCT``-by-key over one copy) is the oracle.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(_as_dup_stream_dir(sf_dir))
+    return (
+        df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("ts", WATERMARK)
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+
+
+def run_dedup_to_memory(spark: SparkSession, sf_dir: str,
+                        name: str = "stream_dedup") -> DataFrame:
+    """Run the streaming dedup over the doubled landing dir to completion
+    (one availableNow batch — both copies arrive inside the watermark, so
+    the dedup is total) and return the result as a batch DataFrame."""
+    q = (
+        streaming_dedup(spark, sf_dir)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
 def run_to_memory(spark: SparkSession, sf_dir: str, name: str = "stream_rollup") -> DataFrame:
     """Execute the streaming rollup to completion against the (static)
     fixture directory via a memory sink; returns the result as a batch
