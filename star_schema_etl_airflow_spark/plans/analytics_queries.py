@@ -1,0 +1,381 @@
+"""General analytics operator families beyond the reference's own inventory:
+window functions (LAG/LEAD, running and rolling frames, NTILE), ROLLUP/CUBE
+with GROUPING_ID, set operations (INTERSECT/EXCEPT/UNION ALL), semi/anti
+joins, PIVOT, and top-N per group.
+
+The reference's datamart layer stops at plain GROUP BY (SURVEY.md §2.5); a
+user replacing it with this engine gets the full analytic-SQL surface.  Every
+query here is oracle-checked against DuckDB (hash-exact), and every
+expression is built-in/JVM-side — no Python UDFs.
+
+Scale notes (100 TB):
+- Window queries partition by a key (customer) — parallel windows, never the
+  single-partition global-window antipattern.
+- ROLLUP/CUBE expand via Catalyst's ``Expand`` operator: one shuffle on the
+  grouping-set id + keys, partial aggregation map-side.
+- Set ops and semi/anti joins are key-only shuffles (projection pruned to the
+  join key before the exchange); at scale these are the cheap way to express
+  cohort membership — never a ``collect`` + ``isin``.
+- Top-N per group: partial ``row_number`` after a shuffle on the group key;
+  with AQE skew splitting, hot groups split without manual salting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from star_schema_etl_airflow_spark.functions.scalars import sum_money
+from star_schema_etl_airflow_spark.registry import QuerySpec, register
+from star_schema_etl_airflow_spark.sources.fixtures import load_table
+
+# --- W2: LAG / LEAD over per-customer order sequences ---------------------
+
+
+def w2_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    # (order_date, o_orderkey) is unique per customer → deterministic frame
+    w = Window.partitionBy("o_custkey").orderBy("order_date", "o_orderkey")
+    return (
+        o.withColumn("order_date", F.to_date("o_orderdate"))
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "order_date",
+            F.lag("order_date").over(w).alias("prev_order_date"),
+            F.datediff(F.col("order_date"), F.lag("order_date").over(w))
+            .cast("int")
+            .alias("days_since_prev"),
+            F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        )
+    )
+
+
+W2_ORACLE = """
+SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+       LAG(CAST(o_orderdate AS DATE)) OVER w AS prev_order_date,
+       CAST(date_diff('day',
+            LAG(CAST(o_orderdate AS DATE)) OVER w,
+            CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_prev,
+       LEAD(o_orderkey) OVER w AS next_orderkey
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+"""
+
+# --- W3: running total + rolling 3-row frame per customer -----------------
+
+
+def w3_running_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("order_date", "o_orderkey")
+    money = F.col("o_totalprice").cast("decimal(18,2)")
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rolling3 = w.rowsBetween(-2, Window.currentRow)
+    return (
+        o.withColumn("order_date", F.to_date("o_orderdate"))
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w).cast("int").alias("order_seq"),
+            F.sum(money).over(running).cast("double").alias("cum_spend"),
+            F.sum(money).over(rolling3).cast("double").alias("rolling3_spend"),
+            F.count("*").over(rolling3).cast("int").alias("rolling3_n"),
+        )
+    )
+
+
+W3_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       CAST(ROW_NUMBER() OVER w AS INTEGER) AS order_seq,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS cum_spend,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS rolling3_spend,
+       CAST(COUNT(*)
+            OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+            AS INTEGER) AS rolling3_n
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+"""
+
+# --- W5: NTILE / RANK / PERCENT_RANK customer spend quartiles -------------
+
+
+def w5_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    spend = (
+        o.groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("__spend_dec"))
+    )
+    # exact-decimal spend → the (spend desc, custkey) order is deterministic
+    w = Window.orderBy(F.col("__spend_dec").desc(), F.col("o_custkey"))
+    return spend.select(
+        "o_custkey",
+        F.col("__spend_dec").cast("double").alias("total_spend"),
+        F.ntile(4).over(w).cast("int").alias("spend_quartile"),
+        F.rank().over(w).cast("int").alias("spend_rank"),
+        F.round(F.percent_rank().over(w), 9).alias("spend_pct_rank"),
+    )
+
+
+W5_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend_dec
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey,
+       CAST(spend_dec AS DOUBLE) AS total_spend,
+       CAST(NTILE(4) OVER w AS INTEGER) AS spend_quartile,
+       CAST(RANK() OVER w AS INTEGER) AS spend_rank,
+       ROUND(PERCENT_RANK() OVER w, 9) AS spend_pct_rank
+FROM spend
+WINDOW w AS (ORDER BY spend_dec DESC, o_custkey)
+"""
+
+# --- A7: ROLLUP with GROUPING_ID (nation × order-year revenue) ------------
+
+
+def a7_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    enriched = (
+        o.join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+               o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            "o_totalprice",
+        )
+    )
+    return (
+        enriched.rollup("nation", "order_year")
+        .agg(
+            sum_money(F.col("o_totalprice")).alias("revenue"),
+            F.count("*").alias("n_orders"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+    )
+
+
+A7_ORACLE = """
+SELECT n.n_name AS nation,
+       CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER) AS order_year,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_orders,
+       CAST(GROUPING(n.n_name) * 2 + GROUPING(EXTRACT(YEAR FROM o.o_orderdate))
+            AS INTEGER) AS gid
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+GROUP BY ROLLUP (n.n_name, EXTRACT(YEAR FROM o.o_orderdate))
+"""
+
+# --- A8: CUBE over pricing flags ------------------------------------------
+
+
+def a8_cube_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+            sum_money(F.col("l_extendedprice")).alias("sum_price"),
+            F.count("*").alias("n_rows"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+    )
+
+
+A8_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       COUNT(*) AS n_rows,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INTEGER) AS gid
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+# --- SET1: INTERSECT / EXCEPT / UNION ALL cohort membership ---------------
+
+SET_Y1, SET_Y2 = 1996, 1997
+
+
+def _year_custs(o: DataFrame, year: int) -> DataFrame:
+    return (
+        o.filter(F.year("o_orderdate") == year)
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+
+
+def set1_customer_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    y1, y2 = _year_custs(o, SET_Y1), _year_custs(o, SET_Y2)
+    both = y1.intersect(y2).withColumn("cohort", F.lit("both"))
+    only1 = y1.exceptAll(y2).withColumn("cohort", F.lit(f"only_{SET_Y1}"))
+    only2 = y2.exceptAll(y1).withColumn("cohort", F.lit(f"only_{SET_Y2}"))
+    return both.unionByName(only1).unionByName(only2)
+
+
+SET1_ORACLE = f"""
+WITH y1 AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders
+            WHERE EXTRACT(YEAR FROM o_orderdate) = {SET_Y1}),
+     y2 AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders
+            WHERE EXTRACT(YEAR FROM o_orderdate) = {SET_Y2})
+SELECT c_custkey, 'both' AS cohort FROM (SELECT * FROM y1 INTERSECT SELECT * FROM y2)
+UNION ALL
+SELECT c_custkey, 'only_{SET_Y1}' AS cohort FROM (SELECT * FROM y1 EXCEPT SELECT * FROM y2)
+UNION ALL
+SELECT c_custkey, 'only_{SET_Y2}' AS cohort FROM (SELECT * FROM y2 EXCEPT SELECT * FROM y1)
+"""
+
+# --- J7: semi / anti joins (EXISTS / NOT EXISTS) --------------------------
+
+
+def j7_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    okeys = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    active = c.join(okeys, on="c_custkey", how="left_semi").withColumn(
+        "status", F.lit("active")
+    )
+    inactive = c.join(okeys, on="c_custkey", how="left_anti").withColumn(
+        "status", F.lit("inactive")
+    )
+    return active.unionByName(inactive)
+
+
+J7_ORACLE = """
+SELECT c_custkey, c_mktsegment, 'active' AS status FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+UNION ALL
+SELECT c_custkey, c_mktsegment, 'inactive' AS status FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+# --- PV1: PIVOT (order-priority revenue per nation) -----------------------
+
+_PRIORITIES = [
+    ("1-URGENT", "rev_urgent"),
+    ("2-HIGH", "rev_high"),
+    ("3-MEDIUM", "rev_medium"),
+    ("4-NOT SPECIFIED", "rev_not_specified"),
+    ("5-LOW", "rev_low"),
+]
+
+
+def pv1_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    enriched = (
+        o.join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+               o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(F.col("n_name").alias("nation"), "o_orderpriority", "o_totalprice")
+    )
+    pivoted = (
+        enriched.groupBy("nation")
+        .pivot("o_orderpriority", [p for p, _ in _PRIORITIES])
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")))
+    )
+    return pivoted.select(
+        "nation",
+        *[
+            F.coalesce(F.col(f"`{p}`"), F.lit(0)).cast("double").alias(alias)
+            for p, alias in _PRIORITIES
+        ],
+    )
+
+
+_PV1_CASES = ",\n".join(
+    f"""       CAST(COALESCE(SUM(CASE WHEN o.o_orderpriority = '{p}'
+            THEN CAST(o.o_totalprice AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS {alias}"""
+    for p, alias in _PRIORITIES
+)
+
+PV1_ORACLE = f"""
+SELECT n.n_name AS nation,
+{_PV1_CASES}
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+# --- TN1: top-N per group (top 3 parts by revenue per supplier nation) ----
+
+TOPN = 3
+
+
+def tn1_top_parts_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+                li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n.select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), "l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("__rev_dec")
+        )
+    )
+    w = Window.partitionBy("nation").orderBy(
+        F.col("__rev_dec").desc(), F.col("l_partkey")
+    )
+    return (
+        rev.withColumn("part_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("part_rank") <= TOPN)
+        .select(
+            "nation",
+            "l_partkey",
+            F.col("__rev_dec").cast("double").alias("part_revenue"),
+            "part_rank",
+        )
+    )
+
+
+TN1_ORACLE = f"""
+WITH rev AS (
+  SELECT n.n_name AS nation, l.l_partkey,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS rev_dec
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n   ON s.s_nationkey = n.n_nationkey
+  GROUP BY n.n_name, l.l_partkey
+), ranked AS (
+  SELECT nation, l_partkey, rev_dec,
+         CAST(ROW_NUMBER() OVER (PARTITION BY nation
+              ORDER BY rev_dec DESC, l_partkey) AS INTEGER) AS part_rank
+  FROM rev
+)
+SELECT nation, l_partkey, CAST(rev_dec AS DOUBLE) AS part_revenue, part_rank
+FROM ranked WHERE part_rank <= {TOPN}
+"""
+
+# --- registration ---------------------------------------------------------
+
+register(QuerySpec("w2_lag_lead", w2_lag_lead, W2_ORACLE, tags=("W2",)))
+register(QuerySpec("w3_running_frames", w3_running_frames, W3_ORACLE, tags=("W3",)))
+register(QuerySpec("w5_spend_quartiles", w5_spend_quartiles, W5_ORACLE, tags=("W5",)))
+register(QuerySpec("a7_rollup_revenue", a7_rollup_revenue, A7_ORACLE, tags=("A7",)))
+register(QuerySpec("a8_cube_pricing", a8_cube_pricing, A8_ORACLE, tags=("A8",)))
+register(QuerySpec("set1_customer_cohorts", set1_customer_cohorts, SET1_ORACLE,
+                   tags=("SET1",)))
+register(QuerySpec("j7_semi_anti", j7_semi_anti, J7_ORACLE, tags=("J7",)))
+register(QuerySpec("pv1_priority_pivot", pv1_priority_pivot, PV1_ORACLE,
+                   tags=("PV1",)))
+register(QuerySpec("tn1_top_parts_per_nation", tn1_top_parts_per_nation,
+                   TN1_ORACLE, tags=("TN1",)))

@@ -63,6 +63,8 @@ def _ensure_loaded() -> None:
     if _loaded:
         return
     from star_schema_etl_airflow_spark.plans import (  # noqa: F401
+        analytics_queries,
+        approx_queries,
         core_queries,
         events_queries,
         fixture_queries,
