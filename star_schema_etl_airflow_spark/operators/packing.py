@@ -1,0 +1,90 @@
+"""Greedy sequence packing — batching documents into fixed token budgets.
+
+Training pipelines pack variable-length documents into fixed-size context
+windows (bins of ``capacity`` tokens) to minimize padding.  Optimal bin
+packing is NP-hard and inherently sequential; the scale-correct compromise
+is: hash-shard the corpus, pack GREEDILY within each shard in a stable
+order.  Sharding makes it embarrassingly parallel (one pandas group per
+shard via ``applyInPandas``); the stable order (doc_id) plus the
+deterministic shard hash make the result independent of partitioning and
+cluster size — and expressible as a recursive CTE, so the DuckDB oracle
+checks it hash-exactly (rare for an ``applyInPandas`` operator).
+
+Semantics: within a shard, docs are visited in doc_id order; a doc goes to
+the current bin unless it would overflow ``capacity``, in which case it
+opens a new bin.  A doc larger than ``capacity`` occupies a bin alone
+(callers should length-filter first; the operator must still terminate).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from star_schema_etl_airflow_spark.operators.sampling import hash_bucket
+
+PACK_SCHEMA = "shard int, doc_id long, tokens int, bin_id int"
+
+
+def _pack_one_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+    cap = int(pdf["__cap"].iloc[0])
+    bins, fill, bin_id = [], 0, 0
+    first = True
+    for t in pdf["tokens"]:
+        if not first and fill + t > cap:
+            bin_id += 1
+            fill = t
+        else:
+            fill += t
+            first = False
+        bins.append(bin_id)
+    out = pdf[["shard", "doc_id", "tokens"]].copy()
+    out["bin_id"] = pd.Series(bins, dtype="int32")
+    return out
+
+
+def pack_greedy(
+    df: DataFrame,
+    key: str,
+    tokens_col: str,
+    capacity: int,
+    n_shards: int = 8,
+    seed: str = "shard",
+) -> DataFrame:
+    """Assign each row a ``(shard, bin_id)`` under a greedy token budget.
+
+    ``df`` needs a stable integer/string ``key`` and an integer
+    ``tokens_col``.  Arrow-batched ``applyInPandas``: one pandas call per
+    shard, O(rows/shard) memory — choose ``n_shards`` so a shard fits an
+    executor (at 100 TB that's simply more shards; packing quality is
+    unaffected because bins never span shards).
+    """
+    prepared = df.select(
+        (hash_bucket(f"cast({key} as string)", seed) % n_shards)
+        .cast("int")
+        .alias("shard"),
+        F.col(key).cast("long").alias("doc_id"),
+        F.col(tokens_col).cast("int").alias("tokens"),
+        F.lit(capacity).alias("__cap"),
+    )
+    return prepared.groupBy("shard").applyInPandas(
+        lambda pdf: _pack_one_shard(pdf), schema=PACK_SCHEMA
+    )
+
+
+def bin_utilization(packed: DataFrame, capacity: int) -> DataFrame:
+    """Per-bin fill report: tokens used, docs, utilization fraction."""
+    return (
+        packed.groupBy("shard", "bin_id")
+        .agg(
+            F.sum("tokens").alias("bin_tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .withColumn(
+            "utilization", F.round(F.col("bin_tokens") / F.lit(capacity), 9)
+        )
+    )

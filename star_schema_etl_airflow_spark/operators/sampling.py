@@ -1,0 +1,104 @@
+"""Deterministic (hash-based) sampling, splitting, and corpus mixing.
+
+Training-data pipelines need sampling that is REPRODUCIBLE: re-running the
+pipeline, on any cluster size, with any partitioning, must select the same
+rows — otherwise dataset versions aren't comparable and eval contamination
+can't be audited.  RNG-based ``df.sample``/``sampleBy`` is seed-stable only
+per-partitioning; the scale-correct tool is a content hash of a stable key:
+
+    keep row  ⇔  md5(seed || key) mod 10_000  <  floor(fraction * 10_000)
+
+- embarrassingly parallel (no shuffle, no state, pure map)
+- independent samples per ``seed`` (md5 avalanche ⇒ bucket independence)
+- identical row sets in any engine that can md5 — which is what lets the
+  DuckDB oracle check these EXACTLY instead of via statistical bounds.
+
+``hash_split`` is the train/val/test variant of the same idea;
+``mix_to_weights`` composes it with per-stratum fractions computed from
+exact stratum counts to hit target mixture proportions (bounded by the
+scarcest stratum).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from star_schema_etl_airflow_spark.functions.text import md5_long_spark
+
+BUCKETS = 10_000
+
+
+def hash_bucket(key_expr: str, seed: str) -> Column:
+    """Stable bucket in [0, BUCKETS) from the md5 of ``seed || key``.
+
+    ``key_expr`` is a Spark SQL string expression for the stable row key
+    (cast to string).  Different seeds give independent bucketings.
+    """
+    return F.expr(f"pmod({md5_long_spark(key_expr, seed)}, {BUCKETS})")
+
+
+def threshold(fraction: float) -> int:
+    """Bucket threshold for a keep-fraction (floor: both engines agree)."""
+    import math
+
+    return int(math.floor(min(max(fraction, 0.0), 1.0) * BUCKETS))
+
+
+def deterministic_sample(df: DataFrame, key_expr: str, fraction: float,
+                         seed: str) -> DataFrame:
+    """Keep a stable ~``fraction`` of rows, selected by key hash."""
+    return df.filter(hash_bucket(key_expr, seed) < threshold(fraction))
+
+
+def hash_split(df: DataFrame, key_expr: str, seed: str,
+               cuts: dict[str, float], split_col: str = "split") -> DataFrame:
+    """Disjoint named splits (e.g. train/val/test) by hash-bucket range.
+
+    ``cuts`` maps split name → fraction; fractions must sum to ≤ 1 (any
+    remainder is dropped, which is how holdout carve-outs work).
+    """
+    b = hash_bucket(key_expr, seed)
+    expr = F.lit(None).cast("string")
+    hi = 0.0
+    for name, frac in cuts.items():
+        lo_t, hi = threshold(hi), hi + frac
+        expr = F.when((b >= lo_t) & (b < threshold(hi)), F.lit(name)).otherwise(expr)
+    return df.withColumn(split_col, expr).filter(F.col(split_col).isNotNull())
+
+
+def mixture_fractions(counts: dict[str, int],
+                      weights: dict[str, float]) -> dict[str, float]:
+    """Per-stratum keep-fractions that realize ``weights`` proportions.
+
+    The achievable corpus size is bound by the scarcest stratum:
+    ``factor = min(count_s / weight_s)``; stratum s keeps
+    ``weight_s * factor / count_s`` of its rows.  Pure float arithmetic —
+    the DuckDB oracle reproduces it bit-identically.
+    """
+    factor = min(counts[s] / weights[s] for s in weights)
+    return {s: min(weights[s] * factor / counts[s], 1.0) for s in weights}
+
+
+def mix_to_weights(df: DataFrame, stratum_col: str, key_expr: str,
+                   weights: dict[str, float], seed: str) -> DataFrame:
+    """Downsample strata so the result mixes to ``weights`` proportions.
+
+    The per-stratum counts are a single tiny aggregate (one row per
+    stratum — strata are bounded: languages, sources, domains), collected
+    to the driver to compute thresholds; the sampling pass itself is a
+    pure map over the data.  Strata not named in ``weights`` are dropped.
+    """
+    rows = (
+        df.filter(F.col(stratum_col).isin(list(weights)))
+        .groupBy(stratum_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    counts = {r[stratum_col]: r["n"] for r in rows}
+    fracs = mixture_fractions(counts, weights)
+    b = hash_bucket(key_expr, seed)
+    keep = F.lit(False)
+    for s, frac in fracs.items():
+        keep = keep | ((F.col(stratum_col) == s) & (b < threshold(frac)))
+    return df.filter(keep)

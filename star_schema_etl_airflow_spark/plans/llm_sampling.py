@@ -1,0 +1,185 @@
+"""Oracle-checked training-data sampling/curation queries: hash-based
+train/val/test split, deterministic stratified sampling, corpus mixing to
+target language weights, and greedy sequence packing.
+
+All four are EXACT differential checks (not statistical bounds): the
+sampling operators hash row keys instead of drawing randoms
+(``operators/sampling.py``), and the packer's shard-local greedy order is
+reproducible as a recursive CTE (``operators/packing.py``) — so DuckDB
+derives the identical row set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from star_schema_etl_airflow_spark.functions.text import md5_long_duck
+from star_schema_etl_airflow_spark.operators.packing import pack_greedy
+from star_schema_etl_airflow_spark.operators.sampling import (
+    BUCKETS,
+    hash_bucket,
+    hash_split,
+    mix_to_weights,
+    threshold,
+)
+from star_schema_etl_airflow_spark.registry import QuerySpec, register
+from star_schema_etl_airflow_spark.sources.fixtures import load_table
+
+_KEY_S = "cast(doc_id as string)"
+_KEY_D = "CAST(doc_id AS VARCHAR)"
+
+
+def _bucket_duck(seed: str) -> str:
+    return f"({md5_long_duck(_KEY_D, seed)} % {BUCKETS})"
+
+
+# --- SPLIT: train/val/test by key hash ------------------------------------
+
+SPLIT_SEED = "split"
+SPLIT_CUTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_split(docs, _KEY_S, SPLIT_SEED, SPLIT_CUTS).select(
+        "doc_id", "lang", "split"
+    )
+
+
+def _split_oracle() -> str:
+    # embed the exact integer thresholds the operator computes, so the
+    # oracle can't drift from Python float accumulation order
+    edges, hi = [], 0.0
+    for name, frac in SPLIT_CUTS.items():
+        lo_t, hi = threshold(hi), hi + frac
+        edges.append((name, lo_t, threshold(hi)))
+    cases = "\n".join(
+        f"         WHEN b >= {lo} AND b < {hi_} THEN '{name}'"
+        for name, lo, hi_ in edges
+    )
+    return f"""
+WITH b AS (
+  SELECT doc_id, lang, {_bucket_duck(SPLIT_SEED)} AS b FROM documents
+)
+SELECT doc_id, lang,
+       CASE {cases}
+       END AS split
+FROM b
+WHERE CASE {cases} END IS NOT NULL
+"""
+
+
+# --- STRAT: deterministic stratified sample -------------------------------
+
+STRAT_SEED = "strat"
+STRAT_FRACS = {"en": 0.25, "es": 0.5, "de": 0.5, "fr": 0.75, "zh": 1.0}
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    b = hash_bucket(_KEY_S, STRAT_SEED)
+    keep = F.lit(False)
+    for lang, frac in STRAT_FRACS.items():
+        keep = keep | ((F.col("lang") == lang) & (b < threshold(frac)))
+    return docs.filter(keep).select("doc_id", "lang", "source")
+
+
+def _strat_oracle() -> str:
+    conds = " OR ".join(
+        f"(lang = '{lang}' AND {_bucket_duck(STRAT_SEED)} < {threshold(frac)})"
+        for lang, frac in STRAT_FRACS.items()
+    )
+    return f"SELECT doc_id, lang, source FROM documents WHERE {conds}"
+
+
+# --- MIX: downsample strata to target corpus weights ----------------------
+
+MIX_SEED = "mix"
+MIX_WEIGHTS = {"en": 0.4, "es": 0.2, "fr": 0.2, "de": 0.1, "zh": 0.1}
+
+
+def mix_corpora(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return mix_to_weights(docs, "lang", _KEY_S, MIX_WEIGHTS, MIX_SEED).select(
+        "doc_id", "lang"
+    )
+
+
+def _mix_oracle() -> str:
+    values = ", ".join(
+        f"('{s}', CAST({w} AS DOUBLE))" for s, w in MIX_WEIGHTS.items()
+    )
+    # float expressions mirror mixture_fractions() op-for-op:
+    # factor = min(n / w); frac = least((w * factor) / n, 1.0)
+    return f"""
+WITH w(lang, wt) AS (VALUES {values}),
+counts AS (
+  SELECT d.lang, CAST(COUNT(*) AS DOUBLE) AS n
+  FROM documents d JOIN w ON d.lang = w.lang GROUP BY d.lang
+),
+f AS (SELECT MIN(c.n / w.wt) AS factor FROM counts c JOIN w ON c.lang = w.lang),
+thr AS (
+  SELECT c.lang,
+         CAST(FLOOR(LEAST((w.wt * f.factor) / c.n, 1.0) * {BUCKETS}) AS BIGINT)
+           AS t
+  FROM counts c JOIN w ON c.lang = w.lang CROSS JOIN f
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN thr ON d.lang = thr.lang
+WHERE {_bucket_duck(MIX_SEED)} < thr.t
+"""
+
+
+# --- PACK: greedy sequence packing ----------------------------------------
+
+PACK_CAPACITY = 256
+PACK_SHARDS = 8
+PACK_SEED = "shard"
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "tokens_i", F.expr("(n_chars + 3) div 4")
+    )
+    return pack_greedy(
+        docs, "doc_id", "tokens_i", PACK_CAPACITY,
+        n_shards=PACK_SHARDS, seed=PACK_SEED,
+    )
+
+
+def _pack_oracle() -> str:
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT CAST({_bucket_duck(PACK_SEED)} % {PACK_SHARDS} AS INTEGER) AS shard,
+         doc_id,
+         CAST((n_chars + 3) // 4 AS INTEGER) AS tokens
+  FROM documents
+), seq AS (
+  SELECT shard, doc_id, tokens,
+         ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+  FROM base
+), pack AS (
+  SELECT shard, doc_id, tokens, rn,
+         CAST(0 AS INTEGER) AS bin_id, tokens AS fill
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.shard, s.doc_id, s.tokens, s.rn,
+         CAST(CASE WHEN p.fill + s.tokens > {PACK_CAPACITY}
+              THEN p.bin_id + 1 ELSE p.bin_id END AS INTEGER),
+         CASE WHEN p.fill + s.tokens > {PACK_CAPACITY}
+              THEN s.tokens ELSE p.fill + s.tokens END
+  FROM pack p JOIN seq s ON s.shard = p.shard AND s.rn = p.rn + 1
+)
+SELECT shard, doc_id, tokens, bin_id FROM pack
+"""
+
+
+# --- registration ---------------------------------------------------------
+
+register(QuerySpec("split_hash", split_hash, _split_oracle(), tags=("SPLIT",)))
+register(QuerySpec("sample_stratified", sample_stratified, _strat_oracle(),
+                   tags=("STRAT",)))
+register(QuerySpec("mix_corpora", mix_corpora, _mix_oracle(), tags=("MIX",)))
+register(QuerySpec("pack_sequences", pack_sequences, _pack_oracle(),
+                   tags=("PACK",)))

@@ -69,6 +69,7 @@ def _ensure_loaded() -> None:
         events_queries,
         fixture_queries,
         llm_dedup,
+        llm_sampling,
         llm_similarity,
         llm_text,
         multimodal_queries,
