@@ -1,0 +1,122 @@
+"""Train↔eval decontamination: flag training documents that share word
+n-grams with an evaluation/benchmark set.
+
+Benchmark contamination audits are a standard step in LLM training-data
+pipelines (the reference ETL has no equivalent — this extends the engine's
+curation surface alongside dedup and sampling).  A training document is
+*contaminated* when it contains enough of an eval document's word n-grams
+that the benchmark can no longer measure generalization.
+
+Scale design (100 TB train corpus vs ~1e4–1e6 eval docs):
+
+- The EVAL side is tiny by definition (benchmark suites are megabytes).
+  Its exploded gram-hash index is broadcast, so the train-side explode
+  feeds a map-side broadcast hash join — the 100 TB relation is never
+  shuffled on the gram key.
+- Grams travel as 8-byte int hashes (one md5 pass per shingle, shared
+  with the MinHash machinery in ``functions/text.py``), never strings.
+- The only shuffle is the partial-aggregated ``groupBy(train_id,
+  eval_id)`` over join survivors — rows that share at least one gram,
+  a tiny fraction of the corpus.  No all-pairs stage anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from star_schema_etl_airflow_spark.functions.text import (
+    shingle_hashes_spark,
+    shingles_spark,
+    tokens_spark,
+)
+
+
+def gram_hashes_expr(text_col: str) -> str:
+    """Distinct word-``SHINGLE_N``-gram hashes of a text column (Spark SQL
+    expression; hash collisions ~2^-30 — identical on the oracle side)."""
+    return (
+        "array_distinct("
+        f"{shingle_hashes_spark(shingles_spark(tokens_spark(text_col)))})"
+    )
+
+
+def overlap_pairs(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_shared: int = 1,
+) -> DataFrame:
+    """``(train_id, eval_id, n_shared, overlap_frac)`` for every doc pair
+    sharing ≥ ``min_shared`` distinct word-n-gram hashes.
+
+    ``overlap_frac`` is the fraction of the EVAL doc's grams found in the
+    train doc (the decontamination-relevant direction: a long train doc
+    that swallows a whole eval doc scores ~1.0 regardless of its own
+    length).
+    """
+    g = gram_hashes_expr(text_col)
+    ev = eval_df.select(F.col(id_col).alias("eval_id"), F.expr(g).alias("__h"))
+    ev_sizes = ev.select("eval_id", F.size("__h").alias("n_eval_grams"))
+    ev_grams = ev.select("eval_id", F.explode("__h").alias("g"))
+    tr_grams = train_df.select(
+        F.col(id_col).alias("train_id"), F.explode(F.expr(g)).alias("g")
+    )
+    pairs = (
+        tr_grams.join(F.broadcast(ev_grams), "g")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return pairs.join(F.broadcast(ev_sizes), "eval_id").select(
+        "train_id",
+        "eval_id",
+        "n_shared",
+        (F.col("n_shared").cast("double") / F.col("n_eval_grams").cast("double"))
+        .alias("overlap_frac"),
+    )
+
+
+def contamination_flags(pairs: DataFrame, min_shared: int) -> DataFrame:
+    """Per-train-doc verdict over an :func:`overlap_pairs` result:
+    ``(train_id, n_eval_matched, max_shared, contaminated)``.
+
+    Only docs sharing ≥ 1 gram with some eval doc appear (inner semantics);
+    ``contaminated`` (int 0/1) applies the ``min_shared`` policy so the
+    caller can audit near-misses instead of silently dropping them.
+    """
+    return (
+        pairs.groupBy("train_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval_matched"),
+            F.max("n_shared").alias("max_shared"),
+        )
+        .withColumn(
+            "contaminated", (F.col("max_shared") >= min_shared).cast("int")
+        )
+    )
+
+
+def drop_contaminated(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_shared: int = 4,
+) -> DataFrame:
+    """The pipeline composition: remove contaminated docs from the corpus.
+
+    Left-anti join against the flagged id set — the train relation streams
+    through once; the flagged set is corpus-sized only in the pathological
+    all-contaminated case.
+    """
+    flagged = (
+        contamination_flags(
+            overlap_pairs(train_df, eval_df, id_col, text_col, min_shared),
+            min_shared,
+        )
+        .filter(F.col("contaminated") == 1)
+        .select(F.col("train_id").alias(id_col))
+    )
+    return train_df.join(flagged, id_col, "left_anti")

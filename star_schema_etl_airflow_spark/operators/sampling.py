@@ -80,6 +80,39 @@ def mixture_fractions(counts: dict[str, int],
     return {s: min(weights[s] * factor / counts[s], 1.0) for s in weights}
 
 
+def shuffle_sort_key(key_expr: str, seed: str) -> Column:
+    """Single string column whose lexicographic order is (hash, key) order:
+    zero-padded hex of the 60-bit hash, then the key as tiebreak (hash
+    collisions are ~2^-30, but determinism must not depend on luck)."""
+    return F.expr(
+        f"concat(lpad(hex({md5_long_spark(key_expr, seed)}), 16, '0'), "
+        f"'|', {key_expr})"
+    )
+
+
+def deterministic_shuffle(df: DataFrame, key_expr: str, seed: str,
+                          pos_col: str = "pos",
+                          num_partitions: int | None = None) -> DataFrame:
+    """Reproducible global shuffle: position 1..N ordered by the key hash.
+
+    Training-data epoch ordering must be a *function of the data*, not of
+    the cluster: re-running on any partitioning yields the same sequence,
+    and each ``seed`` is an independent permutation (epoch number as seed).
+
+    Scale path: NO single-partition global window — positions come from the
+    two-pass range-partition rank (``assign_surrogate_keys``: parallel
+    per-partition windows + a driver-side cumulative sum of partition
+    counts), so every stage is parallel at 100 TB.
+    """
+    from star_schema_etl_airflow_spark.operators.scd2 import assign_surrogate_keys
+
+    out = assign_surrogate_keys(
+        df.withColumn("__shufkey", shuffle_sort_key(key_expr, seed)),
+        "__shufkey", 0, pos_col, num_partitions,
+    )
+    return out.drop("__shufkey")
+
+
 def mix_to_weights(df: DataFrame, stratum_col: str, key_expr: str,
                    weights: dict[str, float], seed: str) -> DataFrame:
     """Downsample strata so the result mixes to ``weights`` proportions.

@@ -1,0 +1,163 @@
+"""Oracle-checked decontamination + epoch-shuffle queries.
+
+The fixture corpus has no real benchmark leakage, so the queries build one
+deterministically (the ``llm_dedup`` corpus pattern): a ~4% hash-selected
+eval set, and every 10th remaining train doc gets an eval doc's full text
+appended.  Both engines derive the identical corpus from the same parquet,
+so the differential check covers corpus construction, gram indexing, the
+broadcast overlap join, and the flag policy end-to-end.
+
+``shuffle_rank`` differentially checks :func:`deterministic_shuffle` — the
+distributed two-pass rank must equal the oracle's single ``ROW_NUMBER()
+OVER (ORDER BY hash, key)`` exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from star_schema_etl_airflow_spark.functions.text import (
+    md5_long_duck,
+    shingle_hashes_duck,
+    shingles_duck,
+    tokens_duck,
+)
+from star_schema_etl_airflow_spark.operators.decontaminate import (
+    contamination_flags,
+    overlap_pairs,
+)
+from star_schema_etl_airflow_spark.operators.sampling import (
+    BUCKETS,
+    deterministic_shuffle,
+    hash_bucket,
+    threshold,
+)
+from star_schema_etl_airflow_spark.registry import QuerySpec, register
+from star_schema_etl_airflow_spark.sources.fixtures import load_table
+
+_KEY_S = "cast(doc_id as string)"
+_KEY_D = "CAST(doc_id AS VARCHAR)"
+
+EVAL_SEED = "eval"
+EVAL_FRAC = 0.04
+CONTAM_EVERY = 10   # every 10th train doc gets eval text appended
+MIN_SHARED = 4      # natural fixture overlap maxes out at 3 shared grams
+
+_T = threshold(EVAL_FRAC)
+_BUCKET_D = f"({md5_long_duck(_KEY_D, EVAL_SEED)} % {BUCKETS})"
+
+
+def _split_docs(spark: SparkSession, sf_dir: str):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    b = hash_bucket(_KEY_S, EVAL_SEED)
+    return docs.filter(b < _T), docs.filter(b >= _T)
+
+
+def _contaminated_train(ev: DataFrame, tr: DataFrame) -> DataFrame:
+    # rank eval docs so train docs can pick one by modulo — the window is
+    # over the eval set only (tiny by definition; single partition is fine)
+    evr = ev.withColumn(
+        "eval_rn", F.row_number().over(Window.orderBy("doc_id")) - 1
+    )
+    # eval-set cardinality is a tiny scalar (same pattern as
+    # sampling.mix_to_weights); the oracle recomputes it dynamically
+    n_eval = evr.count()
+    contam = (
+        tr.filter(F.col("doc_id") % CONTAM_EVERY == 0)
+        .withColumn("eval_rn", F.col("doc_id") % n_eval)
+        .join(
+            F.broadcast(evr.select("eval_rn", F.col("text").alias("eval_text"))),
+            "eval_rn",
+        )
+        .select("doc_id", F.concat_ws(" ", "text", "eval_text").alias("text"))
+    )
+    clean = tr.filter(F.col("doc_id") % CONTAM_EVERY != 0).select("doc_id", "text")
+    return clean.unionByName(contam)
+
+
+def decontam_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev, tr = _split_docs(spark, sf_dir)
+    return overlap_pairs(
+        _contaminated_train(ev, tr), ev, min_shared=MIN_SHARED
+    )
+
+
+def decontam_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev, tr = _split_docs(spark, sf_dir)
+    pairs = overlap_pairs(_contaminated_train(ev, tr), ev, min_shared=1)
+    return contamination_flags(pairs, MIN_SHARED)
+
+
+_GRAMS_D = f"list_distinct({shingle_hashes_duck(shingles_duck(tokens_duck('text')))})"
+
+_CORPUS_D = f"""
+ev AS (
+  SELECT doc_id, text, ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS eval_rn
+  FROM documents WHERE {_BUCKET_D} < {_T}
+),
+n AS (SELECT COUNT(*) AS n_eval FROM ev),
+tr AS (SELECT doc_id, text FROM documents WHERE {_BUCKET_D} >= {_T}),
+train AS (
+  SELECT doc_id, text FROM tr WHERE doc_id % {CONTAM_EVERY} <> 0
+  UNION ALL
+  SELECT t.doc_id, t.text || ' ' || e.text
+  FROM tr t CROSS JOIN n JOIN ev e ON e.eval_rn = t.doc_id % n.n_eval
+  WHERE t.doc_id % {CONTAM_EVERY} = 0
+),
+evh AS (SELECT doc_id AS eval_id, {_GRAMS_D} AS h FROM ev),
+evg AS (SELECT eval_id, unnest(h) AS g FROM evh),
+evs AS (SELECT eval_id, len(h) AS n_eval_grams FROM evh),
+trg AS (SELECT doc_id AS train_id, unnest({_GRAMS_D}) AS g FROM train),
+pairs AS (
+  SELECT train_id, eval_id, COUNT(*) AS n_shared
+  FROM trg JOIN evg USING (g)
+  GROUP BY 1, 2
+)
+"""
+
+DECONTAM_PAIRS_ORACLE = f"""
+WITH {_CORPUS_D}
+SELECT p.train_id, p.eval_id, p.n_shared,
+       CAST(p.n_shared AS DOUBLE) / CAST(s.n_eval_grams AS DOUBLE)
+         AS overlap_frac
+FROM pairs p JOIN evs s USING (eval_id)
+WHERE p.n_shared >= {MIN_SHARED}
+"""
+
+DECONTAM_FLAGS_ORACLE = f"""
+WITH {_CORPUS_D}
+SELECT train_id,
+       COUNT(*) AS n_eval_matched,
+       MAX(n_shared) AS max_shared,
+       CAST(MAX(n_shared) >= {MIN_SHARED} AS INTEGER) AS contaminated
+FROM pairs
+GROUP BY train_id
+"""
+
+# --- deterministic epoch shuffle -------------------------------------------
+
+SHUFFLE_SEED = "epoch0"
+
+
+def shuffle_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return deterministic_shuffle(docs, _KEY_S, SHUFFLE_SEED).select(
+        "doc_id", "lang", "pos"
+    )
+
+
+SHUFFLE_RANK_ORACLE = f"""
+SELECT doc_id, lang,
+       ROW_NUMBER() OVER (
+         ORDER BY {md5_long_duck(_KEY_D, SHUFFLE_SEED)}, {_KEY_D}
+       ) AS pos
+FROM documents
+"""
+
+register(QuerySpec("decontam_pairs", decontam_pairs, DECONTAM_PAIRS_ORACLE,
+                   tags=("DECONTAM",)))
+register(QuerySpec("decontam_flags", decontam_flags, DECONTAM_FLAGS_ORACLE,
+                   tags=("DECONTAM",)))
+register(QuerySpec("shuffle_rank", shuffle_rank, SHUFFLE_RANK_ORACLE,
+                   tags=("SHUFFLE",)))

@@ -68,6 +68,7 @@ def _ensure_loaded() -> None:
         core_queries,
         events_queries,
         fixture_queries,
+        llm_decontam,
         llm_dedup,
         llm_sampling,
         llm_similarity,
