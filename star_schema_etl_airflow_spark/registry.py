@@ -77,6 +77,7 @@ def _ensure_loaded() -> None:
         operators_basic,
         sketches,
         sql_queries,
+        subquery_queries,
         timeseries,
     )
 

@@ -66,6 +66,37 @@ def read_csv(
     return df
 
 
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    *,
+    tolerant: bool = False,
+    options: dict | None = None,
+    stamp_ingestion: bool = True,
+) -> DataFrame:
+    """JSON-lines load with declared schema — the training-data interchange
+    format (one JSON document per line).
+
+    Schema is always declared, never inferred: at 100 TB inference is a
+    full extra pass over the data before the real read.  ``tolerant=True``
+    drops malformed lines (a corrupt record in a billion-line crawl dump
+    must not kill the job); the default fails fast like the CSV path.
+    """
+    opts = {
+        "timestampFormat": DEFAULT_CSV_OPTIONS["timestampFormat"],
+        "dateFormat": DEFAULT_CSV_OPTIONS["dateFormat"],
+        "mode": "DROPMALFORMED" if tolerant else "FAILFAST",
+    }
+    if options:
+        opts.update(options)
+    df = spark.read.schema(schema).options(**opts).json(path)
+    if stamp_ingestion:
+        df = df.withColumn("ingestion_timestamp", F.current_timestamp())
+        df = df.withColumn("ingest_date", F.to_date("ingestion_timestamp"))
+    return df
+
+
 def resolve_dated_path(template: str, run_date: str) -> str:
     """Date-templated path resolution (S2, dags/ingest_raw_sales.py:66-84).
 
@@ -128,6 +159,32 @@ def write_bucketed(
         sort_keys = [sort_by] if isinstance(sort_by, str) else list(sort_by)
         w = w.sortBy(*sort_keys)
     w.format("parquet").saveAsTable(table)
+
+
+def write_sorted_parquet(
+    df: DataFrame,
+    path: str,
+    sort_col: str,
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Range-clustered, internally-sorted layout for scan-time pruning.
+
+    ``repartitionByRange`` gives each output file a *disjoint* ``sort_col``
+    range; ``sortWithinPartitions`` orders rows inside, so parquet
+    row-group min/max statistics let point/range predicates skip all but
+    O(1) files.  This is the single-key data-layout optimization (the
+    1-D case of z-ordering): at 100 TB a ``WHERE key BETWEEN a AND b``
+    scan touches only the files whose range intersects, instead of every
+    file.  See tests/test_io.py for the disjointness proof.
+    """
+    n = n_files or df.sparkSession.sparkContext.defaultParallelism
+    (
+        df.repartitionByRange(n, F.col(sort_col))
+        .sortWithinPartitions(sort_col)
+        .write.mode(mode)
+        .parquet(path)
+    )
 
 
 def write_swap(df: DataFrame, path: str, partition_by: str | None = None) -> None:

@@ -53,6 +53,51 @@ def test_csv_tolerant_drops_malformed(spark, tmp_path):
     assert {r.order_id for r in df.collect()} == {"o1", "o3"}
 
 
+def test_jsonl_ingest_with_schema_and_stamp(spark, tmp_path):
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"order_id": "o1", "amount": 10.5, "order_date": "2024-01-01"}\n'
+        '{"order_id": "o2", "amount": 7.25, "order_date": "2024-01-02"}\n'
+    )
+    schema = build_struct_type(ORDER_COLS)
+    df = sio.read_jsonl(spark, str(p), schema)
+    rows = df.collect()
+    assert {r.order_id for r in rows} == {"o1", "o2"}
+    assert all(r.ingestion_timestamp is not None for r in rows)
+    assert dict(df.dtypes)["amount"] == "double"
+    assert dict(df.dtypes)["order_date"] == "date"
+
+
+def test_jsonl_tolerant_drops_malformed(spark, tmp_path):
+    p = tmp_path / "bad.jsonl"
+    p.write_text(
+        '{"order_id": "o1", "amount": 10.5, "order_date": "2024-01-01"}\n'
+        "this line is not json at all\n"
+        '{"order_id": "o3", "amount": 3.5, "order_date": "2024-01-03"}\n'
+    )
+    schema = build_struct_type(ORDER_COLS)
+    df = sio.read_jsonl(spark, str(p), schema, tolerant=True)
+    assert {r.order_id for r in df.collect()} == {"o1", "o3"}
+
+
+def test_sorted_parquet_files_cover_disjoint_ranges(spark, tmp_path):
+    out = str(tmp_path / "sorted")
+    df = spark.range(0, 10_000).withColumn(
+        "k", (F.col("id") * 2654435761) % 10_000  # scrambled insert order
+    )
+    sio.write_sorted_parquet(df.select("k"), out, "k", n_files=4)
+    per_file = (
+        spark.read.parquet(out)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("k").alias("lo"), F.max("k").alias("hi"))
+        .collect()
+    )
+    assert len(per_file) == 4
+    ranges = sorted((r.lo, r.hi) for r in per_file)
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev < lo_next  # disjoint ⇒ min/max stats prune scans
+
+
 def test_partition_overwrite_refreshes_only_touched_partition(spark, tmp_path):
     out = str(tmp_path / "t")
     d1 = spark.createDataFrame(
