@@ -105,7 +105,51 @@ FROM numbered
 GROUP BY user_id, session_id
 """
 
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window rollup (1-hour windows every 30 minutes): each event
+    lands in exactly two overlapping windows.  Batch twin of the streaming
+    sliding aggregate (``streaming/enrich.py``); the oracle reproduces
+    Spark's epoch-aligned window assignment by exploding each event into
+    its two window starts."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            _sum_value(F.col("value")).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+EVENTS_SLIDING_ORACLE = """
+WITH e AS (
+  SELECT event_type, value,
+         date_trunc('hour', ts)
+           + INTERVAL '30 minutes' * CAST(floor(date_part('minute', ts) / 30) AS INTEGER)
+           AS hb
+  FROM events
+),
+x AS (
+  SELECT event_type, value,
+         unnest([hb, hb - INTERVAL '30 minutes']) AS win_start
+  FROM e
+)
+SELECT win_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS total_value
+FROM x
+GROUP BY 1, 2
+"""
+
 register(QuerySpec("events_tumbling", events_tumbling, EVENTS_TUMBLING_ORACLE,
                    tags=("streaming-batch-twin",)))
 register(QuerySpec("events_sessionize", events_sessionize, EVENTS_SESSIONIZE_ORACLE,
+                   tags=("streaming-batch-twin",)))
+register(QuerySpec("events_sliding", events_sliding, EVENTS_SLIDING_ORACLE,
                    tags=("streaming-batch-twin",)))
