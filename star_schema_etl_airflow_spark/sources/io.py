@@ -187,6 +187,38 @@ def write_sorted_parquet(
     )
 
 
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite ``path`` into ~``target_file_bytes``
+    files.  Returns the new file count.
+
+    Streaming sinks and per-date micro-batch appends accumulate thousands
+    of tiny files; at 100 TB that is a metadata bomb (every query lists
+    and opens all of them).  Periodic compaction keeps file count
+    proportional to data size.  Uses the swap writer because the rewrite
+    reads its own target.  (Table formats — Delta/Iceberg — do this as
+    OPTIMIZE; this is the raw-parquet equivalent.)
+    """
+    total = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n = max(1, -(-total // target_file_bytes))  # ceil
+    df = spark.read.parquet(path)
+    write_swap(df.repartition(n), path)
+    return sum(
+        1
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+
+
 def write_swap(df: DataFrame, path: str, partition_by: str | None = None) -> None:
     """Read-modify-write rewrite: write to a temp sibling, then swap.
 
