@@ -395,6 +395,63 @@ WHERE a.doc_id < {NEAR_DUP_OFFSET}
   AND b.doc_id >= {NEAR_DUP_OFFSET} AND b.doc_id < {EXACT_DUP_OFFSET}
 """
 
+# --- cluster resolution: pairs → connected components ----------------------
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster resolution: MinHash-LSH pairs → connected
+    components → ``(doc_id, cluster_id)`` with cluster_id = smallest doc
+    id in the transitive cluster (the canonical document).  Singletons
+    (docs with no near-dup) are their own cluster, so this relation IS
+    the keep-one-per-cluster dedup verdict: keep rows where
+    ``doc_id = cluster_id``."""
+    from star_schema_etl_airflow_spark.operators.components import (
+        connected_components,
+    )
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    corpus_ids = build_corpus(spark, sf_dir).select(F.col("doc_id").alias("node"))
+    comp = connected_components(pairs, "doc_a", "doc_b", nodes=corpus_ids)
+    return comp.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
+DEDUP_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE corpus AS ({CORPUS_DUCK}),
+{_duck_minhash_sig()},
+buckets AS (
+{_duck_bands()}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a JOIN buckets b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  JOIN sigh sa ON c.doc_a = sa.doc_id
+  JOIN sigh sb ON c.doc_b = sb.doc_id
+  WHERE {jaccard_duck('sa.hashes', 'sb.hashes')} >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT doc_id AS node, doc_id AS r FROM corpus
+  UNION
+  SELECT e.b AS node, reach.r AS r
+  FROM reach JOIN edges e ON reach.node = e.a
+)
+SELECT node AS doc_id, MIN(r) AS cluster_id
+FROM reach
+GROUP BY node
+"""
+
 register(QuerySpec("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE,
                    tags=("LLM-dedup",)))
 register(QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh, DEDUP_MINHASH_ORACLE,
@@ -403,3 +460,5 @@ register(QuerySpec("dedup_simhash", dedup_simhash, DEDUP_SIMHASH_ORACLE,
                    tags=("LLM-dedup",)))
 register(QuerySpec("ngram_jaccard", ngram_jaccard, NGRAM_JACCARD_ORACLE,
                    tags=("LLM-dedup",)))
+register(QuerySpec("dedup_clusters", dedup_clusters, DEDUP_CLUSTERS_ORACLE,
+                   tags=("LLM-dedup", "components")))
