@@ -1,0 +1,95 @@
+"""Lloyd's k-means over an embedding column — the trained coarse
+quantizer for IVF ANN (replacing the deterministic-sample centroids in
+``plans/llm_similarity.py``) and a curation tool in its own right
+(topic-balanced sampling, outlier pruning).
+
+Determinism contract (what makes this differentially checkable against a
+SQL oracle, and re-runnable on any cluster size):
+- init is data-defined (lowest ``k`` vector ids), not random;
+- assignment ties break on the lowest cluster id;
+- centroid means go through exact DECIMAL sums (float summation order
+  varies with partitioning; decimal addition is associative), then one
+  double division — bit-identical on every engine/partitioning.
+
+Scale design (100 TB of vectors): centroids are k rows — broadcast; the
+assignment is a map-only scan (no shuffle of the vector relation); the
+update shuffles (cluster, dim) partial sums — k×dim rows after map-side
+combine.  Each iteration is lineage-truncated (``localCheckpoint``) so
+plans stay O(1) across iterations (see ``operators/components.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sqdist_expr(v: str, c: str) -> str:
+    """Squared L2 distance as a left-fold in array order (deterministic
+    double accumulation, reproducible in any engine with an array fold)."""
+    return (
+        f"aggregate(zip_with({v}, {c}, (x, y) -> "
+        f"(cast(x as double) - cast(y as double)) "
+        f"* (cast(x as double) - cast(y as double))), "
+        f"cast(0 as double), (acc, z) -> acc + z)"
+    )
+
+
+def assign_clusters(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """``(vec_id, cluster)``: nearest centroid per vector (ties → lowest
+    cluster id).  Per-vector window, never a global sort."""
+    scored = (
+        vectors.alias("v")
+        .crossJoin(F.broadcast(centroids.alias("c")))
+        .select(
+            "v.vec_id",
+            "c.cluster",
+            F.expr(sqdist_expr("v.embedding", "c.embedding")).alias("d"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy("d", "cluster")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("vec_id", "cluster")
+    )
+
+
+def update_centroids(vectors: DataFrame, assign: DataFrame) -> DataFrame:
+    """New per-cluster mean vectors: explode dims, exact-decimal partial
+    sums per (cluster, dim), reassemble arrays in dim order."""
+    ex = vectors.join(assign, "vec_id").select(
+        "cluster", F.posexplode("embedding").alias("dim", "val")
+    )
+    means = ex.groupBy("cluster", "dim").agg(
+        (
+            F.sum(F.col("val").cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m")
+    )
+    return means.groupBy("cluster").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(dim, m))), s -> s.m)"
+        ).alias("embedding")
+    )
+
+
+def kmeans_fit(
+    vectors: DataFrame, k: int, n_iter: int = 2
+) -> tuple[DataFrame, DataFrame]:
+    """Run ``n_iter`` Lloyd iterations; returns ``(assignment, centroids)``.
+
+    ``vectors`` must have columns ``vec_id`` (orderable id) and
+    ``embedding`` (numeric array).  Init: the ``k`` lowest vec_ids.
+    """
+    centroids = (
+        vectors.orderBy("vec_id")
+        .limit(k)
+        .select(F.col("vec_id").alias("cluster"), "embedding")
+        .localCheckpoint()
+    )
+    assign = None
+    for _ in range(n_iter):
+        assign = assign_clusters(vectors, centroids).localCheckpoint()
+        centroids = update_centroids(vectors, assign).localCheckpoint()
+    return assign, centroids

@@ -65,6 +65,7 @@ def _ensure_loaded() -> None:
     from star_schema_etl_airflow_spark.plans import (  # noqa: F401
         analytics_queries,
         approx_queries,
+        clustering_queries,
         core_queries,
         events_queries,
         fixture_queries,
