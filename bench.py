@@ -41,13 +41,23 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm up: touch every fixture table once so JVM codegen + parquet
-    # footer reads don't land in the first query's timing.
+    # Warm up: touch every fixture table once so parquet footer reads
+    # don't land in the first query's timing.
     from star_schema_etl_airflow_spark.sources.fixtures import TABLES, load_table
     for t in TABLES:
         load_table(spark, SF_DIR, t).count()
 
     headline = [s for s in registry.specs() if s.headline]
+
+    # JIT/codegen warmup: run every headline query once at the smallest
+    # fixture scale, so timings below measure steady-state execution, not
+    # whole-stage-codegen compilation of whichever query happens to run
+    # first.  (Cluster benchmarking practice: discard the first run.)
+    warm_dir = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.001")
+    if not os.path.isdir(warm_dir):
+        warm_dir = SF_DIR
+    for spec in headline:
+        spec.fn(spark, warm_dir).count()
 
     timings: dict[str, float] = {}
     for spec in headline:

@@ -18,6 +18,11 @@ Scale design (100 TB train corpus vs ~1e4–1e6 eval docs):
 - The only shuffle is the partial-aggregated ``groupBy(train_id,
   eval_id)`` over join survivors — rows that share at least one gram,
   a tiny fraction of the corpus.  No all-pairs stage anywhere.
+- LONG grams (default 8 words, the published decontamination practice —
+  GPT-3 used 13-grams) are what keep the gram join bounded: short grams
+  are shared by huge numbers of documents (stopword runs), and the join
+  fan-out is Σ_g train_count(g) × eval_count(g) — quadratic in gram
+  popularity.  8-word grams are near-unique, so fan-out ≈ true overlap.
 """
 
 from __future__ import annotations
@@ -32,12 +37,15 @@ from star_schema_etl_airflow_spark.functions.text import (
 )
 
 
-def gram_hashes_expr(text_col: str) -> str:
-    """Distinct word-``SHINGLE_N``-gram hashes of a text column (Spark SQL
+DECONTAM_NGRAM = 8  # long grams are near-unique — see overlap_pairs
+
+
+def gram_hashes_expr(text_col: str, n: int = DECONTAM_NGRAM) -> str:
+    """Distinct word-``n``-gram hashes of a text column (Spark SQL
     expression; hash collisions ~2^-30 — identical on the oracle side)."""
     return (
         "array_distinct("
-        f"{shingle_hashes_spark(shingles_spark(tokens_spark(text_col)))})"
+        f"{shingle_hashes_spark(shingles_spark(tokens_spark(text_col), n))})"
     )
 
 
@@ -47,6 +55,7 @@ def overlap_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_shared: int = 1,
+    n: int = DECONTAM_NGRAM,
 ) -> DataFrame:
     """``(train_id, eval_id, n_shared, overlap_frac)`` for every doc pair
     sharing ≥ ``min_shared`` distinct word-n-gram hashes.
@@ -56,13 +65,19 @@ def overlap_pairs(
     that swallows a whole eval doc scores ~1.0 regardless of its own
     length).
     """
-    g = gram_hashes_expr(text_col)
-    ev = eval_df.select(F.col(id_col).alias("eval_id"), F.expr(g).alias("__h"))
+    # project the token array into a column FIRST: inlining split() into
+    # the shingle lambda re-tokenizes per gram position (~4× slower; no
+    # common-subexpression elimination inside lambda bodies)
+    toks = tokens_spark(text_col)
+    g = f"array_distinct({shingle_hashes_spark(shingles_spark('__t', n))})"
+    ev = eval_df.select(
+        F.col(id_col).alias("eval_id"), F.expr(toks).alias("__t")
+    ).select("eval_id", F.expr(g).alias("__h"))
     ev_sizes = ev.select("eval_id", F.size("__h").alias("n_eval_grams"))
     ev_grams = ev.select("eval_id", F.explode("__h").alias("g"))
     tr_grams = train_df.select(
-        F.col(id_col).alias("train_id"), F.explode(F.expr(g)).alias("g")
-    )
+        F.col(id_col).alias("train_id"), F.expr(toks).alias("__t")
+    ).select("train_id", F.explode(F.expr(g)).alias("g"))
     pairs = (
         tr_grams.join(F.broadcast(ev_grams), "g")
         .groupBy("train_id", "eval_id")
@@ -104,6 +119,7 @@ def drop_contaminated(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_shared: int = 4,
+    n: int = DECONTAM_NGRAM,
 ) -> DataFrame:
     """The pipeline composition: remove contaminated docs from the corpus.
 
@@ -113,7 +129,7 @@ def drop_contaminated(
     """
     flagged = (
         contamination_flags(
-            overlap_pairs(train_df, eval_df, id_col, text_col, min_shared),
+            overlap_pairs(train_df, eval_df, id_col, text_col, min_shared, n),
             min_shared,
         )
         .filter(F.col("contaminated") == 1)

@@ -71,4 +71,4 @@ SELECT vec_id, cluster FROM (
 """
 
 register(QuerySpec("kmeans_assign", kmeans_assign, KMEANS_ASSIGN_ORACLE,
-                   tags=("KMEANS",)))
+                   headline=True, tags=("KMEANS",)))

@@ -24,6 +24,7 @@ from star_schema_etl_airflow_spark.functions.text import (
     tokens_duck,
 )
 from star_schema_etl_airflow_spark.operators.decontaminate import (
+    DECONTAM_NGRAM,
     contamination_flags,
     overlap_pairs,
 )
@@ -42,7 +43,8 @@ _KEY_D = "CAST(doc_id AS VARCHAR)"
 EVAL_SEED = "eval"
 EVAL_FRAC = 0.04
 CONTAM_EVERY = 10   # every 10th train doc gets eval text appended
-MIN_SHARED = 4      # natural fixture overlap maxes out at 3 shared grams
+MIN_SHARED = 4      # 8-gram natural overlap is ~0; planted docs share ~all
+                    # of the eval doc's grams — 4 is policy headroom
 
 _T = threshold(EVAL_FRAC)
 _BUCKET_D = f"({md5_long_duck(_KEY_D, EVAL_SEED)} % {BUCKETS})"
@@ -89,7 +91,10 @@ def decontam_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_flags(pairs, MIN_SHARED)
 
 
-_GRAMS_D = f"list_distinct({shingle_hashes_duck(shingles_duck(tokens_duck('text')))})"
+_GRAMS_D = (
+    "list_distinct("
+    f"{shingle_hashes_duck(shingles_duck(tokens_duck('text'), DECONTAM_NGRAM))})"
+)
 
 _CORPUS_D = f"""
 ev AS (
@@ -156,7 +161,7 @@ FROM documents
 """
 
 register(QuerySpec("decontam_pairs", decontam_pairs, DECONTAM_PAIRS_ORACLE,
-                   tags=("DECONTAM",)))
+                   headline=True, tags=("DECONTAM",)))
 register(QuerySpec("decontam_flags", decontam_flags, DECONTAM_FLAGS_ORACLE,
                    tags=("DECONTAM",)))
 register(QuerySpec("shuffle_rank", shuffle_rank, SHUFFLE_RANK_ORACLE,

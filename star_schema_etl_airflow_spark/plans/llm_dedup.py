@@ -141,10 +141,17 @@ def _signature_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines), so shuffles carry fixed-width ints, never the strings."""
     corpus = build_corpus(spark, sf_dir)
     # single select (one analysis pass) — a 16-step withColumn chain costs
-    # ~1.5s of repeated plan analysis for the same result
+    # ~1.5s of repeated plan analysis for the same result.  Tokens are
+    # projected into a column first: inlining split() into the shingle
+    # lambda re-tokenizes per gram position (~4× slower — no CSE inside
+    # lambda bodies).
     return corpus.select(
+        F.col("doc_id"), F.expr(_TOKS_S).alias("__t")
+    ).select(
         F.col("doc_id"),
-        F.expr(f"array_distinct({shingle_hashes_spark(_SH_S)})").alias("hashes"),
+        F.expr(
+            f"array_distinct({shingle_hashes_spark(shingles_spark('__t'))})"
+        ).alias("hashes"),
     ).select(
         "doc_id",
         "hashes",
