@@ -70,9 +70,11 @@ def overlap_pairs(
     # common-subexpression elimination inside lambda bodies)
     toks = tokens_spark(text_col)
     g = f"array_distinct({shingle_hashes_spark(shingles_spark('__t', n))})"
+    # the eval gram index is tiny and feeds two broadcasts (grams, sizes)
+    # — persist it so each broadcast build doesn't recompute the lineage
     ev = eval_df.select(
         F.col(id_col).alias("eval_id"), F.expr(toks).alias("__t")
-    ).select("eval_id", F.expr(g).alias("__h"))
+    ).select("eval_id", F.expr(g).alias("__h")).persist()
     ev_sizes = ev.select("eval_id", F.size("__h").alias("n_eval_grams"))
     ev_grams = ev.select("eval_id", F.explode("__h").alias("g"))
     tr_grams = train_df.select(

@@ -61,7 +61,7 @@ def _contaminated_train(ev: DataFrame, tr: DataFrame) -> DataFrame:
     # over the eval set only (tiny by definition; single partition is fine)
     evr = ev.withColumn(
         "eval_rn", F.row_number().over(Window.orderBy("doc_id")) - 1
-    )
+    ).persist()
     # eval-set cardinality is a tiny scalar (same pattern as
     # sampling.mix_to_weights); the oracle recomputes it dynamically
     n_eval = evr.count()
