@@ -2,15 +2,18 @@
 
 Two full Lloyd iterations (assign → update → assign → update) with the
 determinism contract of ``operators/kmeans.py``; the DuckDB oracle unrolls
-the same two iterations as CTEs, so the differential check covers an
-*iterative ML algorithm* end-to-end: init, distance fold, tie-breaking,
-exact-decimal centroid means, and re-assignment.
+the same two iterations as generated CTEs, so the differential check
+covers an *iterative ML algorithm* end-to-end: init, distance fold,
+tie-breaking, exact-decimal centroid means, and re-assignment.
+
+``KMEANS_CTES`` ends with ``a2`` (assignment after the 2nd iteration) and
+``c2`` (the trained codebook) — the trained-IVF oracle
+(plans/llm_similarity.py) composes on top of ``c2``.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from star_schema_etl_airflow_spark.operators.kmeans import kmeans_fit
 from star_schema_etl_airflow_spark.registry import QuerySpec, register
@@ -35,39 +38,48 @@ def _dist_d(c: str) -> str:
     )
 
 
-KMEANS_ASSIGN_ORACLE = f"""
-WITH init AS (
-  SELECT vec_id AS cluster, embedding
-  FROM embeddings ORDER BY vec_id LIMIT {K}
-),
-a1 AS (
+def _assign_cte(name: str, cent_table: str) -> str:
+    return f"""{name} AS (
   SELECT vec_id, cluster FROM (
     SELECT v.vec_id, c.cluster,
            ROW_NUMBER() OVER (
              PARTITION BY v.vec_id ORDER BY {_dist_d('c')}, c.cluster) AS rn
-    FROM embeddings v CROSS JOIN init c
+    FROM embeddings v CROSS JOIN {cent_table} c
   ) WHERE rn = 1
-),
-ex1 AS (
+)"""
+
+
+def _update_ctes(i: int, assign_name: str) -> str:
+    return f"""ex{i} AS (
   SELECT a.cluster, d.i AS dim, CAST(v.embedding[d.i] AS DOUBLE) AS val
   FROM embeddings v
-  JOIN a1 a USING (vec_id)
+  JOIN {assign_name} a USING (vec_id)
   CROSS JOIN (SELECT unnest(range(1, {EMB_DIM} + 1)) AS i) d
 ),
-m1 AS (
+m{i} AS (
   SELECT cluster, dim,
          CAST(SUM(CAST(val AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS m
-  FROM ex1 GROUP BY 1, 2
+  FROM ex{i} GROUP BY 1, 2
 ),
-c1 AS (
-  SELECT cluster, list(m ORDER BY dim) AS embedding FROM m1 GROUP BY cluster
-)
-SELECT vec_id, cluster FROM (
-  SELECT v.vec_id, c.cluster,
-         ROW_NUMBER() OVER (
-           PARTITION BY v.vec_id ORDER BY {_dist_d('c')}, c.cluster) AS rn
-  FROM embeddings v CROSS JOIN c1 c
-) WHERE rn = 1
+c{i} AS (
+  SELECT cluster, list(m ORDER BY dim) AS embedding FROM m{i} GROUP BY cluster
+)"""
+
+
+# CTE chain shared with the trained-IVF oracle (plans/llm_similarity.py):
+# init → (assign → exploded dims → decimal-exact means → centroids) × 2.
+KMEANS_CTES = f"""init AS (
+  SELECT vec_id AS cluster, embedding
+  FROM embeddings ORDER BY vec_id LIMIT {K}
+),
+{_assign_cte('a1', 'init')},
+{_update_ctes(1, 'a1')},
+{_assign_cte('a2', 'c1')},
+{_update_ctes(2, 'a2')}"""
+
+KMEANS_ASSIGN_ORACLE = f"""
+WITH {KMEANS_CTES}
+SELECT vec_id, cluster FROM a2
 """
 
 register(QuerySpec("kmeans_assign", kmeans_assign, KMEANS_ASSIGN_ORACLE,

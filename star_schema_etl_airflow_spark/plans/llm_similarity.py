@@ -286,22 +286,11 @@ IVF_K = 8         # number of cells
 IVF_NPROBE = 2    # cells probed per query
 
 
-def embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: assign every candidate to its nearest centroid (inverted
-    lists), probe each query's IVF_NPROBE nearest cells, rank only within
-    probed cells.
-
-    Scale design: the centroid set is tiny and broadcast; assignment is
-    map-only over the candidate scan; the search join is candidate-volume
-    × (nprobe/K) — the 1/K fan-in that makes IVF sub-linear.  A k-means
-    codebook and product quantization drop in without changing the plan
-    shape."""
+def _ivf_search(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """IVF search against a centroid table ``(cent_id, cvec)``: assign
+    candidates to their nearest cell (inverted lists), probe each query's
+    IVF_NPROBE nearest cells, rank only within probed cells."""
     from pyspark.sql import Window
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    cents = emb.filter(
-        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + IVF_K)
-    ).select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec"))
 
     def nearest_cells(df: DataFrame, id_col: str, n: int) -> DataFrame:
         scored = df.alias("v").crossJoin(F.broadcast(cents).alias("ct")).select(
@@ -336,12 +325,49 @@ def embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "cand_id", F.expr(_COS_SPARK).alias("cosine"))
         .distinct()
     )
-    from pyspark.sql import Window as W2
-
-    w = W2.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id")
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
+    )
+
+
+def embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a deterministic-sample codebook.
+
+    Scale design: the centroid set is tiny and broadcast; assignment is
+    map-only over the candidate scan; the search join is candidate-volume
+    × (nprobe/K) — the 1/K fan-in that makes IVF sub-linear.  A k-means
+    codebook and product quantization drop in without changing the plan
+    shape (see :func:`embed_ann_ivf_trained`)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + IVF_K)
+    ).select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec"))
+    return _ivf_search(emb, cents)
+
+
+def embed_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with the engine's OWN k-means codebook: ``kmeans_fit``
+    (operators/kmeans.py, 2 Lloyd iterations) trains the coarse
+    quantizer, then the same inverted-list search runs against it —
+    trained cells track data density, so occupancy (and recall per
+    probe) beats the sample codebook."""
+    from star_schema_etl_airflow_spark.operators.kmeans import kmeans_fit
+    from star_schema_etl_airflow_spark.plans.clustering_queries import (
+        K,
+        N_ITER,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, cents = kmeans_fit(emb.select("vec_id", "embedding"), K, N_ITER)
+    return _ivf_search(
+        emb,
+        cents.select(
+            F.col("cluster").alias("cent_id"), F.col("embedding").alias("cvec")
+        ),
     )
 
 
@@ -381,6 +407,35 @@ FROM (
 WHERE rank <= {TOP_K}
 """
 
+def _trained_ivf_oracle() -> str:
+    from star_schema_etl_airflow_spark.plans.clustering_queries import (
+        KMEANS_CTES,
+    )
+
+    return f"""
+WITH {KMEANS_CTES},
+cents AS (SELECT cluster AS cent_id, embedding AS cvec FROM c2),
+cand AS (SELECT vec_id AS cand_id, embedding FROM embeddings WHERE vec_id >= {N_QUERIES}),
+qry AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}),
+cand_cells AS ({_duck_nearest_cells('cand', 'cand_id', 1)}),
+probe_cells AS ({_duck_nearest_cells('qry', 'query_id', IVF_NPROBE)}),
+scored AS (
+  SELECT DISTINCT q.query_id, c.cand_id,
+         {_cos_duck('q.embedding', 'c.embedding')} AS cosine
+  FROM probe_cells q JOIN cand_cells c USING (cent_id)
+)
+SELECT query_id, cand_id, cosine, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+  FROM scored
+)
+WHERE rank <= {TOP_K}
+"""
+
+
+register(QuerySpec("embed_ann_ivf_trained", embed_ann_ivf_trained,
+                   _trained_ivf_oracle(), tags=("LLM-similarity", "KMEANS")))
 register(QuerySpec("embed_topk_cosine", embed_topk_cosine, EMBED_TOPK_ORACLE,
                    headline=True, tags=("LLM-similarity",)))
 register(QuerySpec("embed_ann_ivf", embed_ann_ivf, EMBED_IVF_ORACLE,

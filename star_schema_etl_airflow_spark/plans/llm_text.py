@@ -157,6 +157,56 @@ SELECT doc_id,
 FROM documents
 """
 
+# --- quality percentile gate: relative threshold per language --------------
+
+
+def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep documents at or above the 25th quality percentile WITHIN their
+    language — the relative-threshold curation step (absolute quality
+    cutoffs don't transfer across languages/domains; percentile gates do).
+
+    Exact rank here for oracle-checkability (ties broken on doc_id, so
+    percent_rank is deterministic).  At 100 TB the per-language sort
+    becomes the bottleneck and a dominant language skews the partition —
+    the scale path is a two-pass approx threshold (``percentile_approx``
+    per language, then a map-only filter; error bounds pinned by
+    ``approx_quantile_bound`` in plans/approx_queries.py)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    ttr = docs.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            f"cast(size(array_distinct({_TOKS_S})) as double)"
+            f" / cast(size({_TOKS_S}) as double)"
+        ).alias("ttr"),
+    )
+    w = Window.partitionBy("lang").orderBy("ttr", "doc_id")
+    return (
+        ttr.withColumn("qrank", F.percent_rank().over(w))
+        .filter(F.col("qrank") >= 0.25)
+        .select("doc_id", "lang", "ttr", "qrank")
+    )
+
+
+QUALITY_GATE_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(list_distinct({_TOKS_D})) AS DOUBLE)
+           / CAST(len({_TOKS_D}) AS DOUBLE) AS ttr
+  FROM documents
+),
+r AS (
+  SELECT doc_id, lang, ttr,
+         PERCENT_RANK() OVER (PARTITION BY lang ORDER BY ttr, doc_id) AS qrank
+  FROM t
+)
+SELECT doc_id, lang, ttr, qrank FROM r WHERE qrank >= 0.25
+"""
+
+register(QuerySpec("quality_percentile_gate", quality_percentile_gate,
+                   QUALITY_GATE_ORACLE, tags=("LLM-text",)))
 register(QuerySpec("text_stats", text_stats, TEXT_STATS_ORACLE,
                    tags=("LLM-text",)))
 register(QuerySpec("lang_id", lang_id, LANG_ID_ORACLE, tags=("LLM-text",)))
