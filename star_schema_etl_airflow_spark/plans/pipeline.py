@@ -87,6 +87,59 @@ class Pipeline:
         return results
 
 
+def run_audited(
+    pipeline: Pipeline,
+    spark,
+    run_date: str,
+    audit_path: str | None = None,
+):
+    """Execute with a per-stage audit trail — the run-history surface the
+    reference gets from Airflow's task-metadata DB (task duration, state).
+
+    Returns ``(results, audit_df)``; the audit rows (run_date, stage,
+    layer, status, duration_s, logged_at) append to a parquet audit table
+    when ``audit_path`` is given.  On stage failure the audit — including
+    the failed stage's row — is flushed BEFORE the exception propagates,
+    so a crashed run is visible in the history, not just absent from it.
+    """
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    rows: list[tuple] = []
+    results: dict[str, Any] = {}
+
+    def _flush():
+        audit = spark.createDataFrame(
+            rows,
+            "run_date string, stage string, layer string, "
+            "status string, duration_s double",
+        ).withColumn("logged_at", F.current_timestamp())
+        if audit_path:
+            from star_schema_etl_airflow_spark.sources.io import write_append
+
+            write_append(audit, audit_path)
+        return audit
+
+    for name in pipeline.topological_order():
+        stage = pipeline.stages[name]
+        t0 = _time.perf_counter()
+        try:
+            results[name] = stage.fn(spark, run_date, results)
+        except Exception:
+            rows.append(
+                (run_date, name, stage.layer, "failed",
+                 round(_time.perf_counter() - t0, 3))
+            )
+            _flush()
+            raise
+        rows.append(
+            (run_date, name, stage.layer, "ok",
+             round(_time.perf_counter() - t0, 3))
+        )
+    return results, _flush()
+
+
 def from_config(
     cfg: Mapping[str, Any],
     builders: Mapping[str, StageFn],

@@ -89,6 +89,48 @@ def tables_of_type(cfg: dict[str, Any], type_: str) -> list[str]:
     return out
 
 
+def schema_drift(
+    declared: T.StructType, observed: T.StructType
+) -> dict[str, list[str]]:
+    """Drift report between the registry's declared schema and what a
+    source actually delivered: ``added`` (new upstream columns), ``missing``
+    (declared but absent), ``type_changed`` ("col: declared→observed").
+
+    The operational companion to the load dispositions (S1): BigQuery's
+    ``ignore_unknown_values`` silently drops unknown columns — at scale
+    silent drops hide upstream contract breaks, so the drift report is
+    computed explicitly and the caller decides (alert / evolve / fail).
+    """
+    dec = {f.name: f.dataType for f in declared.fields}
+    obs = {f.name: f.dataType for f in observed.fields}
+    return {
+        "added": sorted(set(obs) - set(dec)),
+        "missing": sorted(set(dec) - set(obs)),
+        "type_changed": sorted(
+            f"{n}: {dec[n].simpleString()}→{obs[n].simpleString()}"
+            for n in set(dec) & set(obs)
+            if dec[n] != obs[n]
+        ),
+    }
+
+
+def enforce_schema(
+    declared: T.StructType,
+    observed: T.StructType,
+    *,
+    allow_added: bool = False,
+) -> None:
+    """Fail-fast contract check: raise with the full drift report unless
+    the observed schema matches (``allow_added=True`` tolerates new
+    upstream columns — the forward-compatible evolution mode)."""
+    drift = schema_drift(declared, observed)
+    problems = dict(drift)
+    if allow_added:
+        problems.pop("added")
+    if any(v for v in problems.values()):
+        raise ValueError(f"schema drift detected: {drift}")
+
+
 def dependencies(cfg: dict[str, Any], table: str) -> list[str]:
     """Bare table names of the declared dependencies (strips the
     'layer.domain.' prefix of e.g. 'core.dim.dim_customers')."""

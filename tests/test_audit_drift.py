@@ -1,0 +1,80 @@
+"""Schema-drift detection and the audited pipeline runner."""
+
+from __future__ import annotations
+
+import pytest
+
+from star_schema_etl_airflow_spark.plans.pipeline import Pipeline, run_audited
+from star_schema_etl_airflow_spark.sources.schema import (
+    build_struct_type,
+    enforce_schema,
+    schema_drift,
+)
+
+DECLARED = build_struct_type([
+    {"name": "id", "type": "INTEGER"},
+    {"name": "amount", "type": "FLOAT"},
+    {"name": "note", "type": "STRING"},
+])
+
+
+def test_drift_report_names_every_divergence():
+    observed = build_struct_type([
+        {"name": "id", "type": "STRING"},       # type change
+        {"name": "amount", "type": "FLOAT"},
+        {"name": "extra", "type": "STRING"},    # added upstream
+    ])                                           # note missing
+    drift = schema_drift(DECLARED, observed)
+    assert drift == {
+        "added": ["extra"],
+        "missing": ["note"],
+        "type_changed": ["id: bigint→string"],
+    }
+
+
+def test_enforce_schema_modes():
+    same = build_struct_type([
+        {"name": "id", "type": "INTEGER"},
+        {"name": "amount", "type": "FLOAT"},
+        {"name": "note", "type": "STRING"},
+        {"name": "new_col", "type": "STRING"},
+    ])
+    with pytest.raises(ValueError, match="schema drift"):
+        enforce_schema(DECLARED, same)          # added col fails by default
+    enforce_schema(DECLARED, same, allow_added=True)  # evolution mode ok
+
+
+def test_audited_run_records_every_stage(spark, tmp_path):
+    audit_path = str(tmp_path / "audit")
+    p = (
+        Pipeline()
+        .add_stage("dim", lambda s, d, r: 1, layer="core")
+        .add_stage("fact", lambda s, d, r: r["dim"] + 1, deps=["dim"],
+                   layer="core")
+    )
+    results, audit = run_audited(p, spark, "2024-01-01", audit_path)
+    assert results == {"dim": 1, "fact": 2}
+    rows = {(r.stage, r.status) for r in audit.collect()}
+    assert rows == {("dim", "ok"), ("fact", "ok")}
+    persisted = spark.read.parquet(audit_path)
+    assert persisted.count() == 2
+
+
+def test_failed_stage_is_flushed_before_raise(spark, tmp_path):
+    audit_path = str(tmp_path / "audit_fail")
+
+    def boom(s, d, r):
+        raise RuntimeError("stage exploded")
+
+    p = (
+        Pipeline()
+        .add_stage("ok_stage", lambda s, d, r: 1)
+        .add_stage("bad_stage", boom, deps=["ok_stage"])
+    )
+    with pytest.raises(RuntimeError, match="stage exploded"):
+        run_audited(p, spark, "2024-01-01", audit_path)
+    got = {
+        (r.stage, r.status)
+        for r in spark.read.parquet(audit_path).collect()
+    }
+    assert got == {("ok_stage", "ok"), ("bad_stage", "failed")}
