@@ -406,3 +406,57 @@ FROM dim WHERE is_current
 """
 
 register(QuerySpec("p4_current_filter", p4_current_filter, P4_ORACLE, tags=("P4",)))
+
+
+# --- snapshot diff: CDC-style change classification ------------------------
+
+
+def snapshot_diff_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diff two derived snapshots of the customer table (removed %7 keys,
+    +250 balance on %4==1, added %9 keys under new ids) — the full CDC
+    taxonomy (added/removed/changed/unchanged) from one full-outer join."""
+    from star_schema_etl_airflow_spark.operators.diff import snapshot_diff
+
+    c = load_table(spark, sf_dir, "customer")
+    old = c.select(
+        F.col("c_custkey").alias("customer_id"),
+        "c_name", "c_mktsegment", "c_acctbal",
+    )
+    new = old.filter(F.col("customer_id") % 7 != 0).withColumn(
+        "c_acctbal",
+        F.when(F.col("customer_id") % 4 == 1, F.col("c_acctbal") + 250.0)
+        .otherwise(F.col("c_acctbal")),
+    ).unionByName(
+        old.filter(F.col("customer_id") % 9 == 0).withColumn(
+            "customer_id", F.col("customer_id") + 3000000
+        )
+    )
+    return snapshot_diff(old, new, keys=["customer_id"])
+
+
+SNAPSHOT_DIFF_ORACLE = """
+WITH old AS (
+  SELECT c_custkey AS customer_id, c_name, c_mktsegment, c_acctbal
+  FROM customer
+),
+new AS (
+  SELECT customer_id, c_name, c_mktsegment,
+         CASE WHEN customer_id % 4 = 1 THEN c_acctbal + 250.0
+              ELSE c_acctbal END AS c_acctbal
+  FROM old WHERE customer_id % 7 <> 0
+  UNION ALL
+  SELECT customer_id + 3000000, c_name, c_mktsegment, c_acctbal
+  FROM old WHERE customer_id % 9 = 0
+)
+SELECT COALESCE(o.customer_id, n.customer_id) AS customer_id,
+       CASE WHEN o.customer_id IS NULL THEN 'added'
+            WHEN n.customer_id IS NULL THEN 'removed'
+            WHEN o.c_name       IS DISTINCT FROM n.c_name
+              OR o.c_mktsegment IS DISTINCT FROM n.c_mktsegment
+              OR o.c_acctbal    IS DISTINCT FROM n.c_acctbal THEN 'changed'
+            ELSE 'unchanged' END AS change_type
+FROM old o FULL OUTER JOIN new n ON o.customer_id = n.customer_id
+"""
+
+register(QuerySpec("snapshot_diff_customers", snapshot_diff_customers,
+                   SNAPSHOT_DIFF_ORACLE, tags=("CDC", "J3", "P5")))

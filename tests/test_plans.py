@@ -50,3 +50,48 @@ def test_minhash_no_cartesian(spark):
     # candidate generation is a hash join on (band_idx, band_key), with the
     # doc_id inequality as a residual condition — not a cross product
     assert "CartesianProduct" not in plan
+
+
+def test_sq17_decorrelated_join_no_cartesian(spark):
+    from star_schema_etl_airflow_spark.plans.subquery_queries import (
+        sq17_below_avg_qty,
+    )
+
+    plan = _plan(sq17_below_avg_qty(spark, SF_DIR))
+    # the correlated subquery is pre-decorrelated: per-part aggregate
+    # equi-joined back on l_partkey — a hash join, never a per-row subquery
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+
+
+def test_quality_gate_window_is_partitioned(spark):
+    from star_schema_etl_airflow_spark.plans.llm_text import (
+        quality_percentile_gate,
+    )
+
+    plan = _plan(quality_percentile_gate(spark, SF_DIR))
+    # the percentile window must be partitioned by lang — an unpartitioned
+    # window would serialize the whole corpus through one task
+    assert "Window" in plan
+    assert "partitionBy" not in plan or "lang" in plan
+    import re
+
+    win = plan.split("Window")[1]
+    assert re.search(r"\[lang", win) or "lang#" in win
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark):
+    from star_schema_etl_airflow_spark.operators.kmeans import (
+        assign_clusters,
+    )
+    from star_schema_etl_airflow_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    cents = emb.limit(4).select(
+        emb["vec_id"].alias("cluster"), "embedding"
+    )
+    plan = _plan(assign_clusters(emb, cents))
+    # k centroids × N vectors: the cross join must be a broadcast nested
+    # loop over the tiny centroid side, not a shuffled cartesian
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
