@@ -151,5 +151,30 @@ register(QuerySpec("events_tumbling", events_tumbling, EVENTS_TUMBLING_ORACLE,
                    tags=("streaming-batch-twin",)))
 register(QuerySpec("events_sessionize", events_sessionize, EVENTS_SESSIONIZE_ORACLE,
                    tags=("streaming-batch-twin",)))
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View→purchase attribution within 1 hour per user — the batch twin
+    of the stream-stream interval join (``streaming/joins.py``)."""
+    from star_schema_etl_airflow_spark.streaming.joins import (
+        batch_attribution,
+    )
+
+    return batch_attribution(spark, sf_dir)
+
+
+EVENTS_ATTRIBUTION_ORACLE = """
+SELECT p.user_id,
+       v.event_id AS view_id,
+       p.event_id AS purchase_id,
+       p.value    AS purchase_value
+FROM events p
+JOIN events v
+  ON v.user_id = p.user_id
+ AND v.ts <= p.ts AND v.ts > p.ts - INTERVAL 1 HOUR
+WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+"""
+
 register(QuerySpec("events_sliding", events_sliding, EVENTS_SLIDING_ORACLE,
                    tags=("streaming-batch-twin",)))
+register(QuerySpec("events_attribution", events_attribution,
+                   EVENTS_ATTRIBUTION_ORACLE,
+                   tags=("streaming-batch-twin", "J2")))
