@@ -66,12 +66,14 @@ def connected_components(
             sym.join(labels, sym["a"] == labels["node"])
             .select(F.col("b").alias("node"), "component")
         )
+        # lazy checkpoint: materialized BY the changed-count action below —
+        # one Spark job per round instead of two (eager would run its own)
         new_labels = (
             labels.select("node", "component")
             .unionByName(msgs)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.join(labels.withColumnRenamed("component", "old"), "node")
