@@ -71,6 +71,7 @@ def _ensure_loaded() -> None:
         fixture_queries,
         llm_decontam,
         llm_dedup,
+        llm_pipeline,
         llm_sampling,
         llm_similarity,
         llm_text,
