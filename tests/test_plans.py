@@ -80,6 +80,18 @@ def test_quality_gate_window_is_partitioned(spark):
     assert re.search(r"\[lang", win) or "lang#" in win
 
 
+def test_curation_pipeline_broadcasts_and_avoids_cartesians(spark):
+    from star_schema_etl_airflow_spark.plans.llm_pipeline import (
+        curation_pipeline,
+    )
+
+    plan = _plan(curation_pipeline(spark, SF_DIR))
+    # decontam gram join + mix threshold join ride broadcasts; nothing in
+    # the five-stage composition may degrade to a cartesian product
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_kmeans_assignment_broadcasts_centroids(spark):
     from star_schema_etl_airflow_spark.operators.kmeans import (
         assign_clusters,
