@@ -379,3 +379,36 @@ register(QuerySpec("pv1_priority_pivot", pv1_priority_pivot, PV1_ORACLE,
                    tags=("PV1",)))
 register(QuerySpec("tn1_top_parts_per_nation", tn1_top_parts_per_nation,
                    TN1_ORACLE, tags=("TN1",)))
+
+
+def gs1_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form rollup/cube specialize):
+    (lang, source), (lang), (source) over documents — via the SQL surface
+    (``sources/sql_exec.py``), since the DataFrame API exposes only the
+    rollup/cube specializations.  Same Expand-based plan as A7/A8."""
+    from star_schema_etl_airflow_spark.sources.sql_exec import run_sql
+
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents_v"
+    )
+    return run_sql(spark, """
+        SELECT lang, source, COUNT(*) AS n_docs,
+               SUM(n_chars) AS total_chars,
+               CAST(GROUPING(lang) AS INT) AS g_lang,
+               CAST(GROUPING(source) AS INT) AS g_source
+        FROM documents_v
+        GROUP BY GROUPING SETS ((lang, source), (lang), (source))
+    """)
+
+
+GS1_ORACLE = """
+SELECT lang, source, COUNT(*) AS n_docs,
+       SUM(n_chars) AS total_chars,
+       CAST(GROUPING(lang) AS INTEGER) AS g_lang,
+       CAST(GROUPING(source) AS INTEGER) AS g_source
+FROM documents
+GROUP BY GROUPING SETS ((lang, source), (lang), (source))
+"""
+
+register(QuerySpec("gs1_grouping_sets", gs1_grouping_sets, GS1_ORACLE,
+                   tags=("A7", "S3")))
