@@ -460,3 +460,67 @@ FROM old o FULL OUTER JOIN new n ON o.customer_id = n.customer_id
 
 register(QuerySpec("snapshot_diff_customers", snapshot_diff_customers,
                    SNAPSHOT_DIFF_ORACLE, tags=("CDC", "J3", "P5")))
+
+
+# --- scalar-function censuses beyond §2.8 ----------------------------------
+
+
+def fn_string_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function parity census (the §2.8 pattern extended to the
+    string surface): each column is one engine builtin with an exact
+    DuckDB twin, so any cross-engine semantic drift pins to a column."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("customer_id"),
+        F.expr("levenshtein(c_name, c_mktsegment)").alias("lev_name_seg"),
+        F.expr("translate(c_mktsegment, 'AEIOU', '_____')").alias("seg_masked"),
+        F.expr("reverse(c_name)").alias("name_rev"),
+        F.expr("lpad(cast(c_custkey as string), 9, '0')").alias("key_padded"),
+        F.expr("repeat('=', cast(c_custkey % 5 as int))").alias("bar"),
+        F.expr("substring(c_name, 3, 5)").alias("name_mid"),
+        F.expr("cast(instr(c_name, '0') as int)").alias("zero_pos"),
+    )
+
+
+FN_STRING_ORACLE = """
+SELECT c_custkey AS customer_id,
+       CAST(levenshtein(c_name, c_mktsegment) AS INTEGER) AS lev_name_seg,
+       translate(c_mktsegment, 'AEIOU', '_____') AS seg_masked,
+       reverse(c_name) AS name_rev,
+       lpad(CAST(c_custkey AS VARCHAR), 9, '0') AS key_padded,
+       repeat('=', CAST(c_custkey % 5 AS INTEGER)) AS bar,
+       substring(c_name, 3, 5) AS name_mid,
+       CAST(instr(c_name, '0') AS INTEGER) AS zero_pos
+FROM customer
+"""
+
+
+def fn_date_census2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-function parity census #2 (beyond the dim_dates attributes):
+    month-end, offset arithmetic, day-diff, day-of-year, ISO week."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.expr("last_day(o_orderdate)").alias("month_end"),
+        F.expr("date_add(o_orderdate, 30)").alias("plus_30"),
+        F.expr("datediff(o_orderdate, date'1995-01-01')").alias("d_since"),
+        F.expr("dayofyear(o_orderdate)").alias("doy"),
+        F.expr("weekofyear(o_orderdate)").alias("wk_iso"),
+    )
+
+
+FN_DATE2_ORACLE = """
+SELECT o_orderkey,
+       last_day(o_orderdate) AS month_end,
+       o_orderdate + INTERVAL 30 DAY AS plus_30,
+       CAST(datediff('day', DATE '1995-01-01', o_orderdate) AS INTEGER)
+         AS d_since,
+       CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+       CAST(weekofyear(o_orderdate) AS INTEGER) AS wk_iso
+FROM orders
+"""
+
+register(QuerySpec("fn_string_census", fn_string_census, FN_STRING_ORACLE,
+                   tags=("§2.8",)))
+register(QuerySpec("fn_date_census2", fn_date_census2, FN_DATE2_ORACLE,
+                   tags=("§2.8",)))
