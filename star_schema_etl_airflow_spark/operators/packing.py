@@ -29,8 +29,18 @@ from star_schema_etl_airflow_spark.operators.sampling import hash_bucket
 PACK_SCHEMA = "shard int, doc_id long, tokens int, bin_id int"
 
 
-def _pack_one_shard(pdf: pd.DataFrame) -> pd.DataFrame:
-    pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+def _pack_one_shard(pdf: pd.DataFrame, order: str = "key") -> pd.DataFrame:
+    if order == "tokens_desc":
+        # next-fit over decreasing sizes: deterministic (tokens desc,
+        # doc_id asc).  NOTE: with next-fit (single open bin) decreasing
+        # order is NOT guaranteed tighter than arrival order — that
+        # guarantee belongs to first-fit-decreasing (``pack_ffd``); this
+        # variant exists for oracle-checkable order control
+        pdf = pdf.sort_values(
+            ["tokens", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+    else:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
     cap = int(pdf["__cap"].iloc[0])
     bins, fill, bin_id = [], 0, 0
     first = True
@@ -54,11 +64,14 @@ def pack_greedy(
     capacity: int,
     n_shards: int = 8,
     seed: str = "shard",
+    order: str = "key",
 ) -> DataFrame:
     """Assign each row a ``(shard, bin_id)`` under a greedy token budget.
 
     ``df`` needs a stable integer/string ``key`` and an integer
-    ``tokens_col``.  Arrow-batched ``applyInPandas``: one pandas call per
+    ``tokens_col``.  ``order='key'`` packs in doc_id order (stream-
+    friendly); ``order='tokens_desc'`` packs next-fit-decreasing (tighter
+    bins).  Arrow-batched ``applyInPandas``: one pandas call per
     shard, O(rows/shard) memory — choose ``n_shards`` so a shard fits an
     executor (at 100 TB that's simply more shards; packing quality is
     unaffected because bins never span shards).
@@ -72,7 +85,61 @@ def pack_greedy(
         F.lit(capacity).alias("__cap"),
     )
     return prepared.groupBy("shard").applyInPandas(
-        lambda pdf: _pack_one_shard(pdf), schema=PACK_SCHEMA
+        lambda pdf: _pack_one_shard(pdf, order), schema=PACK_SCHEMA
+    )
+
+
+def _pack_ffd_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+    """First-fit-decreasing within a shard: visit docs largest-first and
+    place each into the FIRST existing bin with room (new bin otherwise).
+    Guaranteed ≤ next-fit bins on the same order, and ≤ 11/9·OPT + 1
+    (the classic FFD bound).  O(n·bins) scan per shard — fine, shards are
+    executor-sized.  Not expressible as a linear recursive CTE (state is
+    the whole open-bin list), so this variant is pytest-checked rather
+    than DuckDB-oracled."""
+    pdf = pdf.sort_values(
+        ["tokens", "doc_id"], ascending=[False, True]
+    ).reset_index(drop=True)
+    cap = int(pdf["__cap"].iloc[0])
+    fills: list[int] = []
+    assignment = []
+    for t in pdf["tokens"]:
+        placed = None
+        for i, f in enumerate(fills):
+            if f + t <= cap:
+                placed = i
+                break
+        if placed is None:
+            fills.append(t)
+            placed = len(fills) - 1
+        else:
+            fills[placed] += t
+        assignment.append(placed)
+    out = pdf[["shard", "doc_id", "tokens"]].copy()
+    out["bin_id"] = pd.Series(assignment, dtype="int32")
+    return out
+
+
+def pack_ffd(
+    df: DataFrame,
+    key: str,
+    tokens_col: str,
+    capacity: int,
+    n_shards: int = 8,
+    seed: str = "shard",
+) -> DataFrame:
+    """First-fit-decreasing packing (the quality variant of
+    :func:`pack_greedy`; same sharding and determinism contract)."""
+    prepared = df.select(
+        (hash_bucket(f"cast({key} as string)", seed) % n_shards)
+        .cast("int")
+        .alias("shard"),
+        F.col(key).cast("long").alias("doc_id"),
+        F.col(tokens_col).cast("int").alias("tokens"),
+        F.lit(capacity).alias("__cap"),
+    )
+    return prepared.groupBy("shard").applyInPandas(
+        _pack_ffd_shard, schema=PACK_SCHEMA
     )
 
 

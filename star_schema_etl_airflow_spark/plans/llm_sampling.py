@@ -148,7 +148,7 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pack_oracle() -> str:
+def _pack_oracle(order_sql: str = "doc_id") -> str:
     return f"""
 WITH RECURSIVE base AS (
   SELECT CAST({_bucket_duck(PACK_SEED)} % {PACK_SHARDS} AS INTEGER) AS shard,
@@ -157,7 +157,7 @@ WITH RECURSIVE base AS (
   FROM documents
 ), seq AS (
   SELECT shard, doc_id, tokens,
-         ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+         ROW_NUMBER() OVER (PARTITION BY shard ORDER BY {order_sql}) AS rn
   FROM base
 ), pack AS (
   SELECT shard, doc_id, tokens, rn,
@@ -181,5 +181,19 @@ register(QuerySpec("split_hash", split_hash, _split_oracle(), tags=("SPLIT",)))
 register(QuerySpec("sample_stratified", sample_stratified, _strat_oracle(),
                    tags=("STRAT",)))
 register(QuerySpec("mix_corpora", mix_corpora, _mix_oracle(), tags=("MIX",)))
+def pack_sequences_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-fit-decreasing variant: long docs first within each shard —
+    same recursive-CTE oracle with the decreasing visit order."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "tokens_i", F.expr("(n_chars + 3) div 4")
+    )
+    return pack_greedy(
+        docs, "doc_id", "tokens_i", PACK_CAPACITY,
+        n_shards=PACK_SHARDS, seed=PACK_SEED, order="tokens_desc",
+    )
+
+
 register(QuerySpec("pack_sequences", pack_sequences, _pack_oracle(),
                    tags=("PACK",)))
+register(QuerySpec("pack_sequences_sorted", pack_sequences_sorted,
+                   _pack_oracle("tokens DESC, doc_id"), tags=("PACK",)))

@@ -111,6 +111,37 @@ def test_packing_is_partitioning_independent(spark):
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
+def test_ffd_beats_or_ties_next_fit_and_stays_valid(spark):
+    """First-fit-decreasing is guaranteed ≤ next-fit bins (same order) —
+    and must remain a valid packing: every doc once, no bin over cap."""
+    from star_schema_etl_airflow_spark.operators.packing import pack_ffd
+
+    cap = 256
+    docs = _docs(spark).withColumn("tokens_i", F.expr("(n_chars + 3) div 4"))
+
+    def total_bins(p):
+        return sum(
+            r.n
+            for r in p.groupBy("shard")
+            .agg(F.countDistinct("bin_id").alias("n"))
+            .collect()
+        )
+
+    nf_key = pack_greedy(docs, "doc_id", "tokens_i", cap, n_shards=4)
+    nf_desc = pack_greedy(
+        docs, "doc_id", "tokens_i", cap, n_shards=4, order="tokens_desc"
+    )
+    ffd = pack_ffd(docs, "doc_id", "tokens_i", cap, n_shards=4)
+
+    assert total_bins(ffd) <= min(total_bins(nf_key), total_bins(nf_desc))
+    assert ffd.count() == docs.count()
+    assert ffd.select("doc_id").distinct().count() == docs.count()
+    over = bin_utilization(ffd, cap).filter(
+        (F.col("bin_tokens") > cap) & (F.col("n_docs") > 1)
+    )
+    assert over.count() == 0
+
+
 def test_packing_is_reasonably_tight(spark):
     """Greedy in stable order should waste far less than half the space:
     mean utilization of non-final bins stays above 70%."""
