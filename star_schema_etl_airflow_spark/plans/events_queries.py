@@ -173,8 +173,144 @@ JOIN events v
 WHERE p.event_type = 'purchase' AND v.event_type = 'view'
 """
 
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen date; for each
+    (cohort, day-offset) the distinct active users and the retention rate
+    vs the cohort size.
+
+    Scale: one shuffle to find first-seen per user, one distinct over
+    (user, day), one shuffle on user_id for the join (co-partitioned with
+    the first agg — AQE reuses the exchange), then a tiny aggregate.
+    Cohort sizes (one row per date) are broadcast."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    first = ev.groupBy("user_id").agg(F.min("d").alias("cohort_date"))
+    sizes = first.groupBy("cohort_date").agg(
+        F.countDistinct("user_id").alias("cohort_size")
+    )
+    active = ev.distinct()
+    return (
+        active.join(first, "user_id")
+        .groupBy(
+            "cohort_date",
+            F.datediff("d", "cohort_date").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_date")
+        .withColumn(
+            "retention",
+            F.col("n_active").cast("double") / F.col("cohort_size").cast("double"),
+        )
+        .select("cohort_date", "day_offset", "n_active", "cohort_size", "retention")
+    )
+
+
+EVENTS_RETENTION_ORACLE = """
+WITH first AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_date
+  FROM events GROUP BY user_id
+),
+sizes AS (
+  SELECT cohort_date, COUNT(DISTINCT user_id) AS cohort_size
+  FROM first GROUP BY cohort_date
+),
+active AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+ret AS (
+  SELECT f.cohort_date,
+         CAST(date_diff('day', f.cohort_date, a.d) AS INTEGER) AS day_offset,
+         COUNT(DISTINCT a.user_id) AS n_active
+  FROM active a JOIN first f USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT r.cohort_date, r.day_offset, r.n_active, s.cohort_size,
+       CAST(r.n_active AS DOUBLE) / CAST(s.cohort_size AS DOUBLE) AS retention
+FROM ret r JOIN sizes s USING (cohort_date)
+"""
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered funnel signup → view → purchase: each later stage
+    must occur after the user's earliest timestamp of the previous stage.
+    Returns a one-row summary with stage counts and conversion rates.
+
+    Scale: three per-user MIN aggregates chained by user_id equi-joins —
+    every shuffle is on the same key so AQE/exchange-reuse co-partitions
+    them; each stage's output is ≤ one row per user."""
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    base = s.join(v, "user_id", "left").join(p, "user_id", "left")
+    return base.agg(
+        F.count("*").alias("n_signup"),
+        F.count("view_ts").alias("n_view"),
+        F.count("purchase_ts").alias("n_purchase"),
+    ).select(
+        "n_signup",
+        "n_view",
+        "n_purchase",
+        (F.col("n_view").cast("double") / F.col("n_signup").cast("double"))
+        .alias("view_rate"),
+        (F.col("n_purchase").cast("double") / F.col("n_view").cast("double"))
+        .alias("purchase_rate"),
+    )
+
+
+EVENTS_FUNNEL_ORACLE = """
+WITH s AS (
+  SELECT user_id, MIN(ts) AS signup_ts
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+v AS (
+  SELECT e.user_id, MIN(e.ts) AS view_ts
+  FROM events e JOIN s USING (user_id)
+  WHERE e.event_type = 'view' AND e.ts > s.signup_ts
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS purchase_ts
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > v.view_ts
+  GROUP BY e.user_id
+),
+agg AS (
+  SELECT COUNT(*) AS n_signup,
+         COUNT(v.view_ts) AS n_view,
+         COUNT(p.purchase_ts) AS n_purchase
+  FROM s LEFT JOIN v USING (user_id) LEFT JOIN p USING (user_id)
+)
+SELECT n_signup, n_view, n_purchase,
+       CAST(n_view AS DOUBLE) / CAST(n_signup AS DOUBLE) AS view_rate,
+       CAST(n_purchase AS DOUBLE) / CAST(n_view AS DOUBLE) AS purchase_rate
+FROM agg
+"""
+
+
 register(QuerySpec("events_sliding", events_sliding, EVENTS_SLIDING_ORACLE,
                    tags=("streaming-batch-twin",)))
+register(QuerySpec("events_retention", events_retention,
+                   EVENTS_RETENTION_ORACLE, tags=("analytics",)))
+register(QuerySpec("events_funnel", events_funnel, EVENTS_FUNNEL_ORACLE,
+                   tags=("analytics",)))
 register(QuerySpec("events_attribution", events_attribution,
                    EVENTS_ATTRIBUTION_ORACLE,
                    tags=("streaming-batch-twin", "J2")))

@@ -205,6 +205,187 @@ r AS (
 SELECT doc_id, lang, ttr, qrank FROM r WHERE qrank >= 0.25
 """
 
+# --- repetition_stats: Gopher-style repetition filters ---------------------
+
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: duplicate-word fraction, fraction
+    of tokens in the most frequent word, fraction of bigrams in the most
+    frequent bigram, and a keep/drop gate.
+
+    Spark-first shape: explode → (doc, term) count → per-doc max/sum —
+    two partial-agg-friendly hash aggregates instead of nested O(n²)
+    array lambdas (which defeat codegen and recompile per query).  At
+    100 TB the shuffle key (doc_id, term) is high-cardinality and
+    skew-free; the per-doc rollup is tiny."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.expr(_TOKS_S).alias("toks"))
+    wstats = (
+        toks.select("doc_id", F.explode("toks").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("int").alias("n_tokens"),
+            F.count("*").alias("n_distinct"),
+            F.max("c").alias("top_c"),
+        )
+    )
+    bstats = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "case when size(toks) < 2 then array() "
+                    "else transform(sequence(0, size(toks) - 2), "
+                    "i -> concat(element_at(toks, i + 1), ' ', "
+                    "element_at(toks, i + 2))) end"
+                )
+            ).alias("b"),
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bc"))
+    )
+    return (
+        wstats.join(bstats, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                F.lit(1.0)
+                - F.col("n_distinct").cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("dup_word_frac"),
+            (
+                F.col("top_c").cast("double") / F.col("n_tokens").cast("double")
+            ).alias("top_word_frac"),
+            F.when(F.col("n_tokens") < 2, F.lit(None).cast("double"))
+            .otherwise(
+                F.col("top_bc").cast("double")
+                / (F.col("n_tokens") - 1).cast("double")
+            )
+            .alias("top_bigram_frac"),
+        )
+        .withColumn(
+            "repetition_gate",
+            F.when(
+                (F.col("dup_word_frac") <= 0.55)
+                & (F.col("top_word_frac") <= 0.10),
+                "keep",
+            ).otherwise("drop"),
+        )
+    )
+
+
+# Same explode/GROUP BY shape as the Spark side (array lambdas that
+# reference the split expression re-evaluate it per element in both
+# engines — the unnest form is linear).
+REPETITION_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS_D} AS toks FROM documents
+),
+wc AS (
+  SELECT doc_id, w, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(toks) AS w FROM t)
+  GROUP BY doc_id, w
+),
+ws AS (
+  SELECT doc_id, CAST(SUM(c) AS INTEGER) AS n_tokens,
+         COUNT(*) AS n_distinct, MAX(c) AS top_c
+  FROM wc GROUP BY doc_id
+),
+bc AS (
+  SELECT doc_id, b, COUNT(*) AS c
+  FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(toks) < 2 THEN []
+                       ELSE list_transform(range(0, len(toks) - 1),
+                            i -> toks[i + 1] || ' ' || toks[i + 2]) END) AS b
+    FROM t
+  )
+  GROUP BY doc_id, b
+),
+bs AS (
+  SELECT doc_id, MAX(c) AS top_bc FROM bc GROUP BY doc_id
+)
+SELECT ws.doc_id, ws.n_tokens,
+       1.0 - CAST(ws.n_distinct AS DOUBLE) / CAST(ws.n_tokens AS DOUBLE)
+         AS dup_word_frac,
+       CAST(ws.top_c AS DOUBLE) / CAST(ws.n_tokens AS DOUBLE)
+         AS top_word_frac,
+       CASE WHEN ws.n_tokens < 2 THEN CAST(NULL AS DOUBLE)
+            ELSE CAST(bs.top_bc AS DOUBLE) / CAST(ws.n_tokens - 1 AS DOUBLE)
+       END AS top_bigram_frac,
+       CASE WHEN 1.0 - CAST(ws.n_distinct AS DOUBLE) / CAST(ws.n_tokens AS DOUBLE) <= 0.55
+             AND CAST(ws.top_c AS DOUBLE) / CAST(ws.n_tokens AS DOUBLE) <= 0.10
+            THEN 'keep' ELSE 'drop' END AS repetition_gate
+FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id
+"""
+
+# --- pii_scrub: regex redaction (emails, phone numbers) --------------------
+
+# RE2 ∩ Java-regex-compatible patterns (no lookaround, no \b needed).
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+_PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: replace emails and phone numbers with typed
+    placeholder tokens and count the redactions.  The fixture corpus has
+    no organic PII, so the query deterministically injects one email and
+    one phone per document first — the operator under test is the
+    scrub projection (map-only; regexes run JVM-side at scale).
+    Output carries md5(scrubbed) instead of the full text."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("aug_text"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("aug_text"), _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return aug.select(
+        "doc_id",
+        F.regexp_count(F.col("aug_text"), F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(F.col("aug_text"), F.lit(_PHONE_RE)).alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
+PII_SCRUB_ORACLE = f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.com or 555-'
+              || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS aug_text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(aug_text, '{_EMAIL_RE}')) AS INTEGER)
+         AS n_emails,
+       CAST(len(regexp_extract_all(aug_text, '{_PHONE_RE}')) AS INTEGER)
+         AS n_phones,
+       md5(regexp_replace(regexp_replace(aug_text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g')) AS scrubbed_md5
+FROM aug
+"""
+
+register(QuerySpec("repetition_stats", repetition_stats, REPETITION_ORACLE,
+                   tags=("LLM-text",)))
+register(QuerySpec("pii_scrub", pii_scrub, PII_SCRUB_ORACLE,
+                   tags=("LLM-text",)))
 register(QuerySpec("quality_percentile_gate", quality_percentile_gate,
                    QUALITY_GATE_ORACLE, tags=("LLM-text",)))
 register(QuerySpec("text_stats", text_stats, TEXT_STATS_ORACLE,

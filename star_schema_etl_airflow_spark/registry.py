@@ -81,6 +81,7 @@ def _ensure_loaded() -> None:
         sql_queries,
         subquery_queries,
         timeseries,
+        tpch_queries,
     )
 
     _loaded = True
