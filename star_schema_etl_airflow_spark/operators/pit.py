@@ -48,3 +48,71 @@ def as_of_join(
     if extra_cond is not None:
         cond = cond & extra_cond
     return fact.join(d, cond, how)
+
+
+def as_of_backward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Backward as-of join (pandas ``merge_asof`` semantics): attach to each
+    left row the ``value_cols`` of the right row with the greatest
+    ``right_ts <= left_ts`` for the same ``on`` key; NULLs when no such row.
+
+    Unlike :func:`as_of_join` (which relies on a validity interval already
+    materialized on the dim side), this needs no expiration column — and
+    unlike the naive ``join + max_by`` it has **no pairwise fan-out**: both
+    sides are union-tagged, shuffled ONCE on the key, and resolved with a
+    running ``last(ignorenulls)`` window over ``(ts, side)`` — right rows
+    sort before left rows at equal timestamps, so an exactly-simultaneous
+    right row matches (``<=``).  At 100 TB this is one shuffle + one sort,
+    the same cost envelope as a sort-merge join, regardless of how many
+    right rows precede each left row.
+
+    The right side must be unique per (key, ts) — duplicate timestamps make
+    "the latest row" ambiguous in any engine; pre-aggregate first.
+    """
+    from pyspark.sql import Window
+
+    lcols = [c for c in left.columns if c not in (on, left_ts)]
+    r = right.select(
+        on,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.col(c) for c in value_cols],
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+        ],
+    )
+    l = left.select(
+        on,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(c)
+            for c in value_cols
+        ],
+        *[F.col(c) for c in lcols],
+    )
+    w = (
+        Window.partitionBy(on)
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        r.unionByName(l)
+        .select(
+            on,
+            "__ts",
+            "__side",
+            *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
+            *lcols,
+        )
+        .filter(F.col("__side") == 1)
+        .withColumnRenamed("__ts", left_ts)
+        .drop("__side")
+    )

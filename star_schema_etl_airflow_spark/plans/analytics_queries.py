@@ -412,3 +412,39 @@ GROUP BY GROUPING SETS ((lang, source), (lang), (source))
 
 register(QuerySpec("gs1_grouping_sets", gs1_grouping_sets, GS1_ORACLE,
                    tags=("A7", "S3")))
+
+
+def w6_value_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window value-function census: FIRST_VALUE / LAST_VALUE / NTH_VALUE
+    over a full-partition frame plus CUME_DIST, per customer order history.
+    Deterministic: the window orders on the unique (o_orderdate, o_orderkey)
+    pair, and the money column is compared raw (no arithmetic)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(full).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(full).alias("second_price"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+W6_ORACLE = """
+SELECT o_orderkey, o_custkey,
+       FIRST_VALUE(o_totalprice) OVER w AS first_price,
+       LAST_VALUE(o_totalprice) OVER wf AS last_price,
+       NTH_VALUE(o_totalprice, 2) OVER wf AS second_price,
+       CUME_DIST() OVER w AS cd
+FROM orders
+WINDOW w  AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+register(QuerySpec("w6_value_windows", w6_value_windows, W6_ORACLE,
+                   tags=("W2", "window-census")))

@@ -201,3 +201,51 @@ register(QuerySpec("hypertable_rollup", hypertable_rollup,
 register(QuerySpec("events_json_extract", events_json_extract,
                    EVENTS_JSON_EXTRACT_ORACLE,
                    tags=("json",)))
+
+
+def events_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (merge_asof semantics): each purchase picks up
+    the most recent view at-or-before it for the same user — via the
+    single-shuffle union+window operator (``operators/pit.py::
+    as_of_backward``), differentially checked against DuckDB's native
+    ASOF LEFT JOIN."""
+    from star_schema_etl_airflow_spark.operators.pit import as_of_backward
+
+    ev = load_table(spark, sf_dir, "events")
+    # right side must be unique per (user, ts): keep the max view value
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("last_view_value"))
+        .select("user_id", "ts", F.col("ts").alias("last_view_ts"),
+                "last_view_value")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        "ts",
+        F.col("value").alias("purchase_value"),
+    )
+    return as_of_backward(
+        purchases, views, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["last_view_ts", "last_view_value"],
+    ).withColumnRenamed("ts", "purchase_ts")
+
+
+EVENTS_ASOF_ENRICH_ORACLE = """
+WITH v AS (
+  SELECT user_id, ts, MAX(value) AS last_view_value
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+),
+p AS (
+  SELECT user_id, event_id AS purchase_id, ts, value AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.user_id, p.ts AS purchase_ts, p.purchase_id, p.purchase_value,
+       v.ts AS last_view_ts, v.last_view_value
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+"""
+
+register(QuerySpec("events_asof_enrich", events_asof_enrich,
+                   EVENTS_ASOF_ENRICH_ORACLE,
+                   tags=("J2", "asof")))

@@ -283,3 +283,19 @@ def write_swap(df: DataFrame, path: str, partition_by: str | None = None) -> Non
     # the rename happened outside Spark's writers — drop the session's
     # cached file listing for the path or later reads serve deleted files
     df.sparkSession.catalog.refreshByPath(path)
+
+
+def write_orc(df: DataFrame, path: str, partition_by: str | None = None) -> None:
+    """ORC sink (S16) — the columnar interchange format for Hive-adjacent
+    stacks; Spark's ORC writer is built in and carries the same predicate
+    pushdown / column pruning contract as parquet."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(partition_by)
+    w.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source (S16).  Schema comes from the ORC footer (self-describing,
+    no inference pass)."""
+    return spark.read.orc(path)

@@ -103,3 +103,26 @@ def test_q22_customers_have_no_recent_orders(spark):
     # aggregate invariant: counts positive, balances positive
     for r in res.collect():
         assert r.n_custs > 0 and r.total_acctbal > 0
+
+
+def test_as_of_backward_edges(spark):
+    """No-prior-row → NULLs; equal timestamp matches (<=); latest wins."""
+    from star_schema_etl_airflow_spark.operators.pit import as_of_backward
+
+    left = spark.createDataFrame(
+        [(1, 5, "p1"), (1, 2, "p2"), (2, 9, "p3")], "k int, t int, pid string"
+    )
+    right = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 5, 20.0), (2, 10, 30.0)], "k int, rt int, v double"
+    )
+    rows = {
+        r.pid: (r.last_t, r.v)
+        for r in as_of_backward(
+            left,
+            right.select("k", "rt", F.col("rt").alias("last_t"), "v"),
+            on="k", left_ts="t", right_ts="rt", value_cols=["last_t", "v"],
+        ).collect()
+    }
+    assert rows["p1"] == (5, 20.0)      # equal ts matches
+    assert rows["p2"] == (1, 10.0)      # earlier row carried forward
+    assert rows["p3"] == (None, None)   # nothing at-or-before

@@ -171,3 +171,21 @@ def test_write_swap_breaks_self_read_cycle(spark, tmp_path):
     sio.write_swap(updated, out)
     assert {r.s for r in spark.read.parquet(out).collect()} == {"A", "B"}
     assert not os.path.exists(out + "__tmp_swap")
+
+
+def test_orc_round_trip_and_pushdown(spark, tmp_path):
+    from star_schema_etl_airflow_spark.sources.io import read_orc, write_orc
+
+    from star_schema_etl_airflow_spark.sources.fixtures import load_table
+
+    src = load_table(spark, "/root/testdata/sf0.001", "orders")
+    path = str(tmp_path / "orders_orc")
+    write_orc(src, path)
+    back = read_orc(spark, path)
+    assert back.schema == src.schema
+    assert back.count() == src.count()
+    # exact content round-trip (order-insensitive)
+    assert back.exceptAll(src).count() == 0 and src.exceptAll(back).count() == 0
+    # filters reach the ORC scan
+    plan = back.filter(F.col("o_orderkey") == 7)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "o_orderkey" in plan.split("PushedFilters")[1][:200]
