@@ -247,5 +247,5 @@ FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
 """
 
 register(QuerySpec("events_asof_enrich", events_asof_enrich,
-                   EVENTS_ASOF_ENRICH_ORACLE,
+                   EVENTS_ASOF_ENRICH_ORACLE, headline=True,
                    tags=("J2", "asof")))

@@ -181,7 +181,7 @@ GROUP BY 1
 
 
 register(QuerySpec("q7_volume_shipping", q7_volume_shipping, Q7_ORACLE,
-                   tags=("J1", "J4", "A1", "A2")))
+                   headline=True, tags=("J1", "J4", "A1", "A2")))
 register(QuerySpec("q18_large_orders", q18_large_orders, Q18_ORACLE,
                    tags=("A1", "A2", "J1")))
 register(QuerySpec("q22_idle_rich_customers", q22_idle_rich_customers,
