@@ -153,3 +153,49 @@ def run_to_memory(spark: SparkSession, sf_dir: str, name: str = "stream_rollup")
     )
     q.awaitTermination(120)
     return spark.table(name)
+
+
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming sessionization — ``session_window`` merges
+    per-user event runs with a 30-minute gap, the streaming twin of the
+    batch ``events_sessionize`` query (the oracle).  Session-window state
+    is merged incrementally per key and evicted once the watermark passes
+    a session's close — bounded state at any ingest rate."""
+    from star_schema_etl_airflow_spark.plans.events_queries import SESSION_GAP
+
+    ev = stream_events(spark, sf_dir)
+    return (
+        ev.withWatermark("ts", WATERMARK)
+        .groupBy("user_id", F.session_window("ts", SESSION_GAP))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,10)")).cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_sessionize_to_memory(spark: SparkSession, sf_dir: str,
+                             name: str = "stream_sessions") -> DataFrame:
+    """Run the streaming sessionization to completion.  Complete mode:
+    session-window aggregations reject update mode (sessions merge, so an
+    update would have to retract rows); complete re-emits full state per
+    trigger, which the single availableNow batch makes equivalent to the
+    batch twin."""
+    q = (
+        streaming_sessionize(spark, sf_dir)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)

@@ -20,3 +20,21 @@ def test_streaming_rollup_matches_batch(spark):
     b = {tuple(r) for r in batch.collect()}
     assert s == b
     assert len(s) > 0
+
+
+def test_streaming_sessionize_matches_batch(spark):
+    from star_schema_etl_airflow_spark.plans.events_queries import (
+        events_sessionize,
+    )
+    from star_schema_etl_airflow_spark.streaming.ingest import (
+        run_sessionize_to_memory,
+    )
+
+    stream_result = run_sessionize_to_memory(spark, SF_DIR, name="t_sessions")
+    batch = events_sessionize(spark, SF_DIR).select(
+        "user_id", "session_start", "session_end", "n_events", "total_value"
+    )
+    s = sorted(tuple(r) for r in stream_result.collect())
+    b = sorted(tuple(r) for r in batch.collect())
+    assert s == b
+    assert len(s) > 0
