@@ -5,11 +5,11 @@ Prints ONE JSON line:
   {"metric": "headline_total", "value": N, "unit": "sec",
    "queries": {name: sec, ...}, "sf": 0.1}
 
-Each query is timed as full materialization (a count + a write-free
-collect of the aggregated result is avoided; we use ``df.count()`` after
-``df`` is fully planned, which executes the whole plan including joins
-and aggregations).  JVM startup and parquet-footer warmup are excluded
-by timing per-query after a warmup pass over table metadata.
+Each query is timed as full materialization through the ``noop`` sink:
+every output column is computed and serialized (a bare ``count()`` lets
+Catalyst prune aggregate expressions the count doesn't need, which
+under-times wide queries).  JVM startup and parquet-footer warmup are
+excluded by timing per-query after a warmup pass over table metadata.
 """
 
 from __future__ import annotations
@@ -56,16 +56,17 @@ def main() -> None:
     warm_dir = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.001")
     if not os.path.isdir(warm_dir):
         warm_dir = SF_DIR
+    def materialize(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
     for spec in headline:
-        spec.fn(spark, warm_dir).count()
+        materialize(spec.fn(spark, warm_dir))
 
     timings: dict[str, float] = {}
     for spec in headline:
         t0 = time.perf_counter()
-        df = spec.fn(spark, SF_DIR)
-        n = df.count()
+        materialize(spec.fn(spark, SF_DIR))
         timings[spec.name] = round(time.perf_counter() - t0, 3)
-        assert n >= 0
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

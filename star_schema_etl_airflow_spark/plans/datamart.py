@@ -18,8 +18,13 @@ both tables; ``part``/``customer`` are dimension-sized and explicitly
 broadcast so the enrich join never shuffles the fact stream.  All
 aggregates are partial-agg friendly (map-side combine) except
 COUNT(DISTINCT order_id), which Catalyst plans as a two-phase expand —
-the dominant cost at scale; ``approx_count_distinct`` is the documented
-escape hatch when exactness isn't required.
+the dominant cost at scale.  Two escape hatches, both exact-preserving
+at the value level: (a) pre-aggregate lineitem to (order, category)
+grain first, after which COUNT(*) equals the distinct count (measured
+~10% faster at sf0.1, and the pre-agg shrinks the orderkey shuffle at
+scale); (b) ``approx_count_distinct`` when exactness isn't required.
+The COUNT DISTINCT form is kept here as the reference-parity flagship
+(operator A3).
 """
 
 from __future__ import annotations
@@ -61,22 +66,28 @@ def sales_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(part), lineitem.l_partkey == part.p_partkey, "inner")
     )
 
+    # Group only on the minimal key (year/month/month_name are functions
+    # of sale_date — deriving them AFTER the aggregate keeps the hash key
+    # and the count-distinct expand narrow; same result, cheaper shuffle).
     return (
-        enriched.groupBy(
-            "sale_date",
-            F.year("sale_date").alias("year"),
-            F.month("sale_date").alias("month"),
-            month_name(F.col("sale_date")).alias("month_name"),
-            "product_category",
-        )
+        enriched.groupBy("sale_date", "product_category")
         .agg(
             sum_money(F.col("l_extendedprice")).alias("total_sales"),
             F.countDistinct("l_orderkey").alias("total_orders"),
             F.sum("l_quantity").alias("total_quantity"),
         )
-        .withColumn(
-            "avg_order_value",
-            safe_divide(F.col("total_sales"), F.col("total_orders")),
+        .select(
+            "sale_date",
+            F.year("sale_date").alias("year"),
+            F.month("sale_date").alias("month"),
+            month_name(F.col("sale_date")).alias("month_name"),
+            "product_category",
+            "total_sales",
+            "total_orders",
+            "total_quantity",
+            safe_divide(F.col("total_sales"), F.col("total_orders")).alias(
+                "avg_order_value"
+            ),
         )
     )
 
