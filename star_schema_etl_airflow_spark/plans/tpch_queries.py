@@ -26,17 +26,21 @@ from star_schema_etl_airflow_spark.functions import safe_divide
 from star_schema_etl_airflow_spark.registry import QuerySpec, register
 from star_schema_etl_airflow_spark.sources.fixtures import load_table
 
-# Decimal-exact per-row revenue.  The product is an arbitrary double, so a
-# 2-dp cast can land on a .xx5 halfway point where Spark (HALF_UP) and
-# DuckDB disagree by a penny; 10 fractional digits keeps the cast far from
-# any halfway case while still making the SUM order-independent.
+# Decimal-exact per-row revenue: cast the raw 2-dp columns to decimal and
+# multiply in decimal (exact, order-independent, identical across engines).
+# Casting the double PRODUCT to decimal instead is a trap twice over: a
+# 2-dp cast lands on .xx5 halfway points (HALF_UP vs round-half-even), and
+# a 10-dp cast makes the summed unscaled int128 exceed 2^53, where
+# DuckDB's int->double->divide conversion double-rounds off Spark's
+# BigDecimal path.  True scale here is 4 (2-dp price x 2-dp discount).
 def _rev_s() -> F.Column:
-    return (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(28,10)"
+    return F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(2,0)") - F.col("l_discount").cast("decimal(6,4)")
     )
 
 
-_REV_D = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))"
+_REV_D = ("CAST(l_extendedprice AS DECIMAL(18,2))"
+          " * (1 - CAST(l_discount AS DECIMAL(6,4)))")
 
 
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -66,7 +70,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").alias("l_year"),
         )
         .agg(
-            F.sum(_rev_s()).cast("double").alias("revenue"),
+            F.sum(_rev_s()).cast("decimal(32,6)").cast("double")
+            .alias("revenue"),
             F.count("*").alias("n_lines"),
         )
     )
@@ -76,7 +81,7 @@ Q7_ORACLE = f"""
 SELECT n1.n_name AS supp_nation,
        n2.n_name AS cust_nation,
        CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INTEGER) AS l_year,
-       CAST(SUM({_REV_D}) AS DOUBLE) AS revenue,
+       CAST(CAST(SUM({_REV_D}) AS DECIMAL(32,6)) AS DOUBLE) AS revenue,
        COUNT(*) AS n_lines
 FROM lineitem l
 JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -186,3 +191,63 @@ register(QuerySpec("q18_large_orders", q18_large_orders, Q18_ORACLE,
                    tags=("A1", "A2", "J1")))
 register(QuerySpec("q22_idle_rich_customers", q22_idle_rich_customers,
                    Q22_ORACLE, tags=("A5", "J7")))
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: the canonical pricing summary — one wide partial-agg
+    scan, grouped on the 2-value flag/status pair.  All money aggregates
+    are decimal-exact (order-independent); averages divide exact sums by
+    counts so both engines agree bit-for-bit."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= "1998-09-02"
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    # Multiply in DECIMAL, not double: the raw columns are exact 2-4-dp
+    # values (safe to cast), and decimal x decimal is exact in both
+    # engines -- whereas casting a double product to decimal rounds a
+    # scaled value near 2^53, where Spark and DuckDB disagree in the last
+    # ulp (~1e-10/row, visible after a 60k-row sum).
+    dec_d = F.col("l_discount").cast("decimal(6,4)")
+    dec_t = F.col("l_tax").cast("decimal(6,4)")
+    disc = dec("l_extendedprice") * (F.lit(1).cast("decimal(2,0)") - dec_d)
+    charge = disc * (F.lit(1).cast("decimal(2,0)") + dec_t)
+    cnt = F.count("*")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc).cast("double").alias("sum_disc_price"),
+            # scale-6 first: the charge's true scale is 6 (trailing
+            # zeros beyond), and at scale 10 the sum's unscaled int128
+            # exceeds 2^53, where DuckDB's int->double->divide cast
+            # double-rounds 1 ulp off Spark's BigDecimal conversion
+            F.sum(charge).cast("decimal(32,6)").cast("double").alias("sum_charge"),
+            (F.sum(dec("l_quantity")).cast("double") / cnt).alias("avg_qty"),
+            (F.sum(dec("l_extendedprice")).cast("double") / cnt).alias("avg_price"),
+            (F.sum(dec("l_discount")).cast("double") / cnt).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+    )
+
+
+Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE) AS sum_disc_price,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(6,4)))
+                * (1 + CAST(l_tax AS DECIMAL(6,4)))) AS DECIMAL(32,6)) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+register(QuerySpec("q1_pricing_summary", q1_pricing_summary, Q1_ORACLE,
+                   tags=("A1", "A2", "P2")))

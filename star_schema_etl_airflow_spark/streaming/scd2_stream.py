@@ -1,0 +1,95 @@
+"""Incremental SCD2 dimension maintenance as a streaming job: daily
+source deltas land as files, and each micro-batch applies the set-based
+SCD2 transform (``operators/scd2.py::apply_scd2``) to the persisted
+dimension via ``foreachBatch`` — the streaming composition of the
+reference's daily dim DAG (dags/process_core_sales.py:68-127 semantics,
+but arrival-driven instead of cron-driven).
+
+Design notes:
+- ``foreachBatch`` is the right hook because SCD2 is a read-modify-write
+  over the whole dimension — not a keyed aggregation Spark's state store
+  could hold.  The dimension lives in parquet between batches; the swap
+  writer makes the rewrite safe against its own input scan.
+- A batch may carry several run_dates (file backlog); they are applied
+  in date order inside the batch, so catch-up after downtime reproduces
+  the day-by-day history exactly.
+- At scale the dimension rewrite is proportional to dim size, not delta
+  size — the documented trade (SURVEY §7.4 decision 1) for avoiding
+  in-place MERGE; a table format (Delta/Iceberg) swaps in transparently
+  at the ``write_swap`` call site.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from star_schema_etl_airflow_spark.operators.scd2 import apply_scd2
+from star_schema_etl_airflow_spark.sources.io import write_swap
+
+
+def empty_dim(
+    spark: SparkSession,
+    source_schema: T.StructType,
+    key: str,
+    tracked: list[str],
+    sk_col: str = "sk",
+) -> DataFrame:
+    """Day-0 dimension: correct schema, zero rows."""
+    fields = [T.StructField(sk_col, T.LongType())]
+    for name in (key, *tracked):
+        fields.append(T.StructField(name, source_schema[name].dataType))
+    fields += [
+        T.StructField("effective_date", T.DateType()),
+        T.StructField("expiration_date", T.DateType()),
+        T.StructField("is_current", T.BooleanType()),
+    ]
+    return spark.createDataFrame([], T.StructType(fields))
+
+
+def run_scd2_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    dim_path: str,
+    source_schema: T.StructType,
+    key: str,
+    tracked: list[str],
+    sk_col: str = "sk",
+    run_date_col: str = "run_date",
+) -> DataFrame:
+    """Consume all pending delta files (availableNow) and fold each into
+    the persisted dimension; returns the final dimension."""
+    stream = (
+        spark.readStream.schema(source_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing_dir)
+    )
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        dates = [
+            r[0]
+            for r in batch_df.select(run_date_col)
+            .distinct()
+            .orderBy(run_date_col)
+            .collect()
+        ]
+        try:
+            dim = spark.read.parquet(dim_path)
+        except Exception:
+            dim = empty_dim(spark, source_schema, key, tracked, sk_col)
+        for d in dates:
+            day = batch_df.filter(F.col(run_date_col) == d).drop(run_date_col)
+            dim = apply_scd2(dim, day, key, tracked, str(d), sk_col)
+        write_swap(dim, dim_path)
+
+    q = (
+        stream.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", dim_path.rstrip("/") + "__ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(dim_path)
