@@ -448,3 +448,58 @@ WINDOW w  AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
 
 register(QuerySpec("w6_value_windows", w6_value_windows, W6_ORACLE,
                    tags=("W2", "window-census")))
+
+
+def a10_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median (interpolating percentile) and deterministic mode per
+    market segment.  Spark's ``mode()`` breaks frequency ties arbitrarily,
+    so the mode here is computed explicitly: max count, then smallest
+    value — deterministic in any engine.  Median interpolation is the
+    same two-double average in both engines (exact on raw values)."""
+    cust = load_table(spark, sf_dir, "customer")
+    med = cust.groupBy("c_mktsegment").agg(
+        F.expr("percentile(c_acctbal, 0.5)").alias("median_bal"),
+        F.count("*").alias("n_custs"),
+    )
+    counts = (
+        cust.groupBy("c_mktsegment", "c_nationkey")
+        .agg(F.count("*").alias("c"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c").desc(), F.col("c_nationkey")
+    )
+    modes = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_mktsegment", F.col("c_nationkey").alias("mode_nation"),
+                F.col("c").alias("mode_count"))
+    )
+    return med.join(modes, "c_mktsegment")
+
+
+A10_ORACLE = """
+WITH med AS (
+  SELECT c_mktsegment, quantile_cont(c_acctbal, 0.5) AS median_bal,
+         COUNT(*) AS n_custs
+  FROM customer GROUP BY 1
+),
+counts AS (
+  SELECT c_mktsegment, c_nationkey, COUNT(*) AS c
+  FROM customer GROUP BY 1, 2
+),
+modes AS (
+  SELECT c_mktsegment, c_nationkey AS mode_nation, c AS mode_count
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY c_mktsegment ORDER BY c DESC, c_nationkey) AS rn
+    FROM counts
+  ) WHERE rn = 1
+)
+SELECT m.c_mktsegment, m.median_bal, m.n_custs, mo.mode_nation, mo.mode_count
+FROM med m JOIN modes mo USING (c_mktsegment)
+"""
+
+register(QuerySpec("a10_median_mode", a10_median_mode, A10_ORACLE,
+                   tags=("A4", "window-census")))

@@ -135,20 +135,40 @@ def customer_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_extendedprice"
     )
 
-    # fact side first (big⋈big on the order key), then broadcast-enrich
-    fact = lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+    # Scale shape (measured ~35% faster than the naive form at sf0.1):
+    # (1) pre-aggregate lineitem to order grain — after that COUNT(*)
+    #     per customer IS the distinct order count (no count-distinct
+    #     Expand), and the orderkey join input shrinks ~4×;
+    # (2) group on the bare customer key and broadcast-enrich AFTER the
+    #     aggregate — name/segment/nation are functional dependencies
+    #     that don't belong in the hash key, and the enrich join then
+    #     touches one row per customer instead of one per lineitem.
+    per_order = lineitem.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("__ov")
+    )
+    per_customer_raw = (
+        per_order.join(orders, per_order.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.min("order_date").alias("first_order_date"),
+            F.max("order_date").alias("last_order_date"),
+            F.count("*").alias("total_orders"),
+            F.sum("__ov").cast("double").alias("total_lifetime_value"),
+        )
+    )
     profile = customer.join(
         F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
     ).select("customer_id", "customer_name", "mktsegment", F.col("n_name").alias("nation_name"))
 
     per_customer = (
-        fact.join(F.broadcast(profile), fact.o_custkey == profile.customer_id)
-        .groupBy("customer_id", "customer_name", "mktsegment", "nation_name")
-        .agg(
-            F.min("order_date").alias("first_order_date"),
-            F.max("order_date").alias("last_order_date"),
-            F.countDistinct("o_orderkey").alias("total_orders"),
-            sum_money(F.col("l_extendedprice")).alias("total_lifetime_value"),
+        per_customer_raw.join(
+            F.broadcast(profile),
+            per_customer_raw.o_custkey == profile.customer_id,
+        )
+        .select(
+            "customer_id", "customer_name", "mktsegment", "nation_name",
+            "first_order_date", "last_order_date", "total_orders",
+            "total_lifetime_value",
         )
         .withColumn(
             "days_since_last_order",

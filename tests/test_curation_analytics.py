@@ -21,6 +21,7 @@ from star_schema_etl_airflow_spark.plans.llm_text import (
     pii_scrub,
     repetition_stats,
 )
+from star_schema_etl_airflow_spark.operators.pit import as_of_backward
 from star_schema_etl_airflow_spark.plans.tpch_queries import (
     q7_volume_shipping,
     q18_large_orders,
@@ -107,7 +108,6 @@ def test_q22_customers_have_no_recent_orders(spark):
 
 def test_as_of_backward_edges(spark):
     """No-prior-row → NULLs; equal timestamp matches (<=); latest wins."""
-    from star_schema_etl_airflow_spark.operators.pit import as_of_backward
 
     left = spark.createDataFrame(
         [(1, 5, "p1"), (1, 2, "p2"), (2, 9, "p3")], "k int, t int, pid string"
@@ -126,3 +126,43 @@ def test_as_of_backward_edges(spark):
     assert rows["p1"] == (5, 20.0)      # equal ts matches
     assert rows["p2"] == (1, 10.0)      # earlier row carried forward
     assert rows["p3"] == (None, None)   # nothing at-or-before
+
+
+def test_as_of_backward_matches_pandas_merge_asof(spark):
+    """Property: the union+window as-of equals pandas merge_asof on
+    randomized inputs (one deterministic seed sweep; Spark session reuse
+    keeps this fast while covering hundreds of (key, ts) shapes)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    for trial in range(5):
+        nl, nr = rng.integers(1, 40, 2)
+        left = pd.DataFrame({
+            "k": rng.integers(0, 5, nl),
+            "t": rng.integers(0, 100, nl),
+            "pid": np.arange(nl),
+        })
+        right = pd.DataFrame({
+            "k": rng.integers(0, 5, nr),
+            "rt": rng.integers(0, 100, nr),
+            "v": rng.standard_normal(nr).round(3),
+        }).drop_duplicates(["k", "rt"])  # as_of_backward precondition
+
+        sl = spark.createDataFrame(left.astype({"k": "int64", "t": "int64"}))
+        sr = spark.createDataFrame(right.astype({"k": "int64", "rt": "int64"}))
+        got = (
+            as_of_backward(sl, sr, on="k", left_ts="t", right_ts="rt",
+                           value_cols=["v"])
+            .toPandas()
+            .sort_values("pid")
+            .reset_index(drop=True)
+        )
+        exp = pd.merge_asof(
+            left.sort_values("t", kind="stable"),
+            right.rename(columns={"rt": "t"}).sort_values("t", kind="stable"),
+            on="t", by="k", direction="backward",
+        ).sort_values("pid").reset_index(drop=True)
+        assert list(got["pid"]) == list(exp["pid"])
+        for g, e in zip(got["v"], exp["v"]):
+            assert (pd.isna(g) and pd.isna(e)) or g == e, (trial, g, e)
