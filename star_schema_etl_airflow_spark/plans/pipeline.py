@@ -92,15 +92,29 @@ def run_audited(
     spark,
     run_date: str,
     audit_path: str | None = None,
+    retries: int = 0,
+    retry_delay_s: float = 0.0,
+    resume: bool = False,
 ):
     """Execute with a per-stage audit trail — the run-history surface the
     reference gets from Airflow's task-metadata DB (task duration, state).
 
     Returns ``(results, audit_df)``; the audit rows (run_date, stage,
-    layer, status, duration_s, logged_at) append to a parquet audit table
-    when ``audit_path`` is given.  On stage failure the audit — including
-    the failed stage's row — is flushed BEFORE the exception propagates,
-    so a crashed run is visible in the history, not just absent from it.
+    layer, status, attempts, duration_s, logged_at) append to a parquet
+    audit table when ``audit_path`` is given.  On stage failure the audit
+    — including the failed stage's row — is flushed BEFORE the exception
+    propagates, so a crashed run is visible in the history, not just
+    absent from it.
+
+    ``retries``/``retry_delay_s`` mirror the reference's per-task policy
+    (1 retry, 5-minute delay — dags/ingest_raw_sales.py:27-28).
+
+    ``resume=True`` re-runs a failed date Airflow-style: stages already
+    recorded ``ok`` for this ``run_date`` in the audit table are skipped
+    (status ``skipped``, result ``None``).  Like Airflow tasks, stages
+    must communicate through their SINKS, not return values, for resume
+    to be sound — every stage in the sales domain writes a table, so a
+    skipped upstream's output is simply read from storage by downstream.
     """
     import time as _time
 
@@ -109,11 +123,25 @@ def run_audited(
     rows: list[tuple] = []
     results: dict[str, Any] = {}
 
+    done: set[str] = set()
+    if resume and audit_path:
+        try:
+            prior = spark.read.parquet(audit_path)
+            done = {
+                r["stage"]
+                for r in prior.filter(
+                    (F.col("run_date") == run_date)
+                    & (F.col("status") == "ok")
+                ).select("stage").distinct().collect()
+            }
+        except Exception:
+            done = set()
+
     def _flush():
         audit = spark.createDataFrame(
             rows,
             "run_date string, stage string, layer string, "
-            "status string, duration_s double",
+            "status string, attempts int, duration_s double",
         ).withColumn("logged_at", F.current_timestamp())
         if audit_path:
             from star_schema_etl_airflow_spark.sources.io import write_append
@@ -123,18 +151,29 @@ def run_audited(
 
     for name in pipeline.topological_order():
         stage = pipeline.stages[name]
+        if name in done:
+            results[name] = None
+            rows.append((run_date, name, stage.layer, "skipped", 0, 0.0))
+            continue
         t0 = _time.perf_counter()
-        try:
-            results[name] = stage.fn(spark, run_date, results)
-        except Exception:
-            rows.append(
-                (run_date, name, stage.layer, "failed",
-                 round(_time.perf_counter() - t0, 3))
-            )
-            _flush()
-            raise
+        attempt = 0
+        while True:
+            attempt += 1
+            try:
+                results[name] = stage.fn(spark, run_date, results)
+                break
+            except Exception:
+                if attempt > retries:
+                    rows.append(
+                        (run_date, name, stage.layer, "failed", attempt,
+                         round(_time.perf_counter() - t0, 3))
+                    )
+                    _flush()
+                    raise
+                if retry_delay_s:
+                    _time.sleep(retry_delay_s)
         rows.append(
-            (run_date, name, stage.layer, "ok",
+            (run_date, name, stage.layer, "ok", attempt,
              round(_time.perf_counter() - t0, 3))
         )
     return results, _flush()

@@ -78,3 +78,57 @@ def test_failed_stage_is_flushed_before_raise(spark, tmp_path):
         for r in spark.read.parquet(audit_path).collect()
     }
     assert got == {("ok_stage", "ok"), ("bad_stage", "failed")}
+
+
+def test_retry_then_success(spark, tmp_path):
+    calls = {"n": 0}
+
+    def flaky(s, d, r):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("transient")
+        return "ok"
+
+    p = Pipeline()
+    p.add_stage("flaky", flaky)
+    results, audit = run_audited(
+        p, spark, "2024-02-01", str(tmp_path / "audit"), retries=1
+    )
+    assert results["flaky"] == "ok" and calls["n"] == 2
+    row = audit.filter("stage = 'flaky'").first()
+    assert row.status == "ok" and row.attempts == 2
+
+
+def test_resume_skips_completed_stages(spark, tmp_path):
+    audit_path = str(tmp_path / "audit")
+    ran: list[str] = []
+
+    def mk(name, fail=False):
+        def fn(s, d, r):
+            ran.append(name)
+            if fail:
+                raise RuntimeError("boom")
+            return name
+        return fn
+
+    p = Pipeline()
+    p.add_stage("a", mk("a"))
+    p.add_stage("b", mk("b", fail=True), deps=("a",))
+    p.add_stage("c", mk("c"), deps=("b",))
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError):
+        run_audited(p, spark, "2024-02-02", audit_path)
+    assert ran == ["a", "b"]
+
+    # fix b, resume: a is skipped, b and c run
+    ran.clear()
+    p2 = Pipeline()
+    p2.add_stage("a", mk("a"))
+    p2.add_stage("b", mk("b"), deps=("a",))
+    p2.add_stage("c", mk("c"), deps=("b",))
+    results, audit = run_audited(
+        p2, spark, "2024-02-02", audit_path, resume=True
+    )
+    assert ran == ["b", "c"]
+    statuses = {r.stage: r.status for r in audit.collect()}
+    assert statuses == {"a": "skipped", "b": "ok", "c": "ok"}
