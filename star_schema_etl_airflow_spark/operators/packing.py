@@ -155,3 +155,54 @@ def bin_utilization(packed: DataFrame, capacity: int) -> DataFrame:
             "utilization", F.round(F.col("bin_tokens") / F.lit(capacity), 9)
         )
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    key_expr: str,
+    shard_rows: int,
+    seed: str = "shard0",
+    token_col: str | None = None,
+):
+    """Write the corpus as size-bounded, reproducibly-ordered training
+    shards plus a manifest — the hand-off format a trainer's data loader
+    consumes (WebDataset/TFRecord sharding, parquet-flavored).
+
+    Rows get a deterministic global position (hash-ordered, a function of
+    the data — ``operators/sampling.deterministic_shuffle``), the shard id
+    is ``pos div shard_rows``, and the output is hive-partitioned by
+    ``shard`` so a loader can open any subset.  The manifest (one row per
+    shard: row count, token sum, min/max position) is derived from the
+    same frame — no second scan of the written files.
+
+    Returns the manifest DataFrame (also written to ``<path>__manifest``).
+    """
+    from star_schema_etl_airflow_spark.operators.sampling import (
+        deterministic_shuffle,
+    )
+    from star_schema_etl_airflow_spark.sources.io import write_full_overwrite
+
+    ranked = deterministic_shuffle(df, key_expr, seed, pos_col="__pos")
+    sharded = ranked.withColumn(
+        "shard", ((F.col("__pos") - 1) / shard_rows).cast("long")
+    )
+    write_full_overwrite(sharded.drop("__pos"), path, partition_by="shard")
+
+    tok = (
+        F.sum(F.col(token_col)).alias("n_tokens")
+        if token_col
+        else F.lit(None).cast("long").alias("n_tokens")
+    )
+    manifest = (
+        sharded.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            tok,
+            F.min("__pos").alias("first_pos"),
+            F.max("__pos").alias("last_pos"),
+        )
+        .orderBy("shard")
+    )
+    write_full_overwrite(manifest, path.rstrip("/") + "__manifest")
+    return manifest

@@ -251,3 +251,127 @@ GROUP BY l_returnflag, l_linestatus
 
 register(QuerySpec("q1_pricing_summary", q1_pricing_summary, Q1_ORACLE,
                    tags=("A1", "A2", "P2")))
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top-10 unshipped orders by revenue for one market
+    segment.  Deterministic top-N: revenue is decimal-exact and ties
+    break on (o_orderdate, o_orderkey)."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-01-01"
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1998-01-01"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_rev_s()).cast("decimal(32,6)").cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "o_orderkey")
+        .limit(10)
+    )
+
+
+Q3_ORACLE = f"""
+SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+       CAST(CAST(SUM({_REV_D}) AS DECIMAL(32,6)) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < DATE '1998-01-01'
+  AND l.l_shipdate  > DATE '1998-01-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, o.o_orderdate, o.o_orderkey
+LIMIT 10
+"""
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue where supplier and customer share a nation,
+    rolled up per nation within one region — the 6-way join tree with
+    the region/nation dims broadcast."""
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    ).select("r_regionkey")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    n_in_region = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n_in_region), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(_rev_s()).cast("decimal(32,6)").cast("double").alias("revenue"))
+    )
+
+
+Q5_ORACLE = f"""
+SELECT n.n_name,
+       CAST(CAST(SUM({_REV_D}) AS DECIMAL(32,6)) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA' AND c.c_nationkey = s.s_nationkey
+GROUP BY 1
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items per customer over
+    one quarter — agg on the customer key, broadcast-enrich after."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1998-01-01") & (F.col("o_orderdate") < "1998-04-01")
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    per_cust = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum(_rev_s()).cast("decimal(32,6)").cast("double").alias("revenue"))
+    )
+    profile = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).select("c_custkey", "c_name", "c_acctbal", F.col("n_name").alias("nation"))
+    return per_cust.join(
+        F.broadcast(profile), per_cust.o_custkey == profile.c_custkey
+    ).select("c_custkey", "c_name", "c_acctbal", "nation", "revenue")
+
+
+Q10_ORACLE = f"""
+SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name AS nation,
+       CAST(CAST(SUM({_REV_D}) AS DECIMAL(32,6)) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= DATE '1998-01-01' AND o.o_orderdate < DATE '1998-04-01'
+GROUP BY 1, 2, 3, 4
+"""
+
+register(QuerySpec("q3_shipping_priority", q3_shipping_priority, Q3_ORACLE,
+                   tags=("A1", "J1", "TN1")))
+register(QuerySpec("q5_local_supplier_volume", q5_local_supplier_volume,
+                   Q5_ORACLE, tags=("A1", "J1", "J4")))
+register(QuerySpec("q10_returned_items", q10_returned_items, Q10_ORACLE,
+                   tags=("A1", "J1", "J4")))

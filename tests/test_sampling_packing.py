@@ -152,3 +152,39 @@ def test_packing_is_reasonably_tight(spark):
     body = util.join(last, ["shard", "bin_id"], "left_anti")
     mean_util = body.agg(F.avg("utilization")).first()[0]
     assert mean_util is not None and mean_util > 0.7, mean_util
+
+
+def test_training_shards_bounded_and_manifest_consistent(spark, tmp_path):
+    from star_schema_etl_airflow_spark.operators.packing import (
+        write_training_shards,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "n_chars"
+    )
+    n = docs.count()
+    path = str(tmp_path / "shards")
+    manifest = write_training_shards(
+        docs, path, "cast(doc_id as string)", shard_rows=64,
+        token_col="n_chars",
+    ).collect()
+
+    # every shard bounded; all rows accounted for; positions partition 1..N
+    assert all(r.n_rows <= 64 for r in manifest)
+    assert sum(r.n_rows for r in manifest) == n
+    assert min(r.first_pos for r in manifest) == 1
+    assert max(r.last_pos for r in manifest) == n
+    # written data matches: per-shard counts agree with the manifest
+    back = spark.read.parquet(path)
+    counts = {r.shard: r["count"] for r in back.groupBy("shard").count().collect()}
+    assert counts == {r.shard: r.n_rows for r in manifest}
+    # token sums are exact
+    assert sum(r.n_tokens for r in manifest) == (
+        docs.agg({"n_chars": "sum"}).first()[0]
+    )
+    # reruns produce the identical assignment (pure function of the data)
+    manifest2 = write_training_shards(
+        docs, str(tmp_path / "shards2"), "cast(doc_id as string)",
+        shard_rows=64, token_col="n_chars",
+    ).collect()
+    assert [tuple(r) for r in manifest] == [tuple(r) for r in manifest2]
