@@ -314,3 +314,60 @@ register(QuerySpec("events_funnel", events_funnel, EVENTS_FUNNEL_ORACLE,
 register(QuerySpec("events_attribution", events_attribution,
                    EVENTS_ATTRIBUTION_ORACLE,
                    tags=("streaming-batch-twin", "J2")))
+
+
+def events_error_spike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational anomaly detection: hours where the error count exceeds
+    2× the trailing-6-hour mean.  All arithmetic is integer counts and
+    int/int division in double — deterministic in both engines.
+
+    Scale: the hourly rollup is the only shuffle; the trailing window
+    runs over the (bounded, one-row-per-hour) series, so a single
+    partition is fine at any raw-event volume."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "error"
+    )
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count("*").alias("n_errors")
+    )
+    w = Window.orderBy("hour").rowsBetween(-6, -1)
+    return (
+        hourly.withColumn(
+            "trailing_mean",
+            F.sum("n_errors").over(w).cast("double")
+            / F.count("n_errors").over(w).cast("double"),
+        )
+        .withColumn(
+            "is_spike",
+            F.when(
+                F.col("trailing_mean").isNotNull()
+                & (F.col("n_errors").cast("double") > 2.0 * F.col("trailing_mean")),
+                True,
+            ).otherwise(False),
+        )
+    )
+
+
+EVENTS_ERROR_SPIKE_ORACLE = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n_errors
+  FROM events WHERE event_type = 'error' GROUP BY 1
+),
+t AS (
+  SELECT hour, n_errors,
+         CAST(SUM(n_errors) OVER w AS DOUBLE)
+           / CAST(COUNT(n_errors) OVER w AS DOUBLE) AS trailing_mean
+  FROM hourly
+  WINDOW w AS (ORDER BY hour ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+)
+SELECT hour, n_errors, trailing_mean,
+       CASE WHEN trailing_mean IS NOT NULL
+             AND CAST(n_errors AS DOUBLE) > 2.0 * trailing_mean
+            THEN TRUE ELSE FALSE END AS is_spike
+FROM t
+"""
+
+register(QuerySpec("events_error_spike", events_error_spike,
+                   EVENTS_ERROR_SPIKE_ORACLE, tags=("analytics", "W3")))
