@@ -503,3 +503,53 @@ FROM med m JOIN modes mo USING (c_mktsegment)
 
 register(QuerySpec("a10_median_mode", a10_median_mode, A10_ORACLE,
                    tags=("A4", "window-census")))
+
+
+def w7_trailing_range_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window census: each order's trailing-30-day customer
+    spend (inclusive).  RANGE frames bound by VALUE, not row count —
+    same-day orders all fall in each other's frame, so the result is
+    deterministic under ties (unlike a ROWS frame over a non-unique
+    ordering).  Dates become day numbers because Spark's DataFrame
+    rangeBetween is numeric."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.to_date("o_orderdate").alias("d"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("__p"),
+    ).withColumn(
+        "day_num", F.datediff("d", F.lit("1995-01-01").cast("date"))
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day_num")
+        .rangeBetween(-30, 0)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "d",
+        F.sum("__p").over(w).cast("double").alias("trailing_30d_spend"),
+        F.count("*").over(w).alias("trailing_30d_orders"),
+    )
+
+
+W7_ORACLE = """
+WITH t AS (
+  SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS d,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+         date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS day_num
+  FROM orders
+)
+SELECT o_orderkey, o_custkey, d,
+       CAST(SUM(p) OVER w AS DOUBLE) AS trailing_30d_spend,
+       COUNT(*) OVER w AS trailing_30d_orders
+FROM t
+WINDOW w AS (PARTITION BY o_custkey ORDER BY day_num
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+"""
+
+register(QuerySpec("w7_trailing_range_spend", w7_trailing_range_spend,
+                   W7_ORACLE, tags=("W3", "window-census")))

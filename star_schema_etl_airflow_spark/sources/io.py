@@ -187,16 +187,26 @@ def write_sorted_parquet(
     )
 
 
-def morton_expr(col_a: str, col_b: str, bits: int = 16) -> str:
-    """Morton (z-order) code of two non-negative integer expressions:
-    interleaves the low ``bits`` bits of each, so points close in BOTH
-    dimensions are close in the 1-D code.  Pure shift/mask built-ins —
-    stays inside whole-stage codegen."""
+def morton_expr_n(cols: list[str], bits: int = 16) -> str:
+    """Morton (z-order) code of N non-negative integer expressions:
+    interleaves the low ``bits`` bits of each round-robin, so points close
+    in EVERY dimension are close in the 1-D code.  Pure shift/mask
+    built-ins — stays inside whole-stage codegen.  ``bits`` is clamped so
+    the code fits a signed int64 (``bits * N <= 62``)."""
+    n = len(cols)
+    eff_bits = min(bits, 62 // n)
     terms = []
-    for i in range(bits):
-        terms.append(f"(shiftleft((shiftright({col_a}, {i}) & 1), {2 * i}))")
-        terms.append(f"(shiftleft((shiftright({col_b}, {i}) & 1), {2 * i + 1}))")
+    for i in range(eff_bits):
+        for j, c in enumerate(cols):
+            terms.append(
+                f"(shiftleft((shiftright({c}, {i}) & 1), {n * i + j}))"
+            )
     return "(" + " | ".join(terms) + ")"
+
+
+def morton_expr(col_a: str, col_b: str, bits: int = 16) -> str:
+    """2-D convenience wrapper over :func:`morton_expr_n`."""
+    return morton_expr_n([col_a, col_b], bits)
 
 
 def write_zorder(
@@ -218,8 +228,25 @@ def write_zorder(
     the wrong-key-sorted layouts).  This is what Delta/Iceberg OPTIMIZE
     ZORDER does; here it is explicit and table-format-free.
     """
+    write_zorder_n(df, path, [col_a, col_b], bits, n_files, mode)
+
+
+def write_zorder_n(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 16,
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """N-dimensional z-ordered layout (see :func:`write_zorder`): each
+    file covers a small N-box in the clustered columns' space, so min/max
+    stats prune selective predicates on ANY of them.  Pruning power per
+    dimension decays as N grows (each file's box widens per axis —
+    ~F^(1/N) of F files touched per point lookup); 2-4 columns is the
+    practical lakehouse range, same as Delta/Iceberg OPTIMIZE ZORDER."""
     n = n_files or df.sparkSession.sparkContext.defaultParallelism
-    z = F.expr(morton_expr(col_a, col_b, bits))
+    z = F.expr(morton_expr_n(cols, bits))
     (
         df.withColumn("__z", z)
         .repartitionByRange(n, F.col("__z"))

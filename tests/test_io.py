@@ -189,3 +189,31 @@ def test_orc_round_trip_and_pushdown(spark, tmp_path):
     # filters reach the ORC scan
     plan = back.filter(F.col("o_orderkey") == 7)._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "o_orderkey" in plan.split("PushedFilters")[1][:200]
+
+
+def test_zorder_3d_prunes_on_every_dimension(spark, tmp_path):
+    out = str(tmp_path / "z3")
+    n, files = 32, 16
+    grid = spark.range(0, n * n * n).selectExpr(
+        f"id % {n} as x", f"(id div {n}) % {n} as y", f"id div {n * n} as z"
+    )
+    sio.write_zorder_n(grid, out, ["x", "y", "z"], bits=5, n_files=files)
+    per_file = (
+        spark.read.parquet(out)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(
+            F.min("x").alias("x0"), F.max("x").alias("x1"),
+            F.min("y").alias("y0"), F.max("y").alias("y1"),
+            F.min("z").alias("z0"), F.max("z").alias("z1"),
+        )
+        .collect()
+    )
+    assert len(per_file) == files
+    lo, hi = 4, 7  # narrow band on each axis
+    for a in ("x", "y", "z"):
+        hits = sum(
+            1 for r in per_file
+            if r[f"{a}0"] <= hi and r[f"{a}1"] >= lo
+        )
+        # a single-key sort would leave two axes hitting ALL files
+        assert hits <= files * 3 // 4, (a, hits)
