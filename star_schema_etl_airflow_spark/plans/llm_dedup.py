@@ -469,3 +469,91 @@ register(QuerySpec("ngram_jaccard", ngram_jaccard, NGRAM_JACCARD_ORACLE,
                    tags=("LLM-dedup",)))
 register(QuerySpec("dedup_clusters", dedup_clusters, DEDUP_CLUSTERS_ORACLE,
                    tags=("LLM-dedup", "components")))
+
+
+# --- prefix-filtered set-similarity join (AllPairs/PPJoin-lite) ------------
+
+PREFIX_T_NUM, PREFIX_T_DEN = 9, 10  # Jaccard threshold 0.9, exact rational
+
+
+def dedup_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL pairs with word-set Jaccard >= 0.9 via prefix filtering — the
+    exact-recall alternative to MinHash-LSH (no probabilistic misses).
+
+    AllPairs invariant: order every doc's distinct tokens globally by
+    (document-frequency asc, token), keep only the first
+    ``n - ceil(t*n) + 1`` tokens (the prefix); two sets with Jaccard >= t
+    MUST share a prefix token, so joining on prefix tokens generates a
+    candidate superset, and the exact Jaccard verify makes the result
+    exact.  Ordering rare-tokens-first minimizes candidate fan-out.
+
+    The threshold is the rational 9/10 and the prefix length is computed
+    in INTEGER arithmetic (``n - (9n+9) div 10 + 1``) — a float
+    ``ceil(0.9*n)`` is an off-by-one trap at exact multiples.
+
+    Scale: token DF is one aggregate; candidate generation shuffles on
+    single tokens (rare-first prefixes keep hot tokens out); the verify
+    carries the token sets only for surviving candidates.  This corpus's
+    tiny vocabulary makes prefixes unusually dense — real web corpora
+    (Zipfian vocab) prune orders of magnitude harder."""
+    from pyspark.sql import Window
+
+    corpus = build_corpus(spark, sf_dir)
+    toks = corpus.select(
+        "doc_id",
+        F.expr(f"array_distinct({tokens_spark('text')})").alias("s"),
+    ).withColumn("n", F.expr("size(s)"))
+
+    flat = toks.select("doc_id", "n", F.explode("s").alias("tok"))
+    tok_df = flat.groupBy("tok").agg(F.count("*").alias("df"))
+
+    w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    prefix = (
+        flat.join(tok_df, "tok")
+        .withColumn("pos", F.row_number().over(w))
+        .filter(
+            F.col("pos")
+            <= F.col("n")
+            - ((F.lit(PREFIX_T_NUM) * F.col("n") + (PREFIX_T_DEN - 1))
+               .cast("long") / PREFIX_T_DEN).cast("long")
+            + 1
+        )
+        .select("doc_id", "tok")
+    )
+
+    cands = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "tok")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+
+    sa = toks.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    sb = toks.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.expr(jaccard_spark("sa", "sb")))
+        .filter(F.col("jaccard") >= PREFIX_T_NUM / PREFIX_T_DEN)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+DEDUP_PREFIX_ORACLE = f"""
+WITH corpus AS ({CORPUS_DUCK}),
+s AS (
+  SELECT doc_id, list_distinct({tokens_duck('text')}) AS s FROM corpus
+)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         {jaccard_duck('a.s', 'b.s')} AS jaccard
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+)
+WHERE jaccard >= {PREFIX_T_NUM} / {PREFIX_T_DEN}
+"""
+
+register(QuerySpec("dedup_prefix_join", dedup_prefix_join,
+                   DEDUP_PREFIX_ORACLE, tags=("LLM-dedup", "prefix-filter")))
