@@ -83,3 +83,65 @@ SELECT u.*, n.n_rows FROM n, (
 
 register(QuerySpec("profile_lineitem", profile_lineitem,
                    PROFILE_LINEITEM_ORACLE, tags=("profiling", "A3", "A4")))
+
+
+def ri_audit(spark, sf_dir):
+    """Referential-integrity audit across the star schema: orphan counts
+    for each FK edge as one long-format result (anti-join counts — the
+    complement of the row-level quality gate in operators/quality.py).
+    Each edge is an independent left-anti join; Catalyst broadcasts the
+    small key sides."""
+    from star_schema_etl_airflow_spark.sources.fixtures import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+
+    def orphans(name, child, child_key, parent, parent_key):
+        n = (
+            child.join(
+                parent.select(parent_key),
+                child[child_key] == parent[parent_key],
+                "left_anti",
+            ).count()
+        )
+        total = child.count()
+        return (name, n, total)
+
+    rows = [
+        orphans("lineitem.l_orderkey -> orders", li, "l_orderkey", orders, "o_orderkey"),
+        orphans("lineitem.l_suppkey -> supplier", li, "l_suppkey", supp, "s_suppkey"),
+        orphans("orders.o_custkey -> customer", orders, "o_custkey", cust, "c_custkey"),
+        orphans("customer.c_nationkey -> nation", cust, "c_nationkey", nation, "n_nationkey"),
+    ]
+    return spark.createDataFrame(
+        rows, "fk_edge string, n_orphans long, n_rows long"
+    )
+
+
+RI_AUDIT_ORACLE = """
+SELECT 'lineitem.l_orderkey -> orders' AS fk_edge,
+       (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+         (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans,
+       (SELECT COUNT(*) FROM lineitem) AS n_rows
+UNION ALL
+SELECT 'lineitem.l_suppkey -> supplier',
+       (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+         (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)),
+       (SELECT COUNT(*) FROM lineitem)
+UNION ALL
+SELECT 'orders.o_custkey -> customer',
+       (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+         (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+       (SELECT COUNT(*) FROM orders)
+UNION ALL
+SELECT 'customer.c_nationkey -> nation',
+       (SELECT COUNT(*) FROM customer c WHERE NOT EXISTS
+         (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)),
+       (SELECT COUNT(*) FROM customer)
+"""
+
+register(QuerySpec("ri_audit", ri_audit, RI_AUDIT_ORACLE,
+                   tags=("DQ1", "J7")))

@@ -249,3 +249,85 @@ FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
 register(QuerySpec("events_asof_enrich", events_asof_enrich,
                    EVENTS_ASOF_ENRICH_ORACLE, headline=True,
                    tags=("J2", "asof")))
+
+
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine gap filling: one row per (user, day) between each
+    user's first and last active day — missing days zero-filled, plus the
+    running cumulative value.  The dense-spine prerequisite for
+    time-series models and window features over sparse activity.
+
+    Spark-first shape: per-user bounds (tiny agg) → ``explode(sequence)``
+    builds the spine WITHOUT a cross join against a global calendar —
+    each user only materializes their own span; the left join back is
+    co-partitioned on user_id with the daily rollup."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("d")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(28,10)")).alias("__v"),
+        F.count("*").alias("n_events"),
+    )
+    bounds = daily.groupBy("user_id").agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("d"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, ["user_id", "d"], "left")
+        .select(
+            "user_id",
+            "d",
+            F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+            F.coalesce(F.col("__v"), F.lit(0).cast("decimal(28,10)")).alias("__v"),
+        )
+        .select(
+            "user_id",
+            "d",
+            "n_events",
+            F.col("__v").cast("double").alias("day_value"),
+            F.sum("__v").over(w).cast("double").alias("cum_value"),
+        )
+    )
+
+
+EVENTS_GAP_FILL_ORACLE = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         SUM(CAST(value AS DECIMAL(28,10))) AS v,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT user_id, MIN(d) AS d0, MAX(d) AS d1 FROM daily GROUP BY 1
+),
+spine AS (
+  SELECT user_id, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                              CAST(d1 AS TIMESTAMP),
+                                              INTERVAL 1 DAY)) AS DATE) AS d
+  FROM bounds
+),
+filled AS (
+  SELECT s.user_id, s.d,
+         COALESCE(dl.n_events, 0) AS n_events,
+         COALESCE(dl.v, CAST(0 AS DECIMAL(28,10))) AS v
+  FROM spine s LEFT JOIN daily dl ON s.user_id = dl.user_id AND s.d = dl.d
+)
+SELECT user_id, d, n_events,
+       CAST(v AS DOUBLE) AS day_value,
+       CAST(SUM(v) OVER (PARTITION BY user_id ORDER BY d
+                         ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_value
+FROM filled
+"""
+
+register(QuerySpec("events_gap_fill", events_gap_fill,
+                   EVENTS_GAP_FILL_ORACLE, tags=("timeseries", "G1")))
