@@ -198,3 +198,24 @@ def from_config(
         layer = (layer_of or {}).get(name)
         p.add_stage(name, fn, deps=deps, layer=layer)
     return p
+
+
+def run_backfill(
+    pipeline: Pipeline,
+    spark,
+    dates: Iterable[str],
+    audit_path: str | None = None,
+    **audit_kwargs,
+):
+    """Backfill a date range: run the full pipeline once per date, in
+    order (Airflow catchup semantics; the reference pins catchup=False
+    but its daily partition refreshes are exactly re-runnable, which is
+    what makes this sound).  Returns {date: results}.  Stages communicate
+    through sinks, so each date's run is independent and idempotent —
+    re-running any subset of dates converges to the same tables."""
+    out = {}
+    for d in dates:
+        out[d], _ = run_audited(
+            pipeline, spark, d, audit_path, **audit_kwargs
+        )
+    return out

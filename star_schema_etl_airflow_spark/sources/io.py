@@ -326,3 +326,47 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC source (S16).  Schema comes from the ORC footer (self-describing,
     no inference pass)."""
     return spark.read.orc(path)
+
+
+def read_csv_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    *,
+    options: dict | None = None,
+    stamp_ingestion: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """CSV load with a quarantine channel: returns ``(good, bad)`` where
+    malformed rows are CAPTURED (raw line + file) instead of silently
+    dropped — the auditable version of ``read_csv(tolerant=True)``
+    (BigQuery's ``max_bad_records`` counts rejects; this keeps them).
+
+    Implementation: PERMISSIVE mode routes unparseable lines into
+    ``_corrupt_record``; the two output frames split on its nullness.
+    One scan feeds both (same cached plan); at scale write ``bad`` to a
+    quarantine sink and alert on its count."""
+    corrupt_col = "_corrupt_record"
+    full_schema = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType())]
+    )
+    opts = dict(DEFAULT_CSV_OPTIONS)
+    opts.update({"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt_col})
+    if options:
+        opts.update(options)
+    df = spark.read.schema(full_schema).options(**opts).csv(path)
+    # File provenance must be captured BEFORE the cache: rows served from
+    # cache have no file context and input_file_name() returns ''.
+    df = df.withColumn("__src", F.input_file_name())
+    # Spark requires caching/materializing before filtering on the corrupt
+    # column alone (SPARK-21610: the column is only populated when other
+    # columns are also referenced) — a cache makes the split sound.
+    df = df.cache()
+    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col, "__src")
+    bad = df.filter(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw_line"),
+        F.col("__src").alias("source_file"),
+    )
+    if stamp_ingestion:
+        good = good.withColumn("ingestion_timestamp", F.current_timestamp())
+        good = good.withColumn("ingest_date", F.to_date("ingestion_timestamp"))
+    return good, bad

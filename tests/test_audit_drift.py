@@ -132,3 +132,17 @@ def test_resume_skips_completed_stages(spark, tmp_path):
     assert ran == ["b", "c"]
     statuses = {r.stage: r.status for r in audit.collect()}
     assert statuses == {"a": "skipped", "b": "ok", "c": "ok"}
+
+
+def test_backfill_runs_each_date_in_order(spark, tmp_path):
+    from star_schema_etl_airflow_spark.plans.pipeline import run_backfill
+
+    seen: list[str] = []
+    p = Pipeline()
+    p.add_stage("s", lambda sp, d, r: seen.append(d) or d)
+    out = run_backfill(
+        p, spark, ["2024-03-01", "2024-03-02", "2024-03-03"],
+        str(tmp_path / "audit"),
+    )
+    assert seen == ["2024-03-01", "2024-03-02", "2024-03-03"]
+    assert set(out) == set(seen)

@@ -217,3 +217,20 @@ def test_zorder_3d_prunes_on_every_dimension(spark, tmp_path):
         )
         # a single-key sort would leave two axes hitting ALL files
         assert hits <= files * 3 // 4, (a, hits)
+
+
+def test_csv_quarantine_captures_bad_rows(spark, tmp_path):
+    p = tmp_path / "q.csv"
+    p.write_text(
+        "order_id,amount,order_date\n"
+        "o1,10.5,2024-01-01\n"
+        "o2,NOT_A_NUMBER,2024-01-02\n"
+        "o3,3.5,2024-01-03\n"
+    )
+    schema = build_struct_type(ORDER_COLS)
+    good, bad = sio.read_csv_quarantine(spark, str(p), schema)
+    assert {r.order_id for r in good.collect()} == {"o1", "o3"}
+    bad_rows = bad.collect()
+    assert len(bad_rows) == 1
+    assert "NOT_A_NUMBER" in bad_rows[0].raw_line
+    assert bad_rows[0].source_file.endswith("q.csv")
