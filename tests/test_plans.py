@@ -107,3 +107,45 @@ def test_kmeans_assignment_broadcasts_centroids(spark):
     # loop over the tiny centroid side, not a shuffled cartesian
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q7_broadcasts_both_nation_dims(spark):
+    from star_schema_etl_airflow_spark.plans.tpch_queries import (
+        q7_volume_shipping,
+    )
+
+    plan = _plan(q7_volume_shipping(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_backward_is_join_free(spark):
+    """The union+window as-of must plan with NO join operator at all —
+    that's the whole point (single shuffle, no pairwise fan-out)."""
+    from star_schema_etl_airflow_spark.plans.timeseries import (
+        events_asof_enrich,
+    )
+
+    plan = _plan(events_asof_enrich(spark, SF_DIR))
+    assert "Join" not in plan, plan
+    assert "Window" in plan and "Union" in plan
+
+
+def test_q22_plans_left_anti(spark):
+    from star_schema_etl_airflow_spark.plans.tpch_queries import (
+        q22_idle_rich_customers,
+    )
+
+    plan = _plan(q22_idle_rich_customers(spark, SF_DIR))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_prefix_join_no_nested_loop(spark):
+    from star_schema_etl_airflow_spark.plans.llm_dedup import (
+        dedup_prefix_join,
+    )
+
+    plan = _plan(dedup_prefix_join(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
