@@ -135,3 +135,20 @@ def mix_to_weights(df: DataFrame, stratum_col: str, key_expr: str,
     for s, frac in fracs.items():
         keep = keep | ((F.col(stratum_col) == s) & (b < threshold(frac)))
     return df.filter(keep)
+
+
+def sample_weighted(df: DataFrame, key_expr: str, weight_col: str,
+                    seed: str) -> DataFrame:
+    """Per-row weighted Bernoulli sampling, deterministic: a row with
+    weight w (in [0,1]) survives iff its hash bucket < floor(w*BUCKETS).
+    The same row under the same seed always makes the same decision —
+    reruns, retries, and re-partitioning can't change the sample (the
+    property plain ``df.sample`` lacks), and upsampling a quality score
+    into a keep-probability becomes a pure map."""
+    b = hash_bucket(key_expr, seed)
+    return df.filter(
+        b < F.floor(
+            F.least(F.greatest(F.col(weight_col), F.lit(0.0)), F.lit(1.0))
+            * BUCKETS
+        )
+    )

@@ -197,3 +197,55 @@ register(QuerySpec("pack_sequences", pack_sequences, _pack_oracle(),
                    tags=("PACK",)))
 register(QuerySpec("pack_sequences_sorted", pack_sequences_sorted,
                    _pack_oracle("tokens DESC, doc_id"), tags=("PACK",)))
+
+
+def sample_weighted_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus sampling: each document's keep-probability
+    is its type-token ratio (clamped to [0,1]) — higher-quality docs
+    oversampled, deterministically (``operators/sampling.sample_weighted``)."""
+    from star_schema_etl_airflow_spark.functions.text import tokens_spark
+    from star_schema_etl_airflow_spark.operators.sampling import (
+        sample_weighted,
+    )
+
+    toks = tokens_spark("text")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.expr(
+            f"cast(size(array_distinct({toks})) as double)"
+            f" / cast(size({toks}) as double)"
+        ).alias("w"),
+    )
+    return sample_weighted(docs, "cast(doc_id as string)", "w", "wsample")
+
+
+SAMPLE_WEIGHTED_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(list_distinct({{toks}})) AS DOUBLE)
+           / CAST(len({{toks}}) AS DOUBLE) AS w
+  FROM documents
+)
+SELECT doc_id, lang, w FROM t
+WHERE {{h}} < floor(least(greatest(w, 0.0), 1.0) * {{buckets}})
+"""
+
+
+def _weighted_oracle() -> str:
+    from star_schema_etl_airflow_spark.functions.text import (
+        md5_long_duck,
+        tokens_duck,
+    )
+    from star_schema_etl_airflow_spark.operators.sampling import BUCKETS
+
+    h = md5_long_duck("CAST(doc_id AS VARCHAR)", "wsample")
+    return SAMPLE_WEIGHTED_ORACLE.format(
+        toks=tokens_duck("text"),
+        h=f"{h} % {BUCKETS}",
+        buckets=BUCKETS,
+    )
+
+
+register(QuerySpec("sample_weighted", sample_weighted_quality,
+                   _weighted_oracle(), tags=("LLM-sampling",)))

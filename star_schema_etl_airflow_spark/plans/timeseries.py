@@ -331,3 +331,30 @@ FROM filled
 
 register(QuerySpec("events_gap_fill", events_gap_fill,
                    EVENTS_GAP_FILL_ORACLE, tags=("timeseries", "G1")))
+
+
+def events_map_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type function census: parse the JSON ``props`` into a typed
+    map and exercise size / element_at / sorted map_keys — the semi-
+    structured column path (from_json into MapType rather than schema-om
+    struct, for open key sets)."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return ev.select(
+        "event_id",
+        F.size(m).alias("n_keys"),
+        F.element_at(m, "k").alias("k_val"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_csv"),
+    )
+
+
+EVENTS_MAP_CENSUS_ORACLE = """
+SELECT event_id,
+       CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+       array_to_string(list_sort(json_keys(props)), ',') AS keys_csv
+FROM events
+"""
+
+register(QuerySpec("events_map_census", events_map_census,
+                   EVENTS_MAP_CENSUS_ORACLE, tags=("json", "map-census")))
