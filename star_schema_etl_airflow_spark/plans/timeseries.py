@@ -358,3 +358,104 @@ FROM events
 
 register(QuerySpec("events_map_census", events_map_census,
                    EVENTS_MAP_CENSUS_ORACLE, tags=("json", "map-census")))
+
+
+def sessions_incident_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: user sessions × error-spike hours (the
+    incident windows from ``events_error_spike``) with exact overlap
+    duration — "which sessions were exposed to which incidents".
+
+    Scale shape: spike hours are hour-ALIGNED intervals, so each session
+    explodes into the hours it covers and the join is an EQUI join on the
+    hour — no nested-loop interval join, and the explode fan-out is
+    bounded by session length (gap-capped).  The overlap arithmetic is
+    exact integer microseconds."""
+    from star_schema_etl_airflow_spark.plans.events_queries import (
+        events_error_spike,
+        events_sessionize,
+    )
+
+    sessions = events_sessionize(spark, sf_dir).select(
+        "user_id", "session_start", "session_end"
+    )
+    spikes = (
+        events_error_spike(spark, sf_dir)
+        .filter(F.col("is_spike"))
+        .select(F.col("hour").alias("w_start"))
+        .withColumn("w_end", F.col("w_start") + F.expr("interval 1 hour"))
+    )
+    exploded = sessions.withColumn(
+        "hour",
+        F.explode(
+            F.expr(
+                "sequence(date_trunc('hour', session_start), "
+                "date_trunc('hour', session_end), interval 1 hour)"
+            )
+        ),
+    )
+    joined = exploded.join(
+        F.broadcast(spikes), exploded.hour == spikes.w_start
+    )
+    return (
+        joined.withColumn(
+            "overlap_us",
+            F.expr(
+                "unix_micros(least(session_end, w_end))"
+                " - unix_micros(greatest(session_start, w_start))"
+            ),
+        )
+        .filter(F.col("overlap_us") > 0)
+        .select(
+            "user_id", "session_start", F.col("w_start").alias("spike_hour"),
+            "overlap_us",
+        )
+    )
+
+
+SESSIONS_INCIDENT_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+numbered AS (
+  SELECT *, SUM(new_session) OVER (
+    PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+),
+sessions AS (
+  SELECT user_id, MIN(ts) AS session_start,
+         MAX(ts) + INTERVAL 30 MINUTE AS session_end
+  FROM numbered GROUP BY user_id, session_id
+),
+hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n_errors
+  FROM events WHERE event_type = 'error' GROUP BY 1
+),
+sp AS (
+  SELECT hour AS w_start, hour + INTERVAL 1 HOUR AS w_end
+  FROM (
+    SELECT hour, n_errors,
+           CAST(SUM(n_errors) OVER w AS DOUBLE)
+             / CAST(COUNT(n_errors) OVER w AS DOUBLE) AS trailing_mean
+    FROM hourly
+    WINDOW w AS (ORDER BY hour ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+  )
+  WHERE trailing_mean IS NOT NULL
+    AND CAST(n_errors AS DOUBLE) > 2.0 * trailing_mean
+)
+SELECT s.user_id, s.session_start, sp.w_start AS spike_hour,
+       epoch_us(least(s.session_end, sp.w_end))
+         - epoch_us(greatest(s.session_start, sp.w_start)) AS overlap_us
+FROM sessions s
+JOIN sp ON s.session_start < sp.w_end AND sp.w_start < s.session_end
+WHERE epoch_us(least(s.session_end, sp.w_end))
+        - epoch_us(greatest(s.session_start, sp.w_start)) > 0
+"""
+
+register(QuerySpec("sessions_incident_overlap", sessions_incident_overlap,
+                   SESSIONS_INCIDENT_ORACLE,
+                   tags=("range-join", "interval-overlap")))
