@@ -65,13 +65,10 @@ def stream_events(spark: SparkSession, sf_dir: str,
     return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
-def streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermarked tumbling-window rollup — the streaming twin of the
-    batch ``events_tumbling`` query (same grouping, same aggregates; the
-    batch form is the oracle)."""
-    ev = stream_events(spark, sf_dir)
+def tumbling_agg(ev: DataFrame, watermark: str = WATERMARK) -> DataFrame:
+    """The watermarked tumbling rollup over any event stream."""
     return (
-        ev.withWatermark("ts", WATERMARK)
+        ev.withWatermark("ts", watermark)
         .groupBy(F.window("ts", WINDOW), "event_type")
         .agg(
             F.count("*").alias("n_events"),
@@ -85,6 +82,13 @@ def streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+def streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window rollup — the streaming twin of the
+    batch ``events_tumbling`` query (same grouping, same aggregates; the
+    batch form is the oracle)."""
+    return tumbling_agg(stream_events(spark, sf_dir))
 
 
 def _as_dup_stream_dir(sf_dir: str) -> str:

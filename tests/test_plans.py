@@ -149,3 +149,34 @@ def test_prefix_join_no_nested_loop(spark):
     plan = _plan(dedup_prefix_join(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def _n_shuffles(df) -> int:
+    import re
+
+    plan = _plan(df)
+    return len(re.findall(
+        r"Exchange (?:hashpartitioning|rangepartitioning|SinglePartition)",
+        plan,
+    ))
+
+
+def test_shuffle_budgets(spark):
+    """Regression pins on shuffle counts — the scarce resource at 100 TB.
+    Budgets are the current measured counts; a future change that adds a
+    shuffle to these hot paths should have to justify itself here."""
+    from star_schema_etl_airflow_spark.plans.datamart import (
+        customer_analytics,
+        sales_summary,
+    )
+    from star_schema_etl_airflow_spark.plans.timeseries import (
+        events_asof_enrich,
+    )
+    from star_schema_etl_airflow_spark.plans.tpch_queries import (
+        q1_pricing_summary,
+    )
+
+    assert _n_shuffles(q1_pricing_summary(spark, SF_DIR)) <= 1
+    assert _n_shuffles(events_asof_enrich(spark, SF_DIR)) <= 2
+    assert _n_shuffles(sales_summary(spark, SF_DIR)) <= 3
+    assert _n_shuffles(customer_analytics(spark, SF_DIR)) <= 3
