@@ -82,6 +82,7 @@ def _ensure_loaded() -> None:
         subquery_queries,
         timeseries,
         tpch_queries,
+        tpch_queries2,
     )
 
     _loaded = True

@@ -180,3 +180,45 @@ def test_shuffle_budgets(spark):
     assert _n_shuffles(events_asof_enrich(spark, SF_DIR)) <= 2
     assert _n_shuffles(sales_summary(spark, SF_DIR)) <= 3
     assert _n_shuffles(customer_analytics(spark, SF_DIR)) <= 3
+
+
+def test_q6_filters_pushed_to_scan_and_no_join(spark):
+    """Q6 is the pushdown benchmark: every predicate must reach the
+    parquet reader and nothing may shuffle except the scalar agg tree."""
+    from star_schema_etl_airflow_spark.plans.tpch_queries2 import (
+        q6_forecast_revenue,
+    )
+
+    df = q6_forecast_revenue(spark, SF_DIR)
+    plan = _plan(df)
+    assert "Join" not in plan
+    scan = next(p for p in plan.split("FileScan")[1:] if "lineitem" in p)
+    pushed = scan.split("PushedFilters:")[1].splitlines()[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+    assert _n_shuffles(df) <= 1
+
+
+def test_q8_broadcasts_every_dim(spark):
+    """The widest join tree in the suite: part, both nation maps, and
+    region all ride as broadcasts; the fact shuffles only for its agg."""
+    from star_schema_etl_airflow_spark.plans.tpch_queries2 import (
+        q8_market_share,
+    )
+
+    plan = _plan(q8_market_share(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_three_fact_shuffles_only(spark):
+    """The de-correlated Q21: lateness flags (groupBy), order-grain
+    window, supplier rollup — 3 exchanges total, vs the 3 correlated
+    fact SCANS of the textbook EXISTS/NOT-EXISTS form."""
+    from star_schema_etl_airflow_spark.plans.tpch_queries2 import (
+        q21_waiting_suppliers,
+    )
+
+    df = q21_waiting_suppliers(spark, SF_DIR)
+    assert _n_shuffles(df) <= 3
+    assert "CartesianProduct" not in _plan(df)
