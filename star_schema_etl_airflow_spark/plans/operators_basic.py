@@ -524,3 +524,145 @@ register(QuerySpec("fn_string_census", fn_string_census, FN_STRING_ORACLE,
                    tags=("§2.8",)))
 register(QuerySpec("fn_date_census2", fn_date_census2, FN_DATE2_ORACLE,
                    tags=("§2.8",)))
+
+
+def fn_array_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array-function parity census: lambda transforms,
+    filters, folds, zips, quantifiers and array utilities, each with an
+    exact DuckDB list-function twin.  Arrays are derived from the key
+    via ``sequence`` so both engines build identical inputs.
+
+    Scale: all higher-order functions run inside codegen over
+    per-row arrays — a pure map stage, no shuffle, no Python."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("customer_id"),
+        F.expr("sequence(1, cast(c_custkey % 8 + 3 as int))").alias("arr"),
+        F.expr("transform(sequence(1, cast(c_custkey % 8 + 3 as int)), x -> x * x)")
+        .alias("sq"),
+        F.expr("filter(sequence(1, cast(c_custkey % 8 + 3 as int)), x -> x % 2 = 0)")
+        .alias("evens"),
+        F.expr("aggregate(sequence(1, cast(c_custkey % 8 + 3 as int)), "
+               "0L, (acc, x) -> acc + x)").alias("total"),
+        F.expr("zip_with(sequence(1, cast(c_custkey % 8 + 3 as int)), "
+               "reverse(sequence(1, cast(c_custkey % 8 + 3 as int))), "
+               "(x, y) -> x * y)").alias("dotrev"),
+        F.expr("exists(sequence(1, cast(c_custkey % 8 + 3 as int)), x -> x > 5)")
+        .alias("has_gt5"),
+        F.expr("forall(sequence(1, cast(c_custkey % 8 + 3 as int)), x -> x < 9)")
+        .alias("all_lt9"),
+        F.expr("flatten(array(sequence(1, cast(c_custkey % 8 + 3 as int)), "
+               "sequence(1, cast(c_custkey % 8 + 3 as int))))").alias("flat2"),
+        F.expr("slice(sequence(1, cast(c_custkey % 8 + 3 as int)), 2, 3)")
+        .alias("mid"),
+        F.expr("cast(array_position("
+               "sequence(1, cast(c_custkey % 8 + 3 as int)), 3) as bigint)")
+        .alias("pos3"),
+        F.expr("cast(array_max(sequence(1, cast(c_custkey % 8 + 3 as int))) "
+               "as bigint)").alias("amax"),
+        F.expr("sort_array(sequence(1, cast(c_custkey % 8 + 3 as int)), false)")
+        .alias("asort_desc"),
+    )
+
+
+FN_ARRAY_ORACLE = """
+WITH base AS (
+  SELECT c_custkey,
+         range(1, CAST(c_custkey % 8 + 3 AS INTEGER) + 1) AS arr
+  FROM customer
+)
+SELECT c_custkey AS customer_id,
+       arr,
+       list_transform(arr, x -> x * x) AS sq,
+       list_filter(arr, x -> x % 2 = 0) AS evens,
+       CAST(list_sum(arr) AS BIGINT) AS total,
+       list_transform(range(1, len(arr) + 1),
+                      i -> arr[i] * list_reverse(arr)[i]) AS dotrev,
+       len(list_filter(arr, x -> x > 5)) > 0 AS has_gt5,
+       len(list_filter(arr, x -> x >= 9)) = 0 AS all_lt9,
+       flatten([arr, arr]) AS flat2,
+       arr[2:4] AS mid,
+       CAST(list_position(arr, 3) AS BIGINT) AS pos3,
+       CAST(list_max(arr) AS BIGINT) AS amax,
+       list_sort(arr, 'DESC') AS asort_desc
+FROM base
+"""
+
+register(QuerySpec("fn_array_census", fn_array_census, FN_ARRAY_ORACLE,
+                   tags=("§2.8",)))
+
+
+def gen_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode (LATERAL VIEW posexplode / UNNEST WITH
+    ORDINALITY): row-generating expansion that keeps the element index —
+    the building block for order-preserving array pipelines (shingles,
+    frame sampling, beam traces).
+
+    Scale: generators are pure map-side row expansion (no shuffle);
+    the fan-out factor is the array length, visible and bounded."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.select(
+            F.col("c_custkey").alias("customer_id"),
+            F.expr("sequence(1, cast(c_custkey % 4 + 2 as int))").alias("arr"),
+        )
+        .select(
+            "customer_id",
+            F.posexplode("arr").alias("pos", "elem"),
+        )
+        .select(
+            "customer_id",
+            "pos",
+            (F.col("elem").cast("bigint") * 10).alias("val"),
+        )
+    )
+
+
+GEN_POSEXPLODE_ORACLE = """
+WITH base AS (
+  SELECT c_custkey, range(1, CAST(c_custkey % 4 + 2 AS INTEGER) + 1) AS arr
+  FROM customer
+)
+SELECT c_custkey AS customer_id,
+       CAST(i - 1 AS INTEGER) AS pos,
+       CAST(arr[i] * 10 AS BIGINT) AS val
+FROM base, UNNEST(range(1, len(arr) + 1)) AS u(i)
+"""
+
+
+def fn_null_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling function census: NULLIF, IFNULL/NVL, NVL2,
+    GREATEST/LEAST null-skipping, and coalesce chains — the P7/P8
+    surface generalized."""
+    c = load_table(spark, sf_dir, "customer")
+    seg = F.col("c_mktsegment")
+    bal = F.col("c_acctbal")
+    return c.select(
+        F.col("c_custkey").alias("customer_id"),
+        F.expr("nullif(c_mktsegment, 'BUILDING')").alias("seg_nb"),
+        F.expr("ifnull(nullif(c_mktsegment, 'BUILDING'), 'OTHER')").alias("seg_or"),
+        F.expr("nvl2(nullif(c_mktsegment, 'BUILDING'), 'kept', 'blanked')")
+        .alias("seg_tag"),
+        F.greatest(bal, F.lit(0.0)).alias("bal_floor"),
+        F.least(bal, F.expr("cast(null as double)"), F.lit(1000.0)).alias("bal_cap"),
+        F.coalesce(F.expr("nullif(c_mktsegment, 'BUILDING')"), seg, F.lit("?"))
+        .alias("seg_chain"),
+    )
+
+
+FN_NULL_ORACLE = """
+SELECT c_custkey AS customer_id,
+       nullif(c_mktsegment, 'BUILDING') AS seg_nb,
+       ifnull(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or,
+       CASE WHEN nullif(c_mktsegment, 'BUILDING') IS NOT NULL
+            THEN 'kept' ELSE 'blanked' END AS seg_tag,
+       greatest(c_acctbal, 0.0) AS bal_floor,
+       least(c_acctbal, CAST(NULL AS DOUBLE), 1000.0) AS bal_cap,
+       coalesce(nullif(c_mktsegment, 'BUILDING'), c_mktsegment, '?') AS seg_chain
+FROM customer
+"""
+
+register(QuerySpec("gen_posexplode", gen_posexplode, GEN_POSEXPLODE_ORACLE,
+                   tags=("G1",)))
+register(QuerySpec("fn_null_census", fn_null_census, FN_NULL_ORACLE,
+                   tags=("P7", "P8", "§2.8")))
