@@ -553,3 +553,74 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY day_num
 
 register(QuerySpec("w7_trailing_range_spend", w7_trailing_range_spend,
                    W7_ORACLE, tags=("W3", "window-census")))
+
+
+def a11_statistical_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate census — mean / variance / stddev /
+    covariance / correlation per return flag — derived from
+    DECIMAL-EXACT moment sums (Σx, Σx², Σxy) instead of the engines'
+    native float aggregates, whose accumulation order (and Welford
+    variants) differ across engines and partitionings.
+
+    Scale: one partial-agg-friendly hash aggregate (map-side combine on
+    the 3-value flag key); the double math happens on k aggregated rows.
+    Decimal scales are sized so every unscaled sum stays < 2^53 (the
+    cross-engine decimal→double trap)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty_d = F.col("l_quantity").cast("decimal(18,2)")
+    dis_d = F.col("l_discount").cast("decimal(8,4)")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(qty_d).cast("double").alias("s_q"),
+        F.sum(qty_d * qty_d).cast("decimal(32,4)").cast("double").alias("s_qq"),
+        F.sum(dis_d).cast("double").alias("s_d"),
+        F.sum(dis_d * dis_d).cast("decimal(32,8)").cast("double").alias("s_dd"),
+        F.sum(qty_d * dis_d).cast("decimal(32,6)").cast("double").alias("s_qd"),
+    )
+    n = F.col("n").cast("double")
+    var_q = (F.col("s_qq") - F.col("s_q") * F.col("s_q") / n) / (n - 1)
+    var_d = (F.col("s_dd") - F.col("s_d") * F.col("s_d") / n) / (n - 1)
+    cov = (F.col("s_qd") - F.col("s_q") * F.col("s_d") / n) / (n - 1)
+    return agg.select(
+        "l_returnflag",
+        "n",
+        (F.col("s_q") / n).alias("mean_qty"),
+        var_q.alias("var_qty"),
+        F.sqrt(var_q).alias("stddev_qty"),
+        cov.alias("covar_qty_disc"),
+        (cov / (F.sqrt(var_q) * F.sqrt(var_d))).alias("corr_qty_disc"),
+    )
+
+
+A11_ORACLE = """
+WITH m AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s_q,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                       * CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(32,4))
+              AS DOUBLE) AS s_qq,
+         CAST(SUM(CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) AS s_d,
+         CAST(CAST(SUM(CAST(l_discount AS DECIMAL(8,4))
+                       * CAST(l_discount AS DECIMAL(8,4))) AS DECIMAL(32,8))
+              AS DOUBLE) AS s_dd,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                       * CAST(l_discount AS DECIMAL(8,4))) AS DECIMAL(32,6))
+              AS DOUBLE) AS s_qd
+  FROM lineitem
+  GROUP BY 1
+)
+SELECT l_returnflag,
+       n,
+       s_q / n AS mean_qty,
+       (s_qq - s_q * s_q / n) / (n - 1) AS var_qty,
+       sqrt((s_qq - s_q * s_q / n) / (n - 1)) AS stddev_qty,
+       (s_qd - s_q * s_d / n) / (n - 1) AS covar_qty_disc,
+       ((s_qd - s_q * s_d / n) / (n - 1))
+         / (sqrt((s_qq - s_q * s_q / n) / (n - 1))
+            * sqrt((s_dd - s_d * s_d / n) / (n - 1))) AS corr_qty_disc
+FROM m
+"""
+
+register(QuerySpec("a11_statistical_moments", a11_statistical_moments,
+                   A11_ORACLE, tags=("A2", "A6", "§2.8")))

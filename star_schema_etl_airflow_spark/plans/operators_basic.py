@@ -666,3 +666,60 @@ register(QuerySpec("gen_posexplode", gen_posexplode, GEN_POSEXPLODE_ORACLE,
                    tags=("G1",)))
 register(QuerySpec("fn_null_census", fn_null_census, FN_NULL_ORACLE,
                    tags=("P7", "P8", "§2.8")))
+
+
+def a12_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG / string aggregation per group, made deterministic by
+    sorting the collected values (collect_list order is partition-
+    dependent; the sort pins it under any partitioning — the same
+    determinism rule the money sums follow).
+
+    Scale: collect_list is a real memory risk on skewed groups — this
+    query bounds it by aggregating a capped slice (keys < 200).  The
+    documented alternative for unbounded groups is top-N-per-group
+    (`tn1_top_parts_per_nation`) or an explicit sample."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    return c.groupBy("c_mktsegment").agg(
+        F.array_join(F.array_sort(F.collect_list("c_name")), ",").alias("names"),
+        F.count("*").alias("n"),
+    )
+
+
+A12_ORACLE = """
+SELECT c_mktsegment,
+       string_agg(c_name, ',' ORDER BY c_name) AS names,
+       COUNT(*) AS n
+FROM customer
+WHERE c_custkey < 200
+GROUP BY 1
+"""
+
+
+def fn_regex_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex-function parity census: extract, global replace, match
+    test, and regex split.  Patterns stay in the POSIX-common subset
+    where Java (Spark) and RE2-ish (DuckDB) dialects agree — the same
+    subset the PII scrubber (`llm_text.pii_scrub`) restricts itself to."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("customer_id"),
+        F.regexp_extract("c_name", "[0-9]+", 0).alias("digits"),
+        F.regexp_replace("c_name", "[0-9]", "#").alias("masked"),
+        F.col("c_name").rlike("^Customer").alias("is_cust"),
+        F.split("c_name", "[_#]").alias("parts"),
+    )
+
+
+FN_REGEX_ORACLE = """
+SELECT c_custkey AS customer_id,
+       regexp_extract(c_name, '[0-9]+') AS digits,
+       regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+       regexp_matches(c_name, '^Customer') AS is_cust,
+       string_split_regex(c_name, '[_#]') AS parts
+FROM customer
+"""
+
+register(QuerySpec("a12_string_agg", a12_string_agg, A12_ORACLE,
+                   tags=("A1", "§2.8")))
+register(QuerySpec("fn_regex_census", fn_regex_census, FN_REGEX_ORACLE,
+                   tags=("§2.8",)))
