@@ -624,3 +624,39 @@ FROM m
 
 register(QuerySpec("a11_statistical_moments", a11_statistical_moments,
                    A11_ORACLE, tags=("A2", "A6", "§2.8")))
+
+
+def w8_distinct_over_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) OVER a window — Spark has no native distinct
+    window aggregate; the idiomatic workaround is
+    ``size(collect_set(x) OVER w)``.  Emitted at the partition grain so
+    the result is the same relation a GROUP BY would produce (which is
+    exactly what the oracle runs).
+
+    Scale: collect_set state is bounded by per-key distinct cardinality
+    (suppliers per order — small); for unbounded-cardinality keys the
+    escape hatch is the groupBy twin or approx_count_distinct."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey")
+    return (
+        li.select(
+            "l_orderkey",
+            F.size(F.collect_set("l_suppkey").over(w)).alias("n_distinct_supp"),
+            F.count("*").over(w).alias("n_lines"),
+        )
+        .distinct()
+    )
+
+
+W8_ORACLE = """
+SELECT l_orderkey,
+       CAST(COUNT(DISTINCT l_suppkey) AS INTEGER) AS n_distinct_supp,
+       COUNT(*) AS n_lines
+FROM lineitem
+GROUP BY 1
+"""
+
+register(QuerySpec("w8_distinct_over_window", w8_distinct_over_window,
+                   W8_ORACLE, tags=("W3", "A3", "window-census")))

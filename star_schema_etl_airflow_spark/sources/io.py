@@ -370,3 +370,43 @@ def read_csv_quarantine(
         good = good.withColumn("ingestion_timestamp", F.current_timestamp())
         good = good.withColumn("ingest_date", F.to_date("ingestion_timestamp"))
     return good, bad
+
+
+def read_jsonl_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    *,
+    options: dict | None = None,
+    stamp_ingestion: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """JSONL load with a quarantine channel — the S1 disposition surface
+    carried to the training-data interchange format.  Same mechanics as
+    :func:`read_csv_quarantine` (PERMISSIVE + ``_corrupt_record`` split,
+    one cached scan feeding both channels); a corrupt line in a
+    billion-line crawl dump lands in ``bad`` with file provenance
+    instead of being silently dropped or killing the job."""
+    corrupt_col = "_corrupt_record"
+    full_schema = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType())]
+    )
+    opts = {
+        "timestampFormat": DEFAULT_CSV_OPTIONS["timestampFormat"],
+        "dateFormat": DEFAULT_CSV_OPTIONS["dateFormat"],
+        "mode": "PERMISSIVE",
+        "columnNameOfCorruptRecord": corrupt_col,
+    }
+    if options:
+        opts.update(options)
+    df = spark.read.schema(full_schema).options(**opts).json(path)
+    df = df.withColumn("__src", F.input_file_name())
+    df = df.cache()  # SPARK-21610: see read_csv_quarantine
+    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col, "__src")
+    bad = df.filter(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw_line"),
+        F.col("__src").alias("source_file"),
+    )
+    if stamp_ingestion:
+        good = good.withColumn("ingestion_timestamp", F.current_timestamp())
+        good = good.withColumn("ingest_date", F.to_date("ingestion_timestamp"))
+    return good, bad

@@ -234,3 +234,19 @@ def test_csv_quarantine_captures_bad_rows(spark, tmp_path):
     assert len(bad_rows) == 1
     assert "NOT_A_NUMBER" in bad_rows[0].raw_line
     assert bad_rows[0].source_file.endswith("q.csv")
+
+
+def test_jsonl_quarantine_captures_bad_lines(spark, tmp_path):
+    p = tmp_path / "q.jsonl"
+    p.write_text(
+        '{"order_id": "o1", "amount": 10.5, "order_date": "2024-01-01"}\n'
+        'THIS IS NOT JSON\n'
+        '{"order_id": "o3", "amount": 3.5, "order_date": "2024-01-03"}\n'
+    )
+    schema = build_struct_type(ORDER_COLS)
+    good, bad = sio.read_jsonl_quarantine(spark, str(p), schema)
+    assert {r.order_id for r in good.collect()} == {"o1", "o3"}
+    bad_rows = bad.collect()
+    assert len(bad_rows) == 1
+    assert "NOT JSON" in bad_rows[0].raw_line
+    assert bad_rows[0].source_file.endswith("q.jsonl")
