@@ -84,3 +84,76 @@ SELECT vec_id, cluster FROM a2
 
 register(QuerySpec("kmeans_assign", kmeans_assign, KMEANS_ASSIGN_ORACLE,
                    headline=True, tags=("KMEANS",)))
+
+
+# --- PageRank over the nation trade graph ----------------------------------
+
+PR_ITER = 5
+PR_DAMP = 0.85
+
+
+def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (``operators/pagerank.py``) over the nation
+    trade graph: an edge customer-nation → supplier-nation per lineitem,
+    weighted by line count.  5 damped power iterations, per-round
+    rounding; the oracle unrolls the identical recurrence as CTEs."""
+    from pyspark.sql import functions as F
+
+    from star_schema_etl_airflow_spark.operators.pagerank import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cn = nation.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("src"))
+    sn = nation.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("dst"))
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("ck"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sk"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+    )
+    ranks = pagerank(edges, weight="w", n_iter=PR_ITER, damping=PR_DAMP)
+    return ranks.select("node", F.round("rank", 9).alias("rank"))
+
+
+def _pr_iter_cte(k: int) -> str:
+    return f"""it{k} AS (
+  SELECT n.node,
+         round({1.0 - PR_DAMP} / (SELECT cnt FROM nn)
+               + {PR_DAMP} * coalesce(s.mass, 0.0), 12) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, SUM(p.rank * e.share) AS mass
+    FROM norm e JOIN it{k - 1} p ON e.src = p.node GROUP BY 1) s
+  ON n.node = s.node
+)"""
+
+
+PAGERANK_ORACLE = f"""
+WITH edges AS (
+  SELECT n1.n_name AS src, n2.n_name AS dst, CAST(COUNT(*) AS DOUBLE) AS w
+  FROM lineitem l
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+  JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+  GROUP BY 1, 2
+), nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+), nn AS (
+  SELECT COUNT(*) AS cnt FROM nodes
+), norm AS (
+  SELECT src, dst, w / SUM(w) OVER (PARTITION BY src) AS share FROM edges
+), it0 AS (
+  SELECT node, 1.0 / (SELECT cnt FROM nn) AS rank FROM nodes
+), {", ".join(_pr_iter_cte(k) for k in range(1, PR_ITER + 1))}
+SELECT node, round(rank, 9) AS rank FROM it{PR_ITER}
+"""
+
+register(QuerySpec("pagerank_trade_graph", pagerank_trade_graph,
+                   PAGERANK_ORACLE, tags=("PAGERANK", "GRAPH")))
