@@ -322,6 +322,21 @@ def write_orc(df: DataFrame, path: str, partition_by: str | None = None) -> None
     w.orc(path)
 
 
+def read_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet read across an EVOLVING schema (``mergeSchema=true``):
+    batches written before a column existed surface it as NULL; the
+    unified schema is the union of every footer.
+
+    Scale note: schema merging footer-reads every file on the driver —
+    fine for a landing zone of daily batches, wrong for a million-file
+    lake.  There, pin the unified schema explicitly
+    (``spark.read.schema(unified).parquet(...)``) and keep per-file
+    evolution to ADDED nullable columns only (parquet's compatible
+    direction); type CHANGES go through the schema-drift contract
+    (``sources/schema.py::schema_drift``) and a rewrite."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC source (S16).  Schema comes from the ORC footer (self-describing,
     no inference pass)."""

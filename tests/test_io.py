@@ -250,3 +250,16 @@ def test_jsonl_quarantine_captures_bad_lines(spark, tmp_path):
     assert len(bad_rows) == 1
     assert "NOT JSON" in bad_rows[0].raw_line
     assert bad_rows[0].source_file.endswith("q.jsonl")
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    base = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "x")], ["id", "a"]).write.parquet(base + "/d=1")
+    spark.createDataFrame([(2, "y", 9.5)], ["id", "a", "score"]).write.parquet(
+        base + "/d=2"
+    )
+    df = sio.read_parquet_evolving(spark, base)
+    assert {f.name for f in df.schema.fields} >= {"id", "a", "score"}
+    rows = {r.id: r for r in df.collect()}
+    assert rows[1].score is None        # pre-evolution batch -> NULL
+    assert abs(rows[2].score - 9.5) < 1e-12
