@@ -222,3 +222,30 @@ def test_q21_three_fact_shuffles_only(spark):
     df = q21_waiting_suppliers(spark, SF_DIR)
     assert _n_shuffles(df) <= 3
     assert "CartesianProduct" not in _plan(df)
+
+
+def test_join_strategy_hints_are_honored(spark):
+    """Join-strategy hints: the explicit control surface when AQE/stats
+    guess wrong at scale (a 10 GB 'dim' that must NOT broadcast, or a
+    bucketed pair where shuffle-hash beats sort-merge).  Pins that each
+    hint actually switches the physical operator."""
+    from star_schema_etl_airflow_spark.sources.fixtures import load_table
+
+    orders = load_table(spark, SF_DIR, "orders")
+    cust = load_table(spark, SF_DIR, "customer")
+
+    merged = orders.join(
+        cust.hint("merge"), orders.o_custkey == cust.c_custkey
+    )
+    assert "SortMergeJoin" in _plan(merged)
+
+    shuffled = orders.join(
+        cust.hint("shuffle_hash"), orders.o_custkey == cust.c_custkey
+    )
+    p = _plan(shuffled)
+    assert "ShuffledHashJoin" in p and "SortMergeJoin" not in p
+
+    bcast = orders.join(
+        cust.hint("broadcast"), orders.o_custkey == cust.c_custkey
+    )
+    assert "BroadcastHashJoin" in _plan(bcast)
