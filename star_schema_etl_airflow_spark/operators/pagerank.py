@@ -55,6 +55,8 @@ def pagerank(
         .distinct()
     )
     n = nodes.count()  # k-sized driver scalar (node count), like the max-sk seed
+    if n == 0:
+        return nodes.select("node", F.lit(0.0).alias("rank"))  # empty graph
 
     out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
     norm = e.join(out_w, "src").select(
