@@ -83,6 +83,7 @@ def _ensure_loaded() -> None:
         timeseries,
         tpch_queries,
         tpch_queries2,
+        tpch_queries3,
     )
 
     _loaded = True

@@ -53,7 +53,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # caller's session didn't (both are runtime confs)
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(table_path(sf_dir, name))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # Only the driver fixture needs the nanos-long → micros rewrite;
+        # events written by our own writers already carry a timestamp ts.
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(table_path(sf_dir, name))
 
 

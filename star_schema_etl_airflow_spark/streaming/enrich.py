@@ -112,8 +112,10 @@ def run_upsert_sink(spark: SparkSession, sf_dir: str, target_path: str) -> DataF
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .parquet(_as_dup_stream_dir(sf_dir))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
+    from star_schema_etl_airflow_spark.streaming.ingest import ts_from_long
+
+    stream = ts_from_long(stream)
 
     def _upsert(batch_df: DataFrame, batch_id: int) -> None:
         src = batch_df.dropDuplicates(["event_id"])

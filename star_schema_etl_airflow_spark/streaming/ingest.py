@@ -39,6 +39,25 @@ EVENTS_RAW_SCHEMA = T.StructType([
 ])
 
 
+# Epoch values this large (> ~year 1973 in nanos, > year 5138 in micros)
+# can only be nanoseconds — used to normalize the long column no matter
+# which unit the reader surfaced it in (the batch reader under
+# ``nanosAsLong`` yields nanos; the streaming reader with an explicit
+# LongType schema has been observed to yield micros).
+_NS_THRESHOLD = 10**17
+
+_TS_FROM_LONG = (
+    f"timestamp_micros(CASE WHEN ts > {_NS_THRESHOLD} THEN ts div 1000 "
+    "ELSE ts END)"
+)
+
+
+def ts_from_long(df: DataFrame) -> DataFrame:
+    """Normalize a long epoch ``ts`` column (nanos or micros) to a proper
+    microsecond TimestampType column."""
+    return df.withColumn("ts", F.expr(_TS_FROM_LONG))
+
+
 def _as_stream_dir(sf_dir: str) -> str:
     """Spark's file stream source requires a *directory*; the fixture is a
     single parquet file.  Stage a stable symlink directory under /tmp
@@ -62,7 +81,7 @@ def stream_events(spark: SparkSession, sf_dir: str,
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(_as_stream_dir(sf_dir))
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return ts_from_long(df)
 
 
 def tumbling_agg(ev: DataFrame, watermark: str = WATERMARK) -> DataFrame:
@@ -119,7 +138,7 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(_as_dup_stream_dir(sf_dir))
     return (
-        df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_from_long(df)
         .withWatermark("ts", WATERMARK)
         .dropDuplicatesWithinWatermark(["event_id"])
     )

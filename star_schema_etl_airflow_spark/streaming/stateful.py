@@ -47,14 +47,19 @@ def _update_profile(
     for pdf in pdfs:
         n += len(pdf)
         total += float(pdf["value"].sum())
-        batch_max = pdf["ts"].max()
+        # Arrow may hand the ts column over as datetime64[us] or [ns]
+        # depending on pandas/pyarrow version — normalize before the
+        # epoch math instead of trusting Timestamp.value's unit.
+        batch_max = pdf["ts"].astype("datetime64[ns]").max()
         last_us = max(last_us, int(batch_max.value // 1000))
     state.update((n, total, last_us))
     yield pd.DataFrame({
         "user_id": [key[0]],
         "n_events": [n],
         "total_value": [total],
-        "last_seen": [pd.Timestamp(last_us * 1000)],
+        # keep the column ns-resolution: pyspark's Arrow serializer for
+        # applyInPandasWithState assumes datetime64[ns] input
+        "last_seen": pd.Series([pd.Timestamp(last_us, unit="us")]).astype("datetime64[ns]"),
     })
 
 
