@@ -403,7 +403,7 @@ def gs1_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 GS1_ORACLE = """
 SELECT lang, source, COUNT(*) AS n_docs,
-       SUM(n_chars) AS total_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        CAST(GROUPING(lang) AS INTEGER) AS g_lang,
        CAST(GROUPING(source) AS INTEGER) AS g_source
 FROM documents

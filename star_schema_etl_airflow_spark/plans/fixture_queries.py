@@ -44,7 +44,7 @@ PROFILE_LINEITEM_ORACLE = """
 WITH n AS (SELECT COUNT(*) AS n_rows FROM lineitem)
 SELECT u.*, n.n_rows FROM n, (
   SELECT 'l_orderkey' AS "column",
-         SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+         CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
          COUNT(DISTINCT l_orderkey) AS ndv,
          CAST(MIN(l_orderkey) AS DOUBLE) AS min_num,
          CAST(MAX(l_orderkey) AS DOUBLE) AS max_num,
@@ -52,28 +52,28 @@ SELECT u.*, n.n_rows FROM n, (
   FROM lineitem
   UNION ALL
   SELECT 'l_quantity',
-         SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END),
+         CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
          COUNT(DISTINCT l_quantity),
          CAST(MIN(l_quantity) AS DOUBLE), CAST(MAX(l_quantity) AS DOUBLE),
          NULL, NULL
   FROM lineitem
   UNION ALL
   SELECT 'l_extendedprice',
-         SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END),
+         CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
          COUNT(DISTINCT l_extendedprice),
          CAST(MIN(l_extendedprice) AS DOUBLE), CAST(MAX(l_extendedprice) AS DOUBLE),
          NULL, NULL
   FROM lineitem
   UNION ALL
   SELECT 'l_returnflag',
-         SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END),
+         CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
          COUNT(DISTINCT l_returnflag),
          CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
          MIN(l_returnflag), MAX(l_returnflag)
   FROM lineitem
   UNION ALL
   SELECT 'l_linestatus',
-         SUM(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END),
+         CAST(SUM(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
          COUNT(DISTINCT l_linestatus),
          CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
          MIN(l_linestatus), MAX(l_linestatus)

@@ -165,7 +165,7 @@ sp AS (
   FROM mixed
 )
 SELECT lang, split, COUNT(*) AS n_docs,
-       SUM((n_chars + 3) // 4) AS total_tokens
+       CAST(SUM((n_chars + 3) // 4) AS BIGINT) AS total_tokens
 FROM sp WHERE split IS NOT NULL
 GROUP BY lang, split
 """
