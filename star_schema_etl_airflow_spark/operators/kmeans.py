@@ -12,7 +12,10 @@ SQL oracle, and re-runnable on any cluster size):
   double division — bit-identical on every engine/partitioning.
 
 Scale design (100 TB of vectors): centroids are k rows — broadcast; the
-assignment is a map-only scan (no shuffle of the vector relation); the
+assignment scores map-side and reduces via an aggregatable
+``min(struct(d, cluster))`` — map-side combine collapses the k scored
+rows per vector before the exchange, so the shuffle carries one row per
+vector, never N x k; the
 update shuffles (cluster, dim) partial sums — k×dim rows after map-side
 combine.  Each iteration is lineage-truncated (``localCheckpoint``) so
 plans stay O(1) across iterations (see ``operators/components.py``).
@@ -20,7 +23,7 @@ plans stay O(1) across iterations (see ``operators/components.py``).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -37,7 +40,13 @@ def sqdist_expr(v: str, c: str) -> str:
 
 def assign_clusters(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     """``(vec_id, cluster)``: nearest centroid per vector (ties → lowest
-    cluster id).  Per-vector window, never a global sort."""
+    cluster id).
+
+    The argmin is an aggregatable ``min(struct(d, cluster))`` — struct
+    ordering compares ``d`` first, then ``cluster``, so it is exactly the
+    window's ``orderBy(d, cluster)`` tie-break, but with map-side combine:
+    the shuffle carries one partially-reduced row per (vec_id, partition),
+    not the N x k scored relation a per-vector window would ship."""
     scored = (
         vectors.alias("v")
         .crossJoin(F.broadcast(centroids.alias("c")))
@@ -47,11 +56,10 @@ def assign_clusters(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
             F.expr(sqdist_expr("v.embedding", "c.embedding")).alias("d"),
         )
     )
-    w = Window.partitionBy("vec_id").orderBy("d", "cluster")
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter("rn = 1")
-        .select("vec_id", "cluster")
+        scored.groupBy("vec_id")
+        .agg(F.min(F.struct("d", "cluster")).alias("best"))
+        .select("vec_id", F.col("best.cluster").alias("cluster"))
     )
 
 

@@ -12,8 +12,9 @@ computed over the post-decontamination corpus, the split applies after
 mixing — exactly the order a production curation run uses).
 
 Scale design: every stage is a map or a broadcast join over the corpus
-scan except the per-language percentile window (see
-``quality_percentile_gate``'s approx-threshold scale path) — the corpus
+scan except the per-language percentile window (swap in
+``llm_text.quality_gate_approx`` — two-pass percentile_approx threshold,
+no per-language sort — when running at scale) — the corpus
 is never shuffled on a high-cardinality key, and the final rollup is a
 tiny partial aggregate.
 """

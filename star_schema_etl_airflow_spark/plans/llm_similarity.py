@@ -79,9 +79,15 @@ def _cos_duck(a: str, b: str) -> str:
 def embed_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector (brute force).
 
-    The query set is broadcast; candidates stream map-only; ranking is a
-    per-query window (partitioned by query_id — k rows per partition
-    survive, no global sort)."""
+    The query set is broadcast; candidates stream map-only.  Ranking is a
+    per-query ``row_number`` window, but the shuffle feeding it is bounded:
+    Catalyst's ``InferWindowGroupLimit`` rule (Spark >= 3.5) plants a
+    *Partial* ``WindowGroupLimit`` on the map side of the exchange, so each
+    scan partition emits at most k rows per query and the exchange carries
+    O(partitions x queries x k) rows — never candidates x queries.  This is
+    the same partial-top-k-then-merge shape ``embed_topk_cosine_np`` builds
+    by hand; ``tests/test_plans.py::test_embed_topk_partial_limit_before_
+    shuffle`` pins it structurally."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"

@@ -168,9 +168,10 @@ def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact rank here for oracle-checkability (ties broken on doc_id, so
     percent_rank is deterministic).  At 100 TB the per-language sort
     becomes the bottleneck and a dominant language skews the partition —
-    the scale path is a two-pass approx threshold (``percentile_approx``
-    per language, then a map-only filter; error bounds pinned by
-    ``approx_quantile_bound`` in plans/approx_queries.py)."""
+    the scale path is ``quality_gate_approx`` below: a two-pass
+    ``percentile_approx`` threshold + broadcast map-only filter with no
+    per-language global sort (invariant vs this exact gate pinned by
+    ``tests/test_llm_text.py::test_quality_gate_approx_matches_exact``)."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
@@ -187,6 +188,44 @@ def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ttr.withColumn("qrank", F.percent_rank().over(w))
         .filter(F.col("qrank") >= 0.25)
         .select("doc_id", "lang", "ttr", "qrank")
+    )
+
+
+def quality_gate_approx(
+    df: DataFrame,
+    lang_col: str = "lang",
+    value_col: str = "ttr",
+    q: float = 0.25,
+    rel_err: float = 0.01,
+) -> DataFrame:
+    """Scale path for :func:`quality_percentile_gate`: keep rows whose
+    ``value_col`` is at or above the per-``lang_col`` ``q``-quantile,
+    without any per-language global sort.
+
+    Two passes, both skew-immune:
+    1. ``groupBy(lang).agg(percentile_approx(value, q))`` — a partial-agg
+       hash aggregate (each task sketches locally, the shuffle carries one
+       KLL-style sketch per (partition, lang), never the rows);
+    2. broadcast the tiny per-language threshold table back and filter
+       map-only.
+
+    ``rel_err`` is the rank error of the sketch: ``percentile_approx``'s
+    accuracy knob guarantees a rank within ``rel_err * N`` of the exact
+    quantile, so the kept fraction is within ~``rel_err`` of the exact
+    gate's (pinned by ``tests/test_llm_text.py``).  At 100 TB this is the
+    form you run: the exact window form ships a dominant language's whole
+    corpus into one reducer; this one ships sketches.
+    """
+    accuracy = max(100, int(round(1.0 / rel_err)))
+    thresholds = df.groupBy(lang_col).agg(
+        F.percentile_approx(value_col, F.lit(q), F.lit(accuracy)).alias(
+            "_q_threshold"
+        )
+    )
+    return (
+        df.join(F.broadcast(thresholds), lang_col)
+        .filter(F.col(value_col) >= F.col("_q_threshold"))
+        .drop("_q_threshold")
     )
 
 

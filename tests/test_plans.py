@@ -107,6 +107,32 @@ def test_kmeans_assignment_broadcasts_centroids(spark):
     # loop over the tiny centroid side, not a shuffled cartesian
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+    # the argmin must be an aggregatable min with map-side combine (the
+    # shuffle carries 1 row per vector), not a per-vector window over the
+    # N x k scored relation
+    assert "partial_min" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_embed_topk_partial_limit_before_shuffle(spark):
+    """The exact cosine top-k must bound the window shuffle on the map
+    side: a *Partial* WindowGroupLimit below the Exchange means each scan
+    partition ships at most k rows per query — O(partitions x queries x k)
+    over the wire, never candidates x queries into N_QUERIES reducers."""
+    from star_schema_etl_airflow_spark.plans.llm_similarity import (
+        embed_topk_cosine,
+    )
+
+    plan = _plan(embed_topk_cosine(spark, SF_DIR))
+    lines = plan.splitlines()
+    partial = [i for i, l in enumerate(lines)
+               if "WindowGroupLimit" in l and "Partial" in l]
+    exchange = [i for i, l in enumerate(lines) if "Exchange" in l]
+    assert partial, plan
+    assert exchange, plan
+    # tree prints top-down: the Partial limit must sit BELOW the exchange
+    # (map side), i.e. appear after it in the printed tree
+    assert partial[0] > exchange[0], plan
 
 
 def test_q7_broadcasts_both_nation_dims(spark):
