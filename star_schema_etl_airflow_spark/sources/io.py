@@ -47,16 +47,48 @@ def read_csv(
     schema: T.StructType,
     *,
     tolerant: bool = False,
+    field_delimiter: str = ",",
+    skip_leading_rows: int = 1,
+    allow_jagged_rows: bool = False,
     options: dict | None = None,
     stamp_ingestion: bool = True,
 ) -> DataFrame:
     """CSV load with declared schema (S1).
 
-    ``tolerant=True`` ≈ BigQuery ``max_bad_records>0``: malformed rows are
-    dropped instead of failing the load.
+    BigQuery load-option parity, pinned knob by knob
+    (reference ``utils/operators.py:25-30,64-71``):
+
+    - ``tolerant=True`` ≈ ``max_bad_records>0``: malformed rows are
+      dropped instead of failing the load.
+    - ``field_delimiter`` → Spark ``sep`` (same single-character contract).
+    - ``skip_leading_rows`` → BigQuery skips N leading rows *per file*.
+      0 → no header (``header=false``, every line is data); 1 → Spark's
+      ``header=true`` drops exactly the first line of every file —
+      identical semantics (the schema is declared either way, never read
+      from the header).  N>1 is rejected: Spark reads files in parallel
+      byte splits, so a correct "skip N" needs a serial per-file pre-scan
+      — preprocess the landing zone instead of silently mis-skipping.
+    - ``allow_jagged_rows=True`` → PERMISSIVE: rows with missing trailing
+      columns load with those columns NULL (BigQuery's jagged semantics).
+      Caveat, documented deliberately: Spark's PERMISSIVE cannot tell a
+      short-but-valid row from a corrupt one, so unparseable rows also
+      surface as NULL-padded instead of failing — when rejects must be
+      audited, use :func:`read_csv_quarantine`, which captures them.
     """
+    if skip_leading_rows not in (0, 1):
+        raise ValueError(
+            "skip_leading_rows must be 0 or 1: Spark splits files by byte "
+            "range, so skipping N>1 leading rows cannot be expressed as a "
+            "parallel scan option — preprocess the files instead "
+            f"(got {skip_leading_rows})"
+        )
     opts = dict(DEFAULT_CSV_OPTIONS)
-    opts["mode"] = "DROPMALFORMED" if tolerant else "FAILFAST"
+    opts["sep"] = field_delimiter
+    opts["header"] = "true" if skip_leading_rows == 1 else "false"
+    if allow_jagged_rows:
+        opts["mode"] = "PERMISSIVE"
+    else:
+        opts["mode"] = "DROPMALFORMED" if tolerant else "FAILFAST"
     if options:
         opts.update(options)
     df = spark.read.schema(schema).options(**opts).csv(path)
@@ -113,23 +145,61 @@ def resolve_dated_path(template: str, run_date: str) -> str:
     return template.format(ds=run_date, ds_nodash=nodash)
 
 
-def write_append(df: DataFrame, path: str, partition_by: str | None = None) -> None:
+def _apply_create_disposition(path: str, create_disposition: str) -> None:
+    """BigQuery create-disposition parity (reference
+    ``utils/operators.py:23,58``): ``CREATE_IF_NEEDED`` (default) creates
+    the target on first write; ``CREATE_NEVER`` fails if the target does
+    not already exist — the guard for pipelines that must only ever land
+    into pre-provisioned tables."""
+    if create_disposition == "CREATE_IF_NEEDED":
+        return
+    if create_disposition == "CREATE_NEVER":
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"CREATE_NEVER: target {path!r} does not exist"
+            )
+        return
+    raise ValueError(
+        f"unknown create_disposition {create_disposition!r} "
+        "(expected CREATE_IF_NEEDED or CREATE_NEVER)"
+    )
+
+
+def write_append(
+    df: DataFrame,
+    path: str,
+    partition_by: str | None = None,
+    create_disposition: str = "CREATE_IF_NEEDED",
+) -> None:
     """S10 / WRITE_APPEND."""
+    _apply_create_disposition(path, create_disposition)
     w = df.write.mode("append")
     if partition_by:
         w = w.partitionBy(partition_by)
     w.parquet(path)
 
 
-def write_partition_overwrite(df: DataFrame, path: str, partition_by: str) -> None:
+def write_partition_overwrite(
+    df: DataFrame,
+    path: str,
+    partition_by: str,
+    create_disposition: str = "CREATE_IF_NEEDED",
+) -> None:
     """S8: idempotent per-partition refresh (requires
     spark.sql.sources.partitionOverwriteMode=dynamic, set by the session
     factory) — only partitions present in ``df`` are replaced."""
+    _apply_create_disposition(path, create_disposition)
     df.write.mode("overwrite").partitionBy(partition_by).parquet(path)
 
 
-def write_full_overwrite(df: DataFrame, path: str, partition_by: str | None = None) -> None:
+def write_full_overwrite(
+    df: DataFrame,
+    path: str,
+    partition_by: str | None = None,
+    create_disposition: str = "CREATE_IF_NEEDED",
+) -> None:
     """S9: full-table refresh."""
+    _apply_create_disposition(path, create_disposition)
     w = df.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(partition_by)

@@ -53,6 +53,89 @@ def test_csv_tolerant_drops_malformed(spark, tmp_path):
     assert {r.order_id for r in df.collect()} == {"o1", "o3"}
 
 
+def test_csv_field_delimiter_maps_to_sep(spark, tmp_path):
+    p = tmp_path / "pipe.csv"
+    p.write_text("order_id|amount|order_date\no1|10.5|2024-01-01\n")
+    schema = build_struct_type(ORDER_COLS)
+    df = sio.read_csv(spark, str(p), schema, field_delimiter="|")
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0].order_id == "o1"
+    assert rows[0].amount == 10.5
+
+
+def test_csv_skip_leading_rows_zero_reads_every_line(spark, tmp_path):
+    # skip_leading_rows=0: there is no header — line 1 is data
+    p = tmp_path / "nohdr.csv"
+    p.write_text("o1,10.5,2024-01-01\no2,7.25,2024-01-02\n")
+    schema = build_struct_type(ORDER_COLS)
+    df = sio.read_csv(spark, str(p), schema, skip_leading_rows=0)
+    assert {r.order_id for r in df.collect()} == {"o1", "o2"}
+
+
+def test_csv_skip_leading_rows_one_skips_per_file(spark, tmp_path):
+    # BigQuery skips N leading rows PER FILE; Spark header=true does the
+    # same for N=1 — pin it across a two-file load
+    d = tmp_path / "multi"
+    d.mkdir()
+    (d / "a.csv").write_text("order_id,amount,order_date\no1,1.0,2024-01-01\n")
+    (d / "b.csv").write_text("order_id,amount,order_date\no2,2.0,2024-01-02\n")
+    schema = build_struct_type(ORDER_COLS)
+    df = sio.read_csv(spark, str(d), schema, skip_leading_rows=1)
+    assert {r.order_id for r in df.collect()} == {"o1", "o2"}
+
+
+def test_csv_skip_leading_rows_above_one_rejected(spark, tmp_path):
+    import pytest
+
+    schema = build_struct_type(ORDER_COLS)
+    with pytest.raises(ValueError, match="skip_leading_rows"):
+        sio.read_csv(spark, str(tmp_path), schema, skip_leading_rows=2)
+
+
+def test_csv_allow_jagged_rows_null_fills_missing_trailing(spark, tmp_path):
+    p = tmp_path / "jagged.csv"
+    p.write_text(
+        "order_id,amount,order_date\n"
+        "o1,10.5,2024-01-01\n"
+        "o2,7.25\n"          # missing trailing order_date
+        "o3\n"               # missing two trailing columns
+    )
+    schema = build_struct_type(ORDER_COLS)
+    df = sio.read_csv(spark, str(p), schema, allow_jagged_rows=True)
+    rows = {r.order_id: r for r in df.collect()}
+    assert set(rows) == {"o1", "o2", "o3"}
+    assert rows["o2"].amount == 7.25 and rows["o2"].order_date is None
+    assert rows["o3"].amount is None and rows["o3"].order_date is None
+
+
+def test_csv_jagged_rows_fail_fast_by_default(spark, tmp_path):
+    import pytest
+
+    p = tmp_path / "jagged2.csv"
+    p.write_text(
+        "order_id,amount,order_date\no1,10.5,2024-01-01\no2,7.25\n"
+    )
+    schema = build_struct_type(ORDER_COLS)
+    df = sio.read_csv(spark, str(p), schema)  # allow_jagged_rows=False
+    with pytest.raises(Exception):
+        df.collect()
+
+
+def test_create_never_requires_existing_target(spark, tmp_path):
+    import pytest
+
+    df = spark.range(3).select(F.col("id").alias("v"))
+    target = str(tmp_path / "tbl")
+    with pytest.raises(FileNotFoundError, match="CREATE_NEVER"):
+        sio.write_append(df, target, create_disposition="CREATE_NEVER")
+    # CREATE_IF_NEEDED provisions it; CREATE_NEVER then succeeds
+    sio.write_full_overwrite(df, target)
+    sio.write_append(df, target, create_disposition="CREATE_NEVER")
+    assert spark.read.parquet(target).count() == 6
+    with pytest.raises(ValueError, match="create_disposition"):
+        sio.write_append(df, target, create_disposition="NOPE")
+
+
 def test_jsonl_ingest_with_schema_and_stamp(spark, tmp_path):
     p = tmp_path / "docs.jsonl"
     p.write_text(
