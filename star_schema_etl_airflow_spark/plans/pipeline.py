@@ -87,6 +87,73 @@ class Pipeline:
         return results
 
 
+class ConcurrentRunError(RuntimeError):
+    """A second run attempted on a warehouse that is already mid-run
+    (the ``max_active_runs=1`` analog, reference
+    ``dags/ingest_raw_sales.py:50``)."""
+
+
+class _RunLock:
+    """Filesystem mutex for one warehouse path: atomic O_CREAT|O_EXCL
+    marker (works on local/NFS/HDFS-fuse; on object stores use a table
+    format's transaction log instead).  The marker records pid and
+    timestamp so an operator can decide whether a leftover lock is stale
+    before removing it with :func:`break_run_lock`."""
+
+    def __init__(self, lock_path: str):
+        self.lock_path = lock_path
+        self._fd: int | None = None
+
+    def __enter__(self):
+        import datetime
+        import os
+
+        os.makedirs(os.path.dirname(self.lock_path) or ".", exist_ok=True)
+        try:
+            self._fd = os.open(
+                self.lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY
+            )
+        except FileExistsError:
+            try:
+                with open(self.lock_path) as f:
+                    holder = f.read().strip()
+            except OSError:
+                holder = "<unreadable>"
+            raise ConcurrentRunError(
+                f"pipeline already running (lock {self.lock_path!r} held "
+                f"by {holder}); if that run crashed, remove the stale "
+                "lock with break_run_lock()"
+            ) from None
+        os.write(
+            self._fd,
+            f"pid={os.getpid()} at={datetime.datetime.now(datetime.timezone.utc).isoformat()}".encode(),
+        )
+        return self
+
+    def __exit__(self, *exc):
+        import os
+
+        if self._fd is not None:
+            os.close(self._fd)
+        try:
+            os.unlink(self.lock_path)
+        except FileNotFoundError:
+            pass
+        return False
+
+
+def break_run_lock(lock_path: str) -> bool:
+    """Remove a leftover run lock (crashed run).  Returns True if a lock
+    was removed.  Deliberately explicit — never called automatically."""
+    import os
+
+    try:
+        os.unlink(lock_path)
+        return True
+    except FileNotFoundError:
+        return False
+
+
 def run_audited(
     pipeline: Pipeline,
     spark,
@@ -95,6 +162,10 @@ def run_audited(
     retries: int = 0,
     retry_delay_s: float = 0.0,
     resume: bool = False,
+    lock_path: str | None = None,
+    on_success: Callable[[dict], None] | None = None,
+    on_failure: Callable[[dict], None] | None = None,
+    on_retry: Callable[[dict], None] | None = None,
 ):
     """Execute with a per-stage audit trail — the run-history surface the
     reference gets from Airflow's task-metadata DB (task duration, state).
@@ -115,8 +186,39 @@ def run_audited(
     must communicate through their SINKS, not return values, for resume
     to be sound — every stage in the sales domain writes a table, so a
     skipped upstream's output is simply read from storage by downstream.
+
+    ``on_success``/``on_failure``/``on_retry`` are per-stage, per-status
+    callbacks — the three notification channels of the reference's MS
+    Teams plugin (``plugins/ms_teams_notification.py:17-101``, green/red/
+    orange cards), decoupled from the transport: each receives a context
+    dict (``stage``, ``layer``, ``run_date``, ``attempt``, ``max_tries``,
+    ``duration_s``, and ``exception`` for failure/retry) and may post to
+    any webhook.  Callback errors are swallowed (a notification failure
+    must never fail the pipeline — same stance as Airflow callbacks).
+
+    ``lock_path`` enables the ``max_active_runs=1`` analog (reference
+    ``dags/ingest_raw_sales.py:50``): an atomic marker file is held for
+    the duration of the run; a second concurrent run on the same lock
+    raises :class:`ConcurrentRunError` instead of interleaving writes
+    into the same warehouse.
     """
     import time as _time
+
+    if lock_path:
+        with _RunLock(lock_path):
+            return run_audited(
+                pipeline, spark, run_date, audit_path, retries,
+                retry_delay_s, resume, None, on_success, on_failure,
+                on_retry,
+            )
+
+    def _notify(cb, **ctx):
+        if cb is None:
+            return
+        try:
+            cb(ctx)
+        except Exception:
+            pass
 
     from pyspark.sql import functions as F
 
@@ -162,19 +264,35 @@ def run_audited(
             try:
                 results[name] = stage.fn(spark, run_date, results)
                 break
-            except Exception:
+            except Exception as exc:
                 if attempt > retries:
+                    dur = round(_time.perf_counter() - t0, 3)
                     rows.append(
-                        (run_date, name, stage.layer, "failed", attempt,
-                         round(_time.perf_counter() - t0, 3))
+                        (run_date, name, stage.layer, "failed", attempt, dur)
                     )
                     _flush()
+                    _notify(
+                        on_failure, stage=name, layer=stage.layer,
+                        run_date=run_date, attempt=attempt,
+                        max_tries=retries + 1, duration_s=dur,
+                        exception=exc,
+                    )
                     raise
+                _notify(
+                    on_retry, stage=name, layer=stage.layer,
+                    run_date=run_date, attempt=attempt,
+                    max_tries=retries + 1,
+                    duration_s=round(_time.perf_counter() - t0, 3),
+                    exception=exc,
+                )
                 if retry_delay_s:
                     _time.sleep(retry_delay_s)
-        rows.append(
-            (run_date, name, stage.layer, "ok", attempt,
-             round(_time.perf_counter() - t0, 3))
+        dur = round(_time.perf_counter() - t0, 3)
+        rows.append((run_date, name, stage.layer, "ok", attempt, dur))
+        _notify(
+            on_success, stage=name, layer=stage.layer, run_date=run_date,
+            attempt=attempt, max_tries=retries + 1, duration_s=dur,
+            exception=None,
         )
     return results, _flush()
 

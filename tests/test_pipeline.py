@@ -184,3 +184,137 @@ def test_stage_callbacks(spark, tmp_path):
     seen = []
     pipeline.run(spark, D1, on_stage_complete=lambda name, result: seen.append(name))
     assert seen == pipeline.topological_order()
+
+
+def _tiny_pipeline(fail_stage=None, fail_times=0):
+    """Two-stage pipeline; `fail_stage` raises on its first `fail_times`
+    invocations (mutable counter survives retries)."""
+    from star_schema_etl_airflow_spark.plans.pipeline import Pipeline
+
+    calls = {"n": 0}
+
+    def a(spark, run_date, results):
+        if fail_stage == "a":
+            calls["n"] += 1
+            if calls["n"] <= fail_times:
+                raise RuntimeError("boom")
+        return "A"
+
+    def b(spark, run_date, results):
+        return "B"
+
+    return Pipeline().add_stage("a", a, layer="raw").add_stage(
+        "b", b, deps=["a"], layer="core"
+    )
+
+
+def test_per_status_callbacks_success(spark, tmp_path):
+    """on_success fires per stage with the full context dict; failure and
+    retry channels stay silent on a clean run."""
+    from star_schema_etl_airflow_spark.plans.pipeline import run_audited
+
+    events = []
+    run_audited(
+        _tiny_pipeline(), spark, D1,
+        on_success=lambda c: events.append(("ok", c["stage"], c["attempt"])),
+        on_failure=lambda c: events.append(("fail", c["stage"])),
+        on_retry=lambda c: events.append(("retry", c["stage"])),
+    )
+    assert events == [("ok", "a", 1), ("ok", "b", 1)]
+
+
+def test_per_status_callbacks_retry_then_failure(spark, tmp_path):
+    """A stage failing through its retry budget fires on_retry per retry
+    and on_failure once, with the exception in the context (the MS Teams
+    plugin's orange + red channels)."""
+    from star_schema_etl_airflow_spark.plans.pipeline import run_audited
+
+    events = []
+    with pytest.raises(RuntimeError, match="boom"):
+        run_audited(
+            _tiny_pipeline(fail_stage="a", fail_times=99), spark, D1,
+            retries=2,
+            on_success=lambda c: events.append(("ok", c["stage"])),
+            on_failure=lambda c: events.append(
+                ("fail", c["stage"], c["attempt"], str(c["exception"]))
+            ),
+            on_retry=lambda c: events.append(("retry", c["stage"], c["attempt"])),
+        )
+    assert events == [
+        ("retry", "a", 1), ("retry", "a", 2), ("fail", "a", 3, "boom"),
+    ]
+
+
+def test_per_status_callbacks_retry_then_success(spark, tmp_path):
+    """A stage that fails once then succeeds fires on_retry then
+    on_success; the run completes."""
+    from star_schema_etl_airflow_spark.plans.pipeline import run_audited
+
+    events = []
+    results, audit = run_audited(
+        _tiny_pipeline(fail_stage="a", fail_times=1), spark, D1,
+        retries=1,
+        on_success=lambda c: events.append(("ok", c["stage"], c["attempt"])),
+        on_retry=lambda c: events.append(("retry", c["stage"], c["attempt"])),
+    )
+    assert results == {"a": "A", "b": "B"}
+    assert events == [("retry", "a", 1), ("ok", "a", 2), ("ok", "b", 1)]
+
+
+def test_callback_errors_never_fail_the_run(spark, tmp_path):
+    from star_schema_etl_airflow_spark.plans.pipeline import run_audited
+
+    def bad_cb(ctx):
+        raise ValueError("notification transport down")
+
+    results, _ = run_audited(_tiny_pipeline(), spark, D1, on_success=bad_cb)
+    assert results == {"a": "A", "b": "B"}
+
+
+def test_concurrent_run_raises(spark, tmp_path):
+    """max_active_runs=1 analog: while one run holds the lock, a second
+    run on the same lock path raises instead of interleaving."""
+    from star_schema_etl_airflow_spark.plans.pipeline import (
+        ConcurrentRunError,
+        Pipeline,
+        run_audited,
+    )
+
+    lock = str(tmp_path / "wh" / ".run_lock")
+
+    def stage_that_reenters(spark_, run_date, results):
+        with pytest.raises(ConcurrentRunError, match="already running"):
+            run_audited(_tiny_pipeline(), spark_, D1, lock_path=lock)
+        return "done"
+
+    p = Pipeline().add_stage("reenter", stage_that_reenters)
+    results, _ = run_audited(p, spark, D1, lock_path=lock)
+    assert results == {"reenter": "done"}
+    # lock released after the run: a fresh run acquires it cleanly
+    results2, _ = run_audited(_tiny_pipeline(), spark, D1, lock_path=lock)
+    assert results2 == {"a": "A", "b": "B"}
+
+
+def test_lock_released_on_failure_and_breakable(spark, tmp_path):
+    from star_schema_etl_airflow_spark.plans.pipeline import (
+        ConcurrentRunError,
+        break_run_lock,
+        run_audited,
+    )
+
+    lock = str(tmp_path / ".run_lock")
+    with pytest.raises(RuntimeError, match="boom"):
+        run_audited(
+            _tiny_pipeline(fail_stage="a", fail_times=9), spark, D1,
+            lock_path=lock,
+        )
+    # failure path released the lock via the context manager
+    assert not os.path.exists(lock)
+    # simulate a crashed run's leftover marker
+    with open(lock, "w") as f:
+        f.write("pid=0 at=crashed")
+    with pytest.raises(ConcurrentRunError):
+        run_audited(_tiny_pipeline(), spark, D1, lock_path=lock)
+    assert break_run_lock(lock) is True
+    results, _ = run_audited(_tiny_pipeline(), spark, D1, lock_path=lock)
+    assert results == {"a": "A", "b": "B"}
