@@ -216,8 +216,9 @@ JOIN part p ON p.p_partkey = l.l_partkey
 WHERE p.p_brand <> 'Brand#12'
   AND p.p_type NOT LIKE 'MEDIUM%'
   AND p.p_size IN {Q16_SIZES}
-  AND l.l_suppkey NOT IN (
-    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+  AND NOT EXISTS (
+    SELECT 1 FROM supplier s
+    WHERE s.s_acctbal < 0 AND s.s_suppkey = l.l_suppkey)
 GROUP BY 1, 2, 3
 """
 

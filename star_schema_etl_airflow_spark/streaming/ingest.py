@@ -52,9 +52,23 @@ _TS_FROM_LONG = (
 )
 
 
-def ts_from_long(df: DataFrame) -> DataFrame:
+def ts_from_long(df: DataFrame, unit: str | None = None) -> DataFrame:
     """Normalize a long epoch ``ts`` column (nanos or micros) to a proper
-    microsecond TimestampType column."""
+    microsecond TimestampType column.
+
+    ``unit``: pass ``"nanos"`` or ``"micros"`` when the source unit is
+    known (a reader that declares its encoding should thread it through —
+    no inference).  With ``unit=None`` the magnitude heuristic applies,
+    which is only sound for timestamps in [1973-04-11, 5138-11-16]: a
+    nano epoch below 1e17 (before ~1973) would be misread as micros, and
+    a micro epoch above 1e17 (after year ~5138) as nanos.  The fixture
+    and any modern event stream sit comfortably inside that window."""
+    if unit == "nanos":
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if unit == "micros":
+        return df.withColumn("ts", F.expr("timestamp_micros(ts)"))
+    if unit is not None:
+        raise ValueError(f"unit must be 'nanos', 'micros', or None: {unit!r}")
     return df.withColumn("ts", F.expr(_TS_FROM_LONG))
 
 
