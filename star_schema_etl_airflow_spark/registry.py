@@ -72,6 +72,7 @@ def _ensure_loaded() -> None:
         llm_decontam,
         llm_dedup,
         llm_pipeline,
+        llm_quantize,
         llm_sampling,
         llm_similarity,
         llm_text,

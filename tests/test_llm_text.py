@@ -64,3 +64,28 @@ def test_quality_gate_approx_keeps_schema(spark):
     gated = quality_gate_approx(ttr)
     assert set(gated.columns) == {"doc_id", "lang", "ttr"}
     assert gated.count() > 0
+
+
+def test_quantize_int8_error_bound_and_range(spark):
+    """Symmetric int8 quantization invariants: every code in [-127, 127],
+    reconstruction error <= scale/2 (half a quantization step), and a
+    zero vector quantizes to all zeros with scale 0."""
+    from pyspark.sql import functions as F
+
+    from star_schema_etl_airflow_spark.plans.llm_quantize import quantize_int8
+    from star_schema_etl_airflow_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    q = quantize_int8(emb)
+    bad = q.filter(
+        (F.expr("exists(qvec, v -> v < -127 or v > 127)"))
+        | (F.col("max_abs_err") > F.col("scale") / 2 + 1e-12)
+    )
+    assert bad.count() == 0
+
+    zero = spark.createDataFrame(
+        [(1, [0.0] * 4)], "vec_id int, embedding array<float>"
+    )
+    row = quantize_int8(zero).collect()[0]
+    assert row.scale == 0.0 and list(row.qvec) == [0, 0, 0, 0]
+    assert row.max_abs_err == 0.0
