@@ -244,6 +244,56 @@ r AS (
 SELECT doc_id, lang, ttr, qrank FROM r WHERE qrank >= 0.25
 """
 
+
+def quality_gate_approx_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The :func:`quality_gate_approx` scale path run end-to-end on the
+    documents fixture (sketch thresholds + broadcast map-only filter, no
+    per-language sort).
+
+    Differential-checkability: ``percentile_approx`` is *exact* while a
+    group's row count stays under the sketch accuracy (no compression
+    happens), and in that regime it returns precisely the order statistic
+    at rank ``floor(q*(n-1)) + 1`` — which is what the DuckDB oracle
+    computes.  ``rel_err=1e-4`` (accuracy 10 000) keeps every fixture
+    language in the exact regime; at production scale the sketch
+    compresses and the threshold carries the documented ±rel_err rank
+    error (pinned vs the exact gate in ``tests/test_llm_text.py``)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ttr = docs.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            f"cast(size(array_distinct({_TOKS_S})) as double)"
+            f" / cast(size({_TOKS_S}) as double)"
+        ).alias("ttr"),
+    )
+    return quality_gate_approx(ttr, "lang", "ttr", q=0.25, rel_err=1e-4)
+
+
+QUALITY_GATE_APPROX_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(list_distinct({_TOKS_D})) AS DOUBLE)
+           / CAST(len({_TOKS_D}) AS DOUBLE) AS ttr
+  FROM documents
+),
+r AS (
+  SELECT doc_id, lang, ttr,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY ttr) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM t
+),
+thr AS (
+  SELECT lang,
+         MAX(CASE WHEN rn = CAST(floor(0.25 * (n - 1)) AS BIGINT) + 1
+             THEN ttr END) AS threshold
+  FROM r GROUP BY lang
+)
+SELECT t.doc_id, t.lang, t.ttr
+FROM t JOIN thr ON t.lang = thr.lang
+WHERE t.ttr >= thr.threshold
+"""
+
 # --- repetition_stats: Gopher-style repetition filters ---------------------
 
 def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -427,6 +477,8 @@ register(QuerySpec("pii_scrub", pii_scrub, PII_SCRUB_ORACLE,
                    tags=("LLM-text",)))
 register(QuerySpec("quality_percentile_gate", quality_percentile_gate,
                    QUALITY_GATE_ORACLE, tags=("LLM-text",)))
+register(QuerySpec("quality_gate_approx", quality_gate_approx_q,
+                   QUALITY_GATE_APPROX_ORACLE, tags=("LLM-text",)))
 register(QuerySpec("text_stats", text_stats, TEXT_STATS_ORACLE,
                    tags=("LLM-text",)))
 register(QuerySpec("lang_id", lang_id, LANG_ID_ORACLE, tags=("LLM-text",)))
