@@ -89,3 +89,53 @@ def test_quantize_int8_error_bound_and_range(spark):
     row = quantize_int8(zero).collect()[0]
     assert row.scale == 0.0 and list(row.qvec) == [0, 0, 0, 0]
     assert row.max_abs_err == 0.0
+
+
+def test_quantized_cosine_preserves_topk_recall(spark):
+    """int8 codes must be good enough to drive ANN: top-10 by quantized
+    cosine (codes + per-vector scale) recalls >= 90% of the exact fp32
+    top-10 per query on the fixture corpus."""
+    from pyspark.sql import functions as F
+
+    from star_schema_etl_airflow_spark.plans.llm_quantize import quantize_int8
+    from star_schema_etl_airflow_spark.plans.llm_similarity import (
+        N_QUERIES,
+        TOP_K,
+        embed_topk_cosine,
+    )
+    from star_schema_etl_airflow_spark.sources.fixtures import load_table
+
+    emb = quantize_int8(
+        load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    ).select("vec_id", "scale", "qvec")
+    # dequantized cosine: (q_a * s_a) . (q_b * s_b) factors the scales out
+    # of the per-element products, so score on raw codes and rescale once
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qvec").alias("q_q"),
+    )
+    c = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("qvec").alias("q_c"),
+    )
+    dot = ("aggregate(zip_with(q_q, q_c, (x, y) -> cast(x as double) * "
+           "cast(y as double)), cast(0 as double), (a, v) -> a + v)")
+    norm = lambda col: (f"sqrt(aggregate({col}, cast(0 as double), "
+                        f"(a, x) -> a + cast(x as double) * cast(x as double)))")
+    scored = q.crossJoin(c).select(
+        "query_id", "cand_id",
+        F.expr(f"{dot} / ({norm('q_q')} * {norm('q_c')})").alias("qcos"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qcos").desc(), F.col("cand_id")
+    )
+    approx_top = (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= TOP_K)
+        .select("query_id", "cand_id")
+    )
+    exact_top = embed_topk_cosine(spark, SF_DIR).select("query_id", "cand_id")
+    hits = approx_top.join(exact_top, ["query_id", "cand_id"]).count()
+    assert hits >= 0.9 * N_QUERIES * TOP_K, hits
