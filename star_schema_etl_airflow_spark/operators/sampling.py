@@ -113,6 +113,33 @@ def deterministic_shuffle(df: DataFrame, key_expr: str, seed: str,
     return out.drop("__shufkey")
 
 
+def cap_per_group(df: DataFrame, group_col: str, n: int, key_expr: str,
+                  seed: str, rank_col: str | None = None) -> DataFrame:
+    """Per-group quota: keep at most ``n`` rows per ``group_col`` value,
+    chosen deterministically by content-hash order (the domain-balancing
+    step of crawl curation — no single site may dominate the corpus).
+
+    Selection is a pure function of the data: rows rank by
+    ``md5(seed:key)`` within their group, ties broken by the key itself,
+    so re-runs, repartitioning, and retries keep identical rows, and each
+    ``seed`` draws an independent quota sample.
+
+    Scale design: the ``row_number() <= n`` filter plans with a map-side
+    *Partial* ``WindowGroupLimit`` (see ``tests/test_plans.py``), so each
+    scan partition ships at most ``n`` rows per group — a mega-domain's
+    millions of pages never cross the wire, only ``partitions × n`` of
+    them do.  Group cardinality (domains) is high, so the final window's
+    partitioning is skew-free by construction."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.expr(md5_long_spark(key_expr, seed)), F.expr(key_expr)
+    )
+    ranked = df.withColumn(rank_col or "__qrank", F.row_number().over(w))
+    kept = ranked.filter(F.col(rank_col or "__qrank") <= n)
+    return kept if rank_col else kept.drop("__qrank")
+
+
 def mix_to_weights(df: DataFrame, stratum_col: str, key_expr: str,
                    weights: dict[str, float], seed: str) -> DataFrame:
     """Downsample strata so the result mixes to ``weights`` proportions.

@@ -249,3 +249,40 @@ def _weighted_oracle() -> str:
 
 register(QuerySpec("sample_weighted", sample_weighted_quality,
                    _weighted_oracle(), tags=("LLM-sampling",)))
+
+
+# --- CAP: per-source quota (domain balancing) ------------------------------
+
+CAP_SEED = "srccap"
+CAP_N = 15   # fixture sources hold 25 docs each — the quota must bind
+
+
+def cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain balancing: at most CAP_N docs per source, hash-chosen.
+    The quota window is WindowGroupLimit-friendly (``operators/sampling.py
+    ::cap_per_group`` scale notes; plan pinned in tests/test_plans.py)."""
+    from star_schema_etl_airflow_spark.operators.sampling import cap_per_group
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang"
+    )
+    return cap_per_group(docs, "source", CAP_N, _KEY_S, CAP_SEED,
+                         rank_col="quota_rank")
+
+
+def _cap_oracle() -> str:
+    h = md5_long_duck(_KEY_D, CAP_SEED)
+    return f"""
+WITH r AS (
+  SELECT doc_id, source, lang,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY {h}, CAST(doc_id AS VARCHAR)) AS quota_rank
+  FROM documents
+)
+SELECT doc_id, source, lang, CAST(quota_rank AS INTEGER) AS quota_rank
+FROM r WHERE quota_rank <= {CAP_N}
+"""
+
+
+register(QuerySpec("cap_per_source", cap_per_source, _cap_oracle(),
+                   tags=("LLM-sampling",)))

@@ -50,6 +50,7 @@ def read_csv(
     field_delimiter: str = ",",
     skip_leading_rows: int = 1,
     allow_jagged_rows: bool = False,
+    ignore_unknown_values: bool = False,
     options: dict | None = None,
     stamp_ingestion: bool = True,
 ) -> DataFrame:
@@ -74,6 +75,12 @@ def read_csv(
       short-but-valid row from a corrupt one, so unparseable rows also
       surface as NULL-padded instead of failing — when rejects must be
       audited, use :func:`read_csv_quarantine`, which captures them.
+    - ``ignore_unknown_values=True`` → PERMISSIVE: rows with *extra*
+      trailing values (columns not in the declared schema) keep their
+      schema-prefix and the extras are dropped — verified to match
+      Spark's PERMISSIVE extra-token behavior.  Shares the PERMISSIVE
+      caveat above with ``allow_jagged_rows`` (the two BigQuery flags
+      collapse onto one Spark parser mode).
     """
     if skip_leading_rows not in (0, 1):
         raise ValueError(
@@ -85,7 +92,7 @@ def read_csv(
     opts = dict(DEFAULT_CSV_OPTIONS)
     opts["sep"] = field_delimiter
     opts["header"] = "true" if skip_leading_rows == 1 else "false"
-    if allow_jagged_rows:
+    if allow_jagged_rows or ignore_unknown_values:
         opts["mode"] = "PERMISSIVE"
     else:
         opts["mode"] = "DROPMALFORMED" if tolerant else "FAILFAST"

@@ -108,6 +108,27 @@ def test_csv_allow_jagged_rows_null_fills_missing_trailing(spark, tmp_path):
     assert rows["o3"].amount is None and rows["o3"].order_date is None
 
 
+def test_csv_ignore_unknown_values_drops_extra_columns(spark, tmp_path):
+    # BigQuery ignore_unknown_values: extra trailing values not in the
+    # declared schema are ignored, the row's schema-prefix loads
+    p = tmp_path / "extra.csv"
+    p.write_text(
+        "order_id,amount,order_date\n"
+        "o1,10.5,2024-01-01\n"
+        "o2,7.25,2024-01-02,UNEXPECTED,COLS\n"
+    )
+    schema = build_struct_type(ORDER_COLS)
+    import pytest
+
+    strict = sio.read_csv(spark, str(p), schema)
+    with pytest.raises(Exception):
+        strict.collect()
+    df = sio.read_csv(spark, str(p), schema, ignore_unknown_values=True)
+    rows = {r.order_id: r for r in df.collect()}
+    assert set(rows) == {"o1", "o2"}
+    assert rows["o2"].amount == 7.25
+
+
 def test_csv_jagged_rows_fail_fast_by_default(spark, tmp_path):
     import pytest
 

@@ -135,6 +135,21 @@ def test_embed_topk_partial_limit_before_shuffle(spark):
     assert partial[0] > exchange[0], plan
 
 
+def test_cap_per_source_partial_limit_before_shuffle(spark):
+    """Per-group quota must bound its shuffle map-side: a mega-domain's
+    rows beyond partitions x n never cross the wire."""
+    from star_schema_etl_airflow_spark.plans.llm_sampling import (
+        cap_per_source,
+    )
+
+    plan = _plan(cap_per_source(spark, SF_DIR))
+    lines = plan.splitlines()
+    partial = [i for i, l in enumerate(lines)
+               if "WindowGroupLimit" in l and "Partial" in l]
+    exchange = [i for i, l in enumerate(lines) if "Exchange" in l]
+    assert partial and exchange and partial[0] > exchange[0], plan
+
+
 def test_q7_broadcasts_both_nation_dims(spark):
     from star_schema_etl_airflow_spark.plans.tpch_queries import (
         q7_volume_shipping,
