@@ -1,5 +1,5 @@
-"""Third TPC-H wave: the partsupp-family shapes (Q2/Q9/Q16/Q20) adapted
-to the fixture star schema.
+"""Third TPC-H wave: the partsupp-family shapes (Q2/Q9/Q11/Q16/Q20)
+adapted to the fixture star schema.
 
 The fixtures carry no ``partsupp`` table, so the part↔supplier
 association (and its cost/availability attributes) is reconstructed from
@@ -19,6 +19,9 @@ is the fact-derived one:
 - Q20 — promotion-candidate suppliers: two nested IN subqueries
   (qualifying shipments HAVING a quantity floor; nations of one
   region) → semi-join chain, no correlated re-scan.
+- Q11 — important stock: per-part value for a restricted supplier set,
+  HAVING value above a fraction of the global total (broadcast 1-row
+  scalar subquery; threshold data-adaptive so it binds at every sf).
 
 Q12 is NOT expressible (no ``l_shipmode``/commit/receipt dates in the
 fixture); its CASE-conditional-aggregation shape is already covered by
@@ -281,3 +284,79 @@ register(QuerySpec("q16_supplier_relationship", q16_supplier_relationship,
                    Q16_ORACLE, tags=("A3", "J7")))
 register(QuerySpec("q20_promotion_suppliers", q20_promotion_suppliers,
                    Q20_ORACLE, tags=("J7", "A1")))
+
+
+# --- Q11: important stock identification ------------------------------------
+
+# TPC-H Q11 thresholds with 0.0001/SF — an external knob.  Here the
+# threshold is data-adaptive (1.2× the mean per-part share) so the HAVING
+# binds non-trivially at every fixture scale; the *shape* — group-sum vs
+# a global scalar-subquery fraction — is exactly Q11's.
+Q11_NATIONKEY_BOUND = 8
+Q11_FACTOR = 1.2
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part held value for a restricted supplier set,
+    HAVING value > (fraction of the global total) — the global total and
+    part count arrive via a broadcast 1-row scalar subquery.
+
+    Fixture adaptation (no ``partsupp``, cf. module docstring): held value
+    is the decimal-exact SUM of ``l_extendedprice`` over the suppliers
+    with ``s_nationkey < 8`` (a nation *set* rather than one name — the
+    per-scale fixtures populate nations unevenly, single names can be
+    empty at some sf).  The threshold compare happens in double on both
+    engines (identical inputs → identical IEEE results).
+
+    Scale design: the fact shuffles once, on ``l_partkey``; the supplier
+    filter is a broadcast semi join; the total is a second aggregate over
+    the already part-grained relation (part-cardinality rows, not fact
+    rows) broadcast back as one row.  No fact re-scan, no collect."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") < Q11_NATIONKEY_BOUND)
+        .select("s_suppkey")
+    )
+    per_part = (
+        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"),
+                "left_semi")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .alias("stock_value")
+        )
+    )
+    totals = per_part.agg(
+        F.sum("stock_value").alias("__total"),
+        F.count(F.lit(1)).alias("__nparts"),
+    )
+    return (
+        per_part.crossJoin(F.broadcast(totals))
+        .filter(
+            F.col("stock_value").cast("double")
+            > F.col("__total").cast("double") / F.col("__nparts")
+            * F.lit(Q11_FACTOR)
+        )
+        .select("l_partkey", "stock_value")
+    )
+
+
+Q11_ORACLE = f"""
+WITH v AS (
+  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS stock_value
+  FROM lineitem
+  WHERE l_suppkey IN (
+    SELECT s_suppkey FROM supplier WHERE s_nationkey < {Q11_NATIONKEY_BOUND})
+  GROUP BY l_partkey
+),
+t AS (SELECT SUM(stock_value) AS total, COUNT(*) AS np FROM v)
+SELECT l_partkey, stock_value
+FROM v, t
+WHERE CAST(stock_value AS DOUBLE) > CAST(total AS DOUBLE) / np * {Q11_FACTOR}
+"""
+
+register(QuerySpec("q11_important_stock", q11_important_stock, Q11_ORACLE,
+                   tags=("A1", "A5", "J7")))

@@ -53,6 +53,27 @@ def _master_already_configured() -> bool:
         return False
 
 
+def _driver_memory_configured() -> bool:
+    """True if spark.driver.memory arrives from spark-submit / properties."""
+    try:
+        from pyspark.conf import SparkConf
+
+        return SparkConf().contains("spark.driver.memory")
+    except Exception:  # pragma: no cover - defensive
+        return False
+
+
+def _default_local_driver_memory() -> str:
+    """Half of physical RAM in GiB, clamped to [2g, 48g]."""
+    try:
+        pages = os.sysconf("SC_PHYS_PAGES")
+        page_size = os.sysconf("SC_PAGE_SIZE")
+        total_gib = pages * page_size / (1024 ** 3)
+    except (ValueError, OSError):  # pragma: no cover - defensive
+        total_gib = 8.0
+    return f"{max(2, min(48, int(total_gib // 2)))}g"
+
+
 def get_spark(app_name: str = "star-schema-etl-spark",
               master: str | None = None,
               shuffle_partitions: str | int | None = None,
@@ -90,7 +111,17 @@ def get_spark(app_name: str = "star-schema-etl-spark",
         # Cluster: high initial count; AQE coalesces to the right size.
         shuffle_partitions = _local_cpus() if is_local else CLUSTER_SHUFFLE_PARTITIONS
 
-    conf = {
+    conf = {}
+    if is_local and not _driver_memory_configured():
+        # Local mode runs every "executor" thread inside the ONE driver
+        # JVM, whose default heap is 1g — 32 concurrent tasks on 1g spends
+        # the run in GC and OOMs on join fan-out.  Size the heap to the
+        # box (half of physical RAM, capped) the way a cluster deployment
+        # would size executors.  Only set when this process is about to
+        # LAUNCH the JVM; under spark-submit the submit args own it.
+        conf["spark.driver.memory"] = _default_local_driver_memory()
+
+    conf |= {
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
