@@ -60,3 +60,23 @@ def test_compaction_reduces_file_count_preserving_rows(spark, tmp_path):
     after = spark.read.parquet(out)
     assert after.count() == rows_before
     assert after.exceptAll(df).count() == 0 and df.exceptAll(after).count() == 0
+
+
+def test_ivm_empty_delta_is_noop(spark):
+    """Merging an empty delta must not change the published summary."""
+    from star_schema_etl_airflow_spark.operators.ivm import (
+        grain_to_summary,
+        merge_grain,
+        sales_grain_partials,
+    )
+    from star_schema_etl_airflow_spark.sources.fixtures import load_table
+
+    sf = "/root/testdata/sf0.001"
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    part = load_table(spark, sf, "part")
+    state = sales_grain_partials(li, orders, part)
+    empty = state.limit(0)
+    before = sorted(map(tuple, grain_to_summary(state).collect()))
+    after = sorted(map(tuple, grain_to_summary(merge_grain(state, empty)).collect()))
+    assert before == after
