@@ -484,3 +484,79 @@ register(QuerySpec("text_stats", text_stats, TEXT_STATS_ORACLE,
 register(QuerySpec("lang_id", lang_id, LANG_ID_ORACLE, tags=("LLM-text",)))
 register(QuerySpec("doc_fingerprint", doc_fingerprint, DOC_FINGERPRINT_ORACLE,
                    tags=("LLM-text",)))
+
+
+# --- chunking: overlapping fixed-width windows for embedding pipelines -----
+
+CHUNK_CHARS = 200
+CHUNK_OVERLAP = 50
+_CHUNK_STEP = CHUNK_CHARS - CHUNK_OVERLAP
+
+
+def chunk_documents(df: DataFrame, text_col: str = "text",
+                    chunk_chars: int = CHUNK_CHARS,
+                    overlap: int = CHUNK_OVERLAP) -> DataFrame:
+    """Split documents into overlapping character windows — the
+    preprocessing step between curation and embedding (every RAG /
+    embedding pipeline chunks; retrieval quality depends on stable,
+    reproducible boundaries).
+
+    Chunk k covers 1-based offsets [1 + k*step, 1 + k*step + chunk_chars)
+    with step = chunk_chars - overlap; the last chunk is the remainder
+    (never empty, never duplicated: k ranges over ceil-div of the
+    overhang).  Pure ``explode(sequence(...))`` + ``substring`` — map-only
+    column expressions, no shuffle, no UDF; at 100 TB chunking happens at
+    scan speed and multiplies rows before the (already row-parallel)
+    embedding stage."""
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be smaller than chunk_chars")
+    step = chunk_chars - overlap
+    n_chunks = (
+        f"greatest(1, cast(ceil((length({text_col}) - {chunk_chars}) "
+        f"/ {step}.0d) as int) + 1)"
+    )
+    return (
+        df.withColumn("__n_chunks", F.expr(n_chunks))
+        .withColumn(
+            "chunk_idx", F.expr("explode(sequence(0, __n_chunks - 1))")
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.expr(f"1 + chunk_idx * {step}").alias("chunk_start"),
+            F.expr(
+                f"substring({text_col}, 1 + chunk_idx * {step}, {chunk_chars})"
+            ).alias("chunk_text"),
+            F.col("__n_chunks").alias("n_chunks"),
+        )
+    )
+
+
+def chunk_docs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(docs)
+
+
+CHUNK_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, text,
+         GREATEST(1, CAST(ceil((len(text) - {CHUNK_CHARS}) / {_CHUNK_STEP}.0)
+                     AS INTEGER) + 1) AS n_chunks
+  FROM documents
+),
+e AS (
+  SELECT doc_id, text, n_chunks,
+         unnest(generate_series(0, n_chunks - 1)) AS k
+  FROM d
+)
+SELECT doc_id,
+       CAST(k AS INTEGER) AS chunk_idx,
+       CAST(1 + k * {_CHUNK_STEP} AS INTEGER) AS chunk_start,
+       substr(text, CAST(1 + k * {_CHUNK_STEP} AS INTEGER), {CHUNK_CHARS})
+         AS chunk_text,
+       n_chunks
+FROM e
+"""
+
+register(QuerySpec("chunk_documents", chunk_docs_query, CHUNK_ORACLE,
+                   tags=("LLM-text", "chunking")))

@@ -139,3 +139,44 @@ def test_quantized_cosine_preserves_topk_recall(spark):
     exact_top = embed_topk_cosine(spark, SF_DIR).select("query_id", "cand_id")
     hits = approx_top.join(exact_top, ["query_id", "cand_id"]).count()
     assert hits >= 0.9 * N_QUERIES * TOP_K, hits
+
+
+def test_chunks_cover_document_exactly(spark):
+    """Chunk windows must tile each document: first chunk starts at 1,
+    consecutive starts differ by the step, and the last chunk reaches
+    exactly the end of the text — no gap, no spill-over."""
+    from pyspark.sql import functions as F
+
+    from star_schema_etl_airflow_spark.plans.llm_text import (
+        CHUNK_CHARS,
+        CHUNK_OVERLAP,
+        chunk_documents,
+    )
+    from star_schema_etl_airflow_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    chunks = chunk_documents(docs)
+    step = CHUNK_CHARS - CHUNK_OVERLAP
+    per_doc = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.min("chunk_start").alias("first_start"),
+            F.max(F.col("chunk_start") + F.length("chunk_text") - 1)
+            .alias("last_end"),
+            F.count("*").alias("n"),
+            F.max("n_chunks").alias("declared"),
+        )
+        .join(docs.select("doc_id", F.length("text").alias("len")), "doc_id")
+    )
+    bad = per_doc.filter(
+        (F.col("first_start") != 1)
+        | (F.col("last_end") != F.col("len"))
+        | (F.col("n") != F.col("declared"))
+    )
+    assert bad.count() == 0
+    # every non-final chunk is exactly chunk_chars long
+    short = chunks.filter(
+        (F.col("chunk_idx") < F.col("n_chunks") - 1)
+        & (F.length("chunk_text") != CHUNK_CHARS)
+    )
+    assert short.count() == 0
