@@ -557,3 +557,64 @@ WHERE jaccard >= {PREFIX_T_NUM} / {PREFIX_T_DEN}
 
 register(QuerySpec("dedup_prefix_join", dedup_prefix_join,
                    DEDUP_PREFIX_ORACLE, tags=("LLM-dedup", "prefix-filter")))
+
+
+# --- canonical selection: keep the best copy per near-dup cluster ----------
+
+
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep-decision that completes the dedup pipeline: per near-dup
+    cluster, keep the HIGHEST-QUALITY copy (longest text; ties → lowest
+    doc_id), not merely the lowest id.  Real curation keeps the best
+    version of a page, which is rarely the first-crawled one.
+
+    Shape: clusters (connected components) join per-doc quality, then an
+    aggregatable argmax — ``min(struct(-quality, doc_id))`` — per
+    cluster: map-side combine, one surviving row per cluster over the
+    wire, same pattern as the k-means argmin (``operators/kmeans.py``)."""
+    clusters = dedup_clusters(spark, sf_dir)
+    quality = build_corpus(spark, sf_dir).select(
+        "doc_id", F.length("text").alias("n_chars")
+    )
+    return (
+        clusters.join(quality, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.min(F.struct((-F.col("n_chars")).alias("neg_q"), F.col("doc_id")))
+            .alias("best"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .select(
+            "cluster_id",
+            F.col("best.doc_id").alias("canonical_doc_id"),
+            (-F.col("best.neg_q")).alias("canonical_chars"),
+            "n_docs",
+        )
+    )
+
+
+DEDUP_CANONICAL_ORACLE = f"""
+WITH clusters AS (
+{DEDUP_CLUSTERS_ORACLE}
+),
+corpus_q AS (
+  SELECT doc_id, length(text) AS n_chars FROM ({CORPUS_DUCK})
+),
+j AS (
+  SELECT c.cluster_id, c.doc_id, q.n_chars
+  FROM clusters c JOIN corpus_q q USING (doc_id)
+),
+r AS (
+  SELECT cluster_id, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY cluster_id
+                            ORDER BY n_chars DESC, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY cluster_id) AS n_docs
+  FROM j
+)
+SELECT cluster_id, doc_id AS canonical_doc_id,
+       CAST(n_chars AS INTEGER) AS canonical_chars, n_docs
+FROM r WHERE rn = 1
+"""
+
+register(QuerySpec("dedup_canonical", dedup_canonical,
+                   DEDUP_CANONICAL_ORACLE, tags=("LLM-dedup",)))
