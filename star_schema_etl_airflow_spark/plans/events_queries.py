@@ -371,3 +371,56 @@ FROM t
 
 register(QuerySpec("events_error_spike", events_error_spike,
                    EVENTS_ERROR_SPIKE_ORACLE, tags=("analytics", "W3")))
+
+
+# --- user event sequences: ordered per-entity histories for training -------
+
+SEQ_MAX_LEN = 20
+
+
+def events_user_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered event-type sequences, truncated to SEQ_MAX_LEN —
+    the behavioral-pretraining primitive (next-event prediction, session
+    models): every example is an entity's history in deterministic
+    (ts, event_id) order.
+
+    Spark-first shape: ``collect_list(struct(ts, event_id, event_type))``
+    under a hash aggregate, then ``sort_array`` + ``slice`` + field
+    projection — the sort happens per group AFTER the shuffle (each
+    group's own rows only), not as a global sort; the shuffle key
+    (user_id) is high-cardinality and skew-free.  Compare
+    ``deterministic_shuffle`` for corpus-level ordering; this is the
+    per-entity version."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(
+                f"transform(slice(sort_array(collect_list("
+                f"struct(ts, event_id, event_type))), 1, {SEQ_MAX_LEN}), "
+                f"s -> s.event_type)"
+            ).alias("seq"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            "seq",
+            F.expr("size(seq)").alias("seq_len"),
+        )
+    )
+
+
+EVENTS_SEQ_ORACLE = f"""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       (list(event_type ORDER BY ts, event_id))[1:{SEQ_MAX_LEN}] AS seq,
+       CAST(LEAST(COUNT(*), {SEQ_MAX_LEN}) AS INTEGER) AS seq_len
+FROM events
+GROUP BY user_id
+"""
+
+register(QuerySpec("events_user_sequences", events_user_sequences,
+                   EVENTS_SEQ_ORACLE, tags=("LLM-sequences", "A1")))
