@@ -179,3 +179,40 @@ register(QuerySpec("dq1_lineitem_rules", dq1_lineitem_rules, DQ1_ORACLE,
                    tags=("DQ1",)))
 register(QuerySpec("j8_bloom_pruned_join", j8_bloom_pruned_join, J8_ORACLE,
                    tags=("J8",)))
+
+
+# --- J9: salted skew-join equivalence --------------------------------------
+
+
+def j9_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The explicit-salting skew join (``operators/skew.py``) on real
+    fixture tables, differentially proven equal to the plain join: the
+    salt must change the SHUFFLE LAYOUT only, never the result.  Both
+    sides here are modest, but the operator is the one you reach for
+    when both sides are too big to broadcast AND keys are hot (the
+    'default user' pattern); rollup keeps the compared output small."""
+    from star_schema_etl_airflow_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    joined = salted_join(li, orders, on="l_orderkey", n_salts=8)
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("l_quantity").alias("sum_qty"),
+    )
+
+
+J9_ORACLE = """
+SELECT o.o_orderstatus,
+       COUNT(*) AS n_lines,
+       SUM(l.l_quantity) AS sum_qty
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY 1
+"""
+
+register(QuerySpec("j9_salted_join", j9_salted_join, J9_ORACLE,
+                   tags=("J1", "skew")))
