@@ -618,3 +618,88 @@ FROM r WHERE rn = 1
 
 register(QuerySpec("dedup_canonical", dedup_canonical,
                    DEDUP_CANONICAL_ORACLE, tags=("LLM-dedup",)))
+
+
+# --- containment: asymmetric overlap (quote / subset detection) ------------
+
+CONTAINMENT_THRESHOLD = 0.5
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup scoring: containment(A in B) =
+    |shingles(A) ∩ shingles(B)| / |shingles(A)|.  Jaccard misses the
+    quote/subset case (a short doc wholly contained in a long one has
+    low Jaccard but containment ≈ 1); dedup policies drop the contained
+    side.  Candidates come from the same LSH band buckets as the
+    symmetric pass — one extra projection over machinery the Jaccard
+    join already paid for; both directions emitted per pair."""
+    sig = _signature_df(spark, sf_dir).persist()
+
+    band_exprs = []
+    for b in range(_N_BANDS):
+        row = ", ".join(f"mh{b * LSH_BAND_ROWS + r}" for r in range(LSH_BAND_ROWS))
+        band_exprs.append(f"{b}, md5(concat_ws(',', {row}))")
+    buckets = sig.select(
+        "doc_id",
+        F.expr(f"stack({_N_BANDS}, {', '.join(band_exprs)}) as (band_idx, band_key)"),
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh = sig.select("doc_id", "hashes")
+    inter = "cast(size(array_intersect(sa.hashes, sb.hashes)) as double)"
+    return (
+        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sh.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(f"{inter} / cast(size(sa.hashes) as double)")
+            .alias("contain_a_in_b"),
+            F.expr(f"{inter} / cast(size(sb.hashes) as double)")
+            .alias("contain_b_in_a"),
+        )
+        .filter(
+            F.greatest("contain_a_in_b", "contain_b_in_a")
+            >= CONTAINMENT_THRESHOLD
+        )
+    )
+
+
+def _containment_oracle() -> str:
+    return f"""
+WITH corpus AS ({CORPUS_DUCK}),
+{_duck_minhash_sig()},
+buckets AS (
+{_duck_bands()}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a JOIN buckets b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, contain_a_in_b, contain_b_in_a FROM (
+  SELECT c.doc_a, c.doc_b,
+         CAST(len(list_intersect(sa.hashes, sb.hashes)) AS DOUBLE)
+           / CAST(len(sa.hashes) AS DOUBLE) AS contain_a_in_b,
+         CAST(len(list_intersect(sa.hashes, sb.hashes)) AS DOUBLE)
+           / CAST(len(sb.hashes) AS DOUBLE) AS contain_b_in_a
+  FROM cand c
+  JOIN sigh sa ON c.doc_a = sa.doc_id
+  JOIN sigh sb ON c.doc_b = sb.doc_id
+)
+WHERE GREATEST(contain_a_in_b, contain_b_in_a) >= {CONTAINMENT_THRESHOLD}
+"""
+
+
+register(QuerySpec("dedup_containment", dedup_containment,
+                   _containment_oracle(), tags=("LLM-dedup",)))

@@ -253,7 +253,8 @@ def quality_gate_approx_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     Differential-checkability: ``percentile_approx`` is *exact* while a
     group's row count stays under the sketch accuracy (no compression
     happens), and in that regime it returns precisely the order statistic
-    at rank ``floor(q*(n-1)) + 1`` — which is what the DuckDB oracle
+    at rank ``ceil(q*n)`` (verified empirically per language at q = 0.05,
+    0.25, 0.95) — which is what the DuckDB oracle
     computes.  ``rel_err=1e-4`` (accuracy 10 000) keeps every fixture
     language in the exact regime; at production scale the sketch
     compresses and the threshold carries the documented ±rel_err rank
@@ -285,7 +286,7 @@ r AS (
 ),
 thr AS (
   SELECT lang,
-         MAX(CASE WHEN rn = CAST(floor(0.25 * (n - 1)) AS BIGINT) + 1
+         MAX(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT)
              THEN ttr END) AS threshold
   FROM r GROUP BY lang
 )
@@ -560,3 +561,73 @@ FROM e
 
 register(QuerySpec("chunk_documents", chunk_docs_query, CHUNK_ORACLE,
                    tags=("LLM-text", "chunking")))
+
+
+# --- winsorization: per-group quantile clipping ----------------------------
+
+WINSOR_LO = 0.05
+WINSOR_HI = 0.95
+
+
+def winsorize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo: float = WINSOR_LO,
+    hi: float = WINSOR_HI,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Clip ``value_col`` to its per-group [lo, hi] quantile band — the
+    outlier treatment for numeric curation signals (a single 10 MB
+    document must not dominate a mean length; clipping beats dropping
+    when the row itself is valid).
+
+    Same two-pass shape as :func:`quality_gate_approx`: a partial-agg
+    ``percentile_approx`` sketch per group (exact while the group stays
+    under ``accuracy``), broadcast back, then a map-only
+    ``least/greatest`` clamp.  No per-group sort at any scale."""
+    bounds = df.groupBy(group_col).agg(
+        F.percentile_approx(value_col, F.lit(lo), F.lit(accuracy))
+        .alias("__lo"),
+        F.percentile_approx(value_col, F.lit(hi), F.lit(accuracy))
+        .alias("__hi"),
+    )
+    return (
+        df.join(F.broadcast(bounds), group_col)
+        .withColumn(
+            f"{value_col}_winsor",
+            F.greatest(F.col("__lo"), F.least(F.col("__hi"), F.col(value_col))),
+        )
+        .drop("__lo", "__hi")
+    )
+
+
+def winsorize_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("double").alias("n_chars")
+    )
+    return winsorize(docs, "lang", "n_chars")
+
+
+WINSORIZE_ORACLE = f"""
+WITH r AS (
+  SELECT doc_id, lang, CAST(n_chars AS DOUBLE) AS n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+),
+b AS (
+  SELECT lang,
+         MAX(CASE WHEN rn = CAST(ceil({WINSOR_LO} * n) AS BIGINT)
+             THEN n_chars END) AS lo,
+         MAX(CASE WHEN rn = CAST(ceil({WINSOR_HI} * n) AS BIGINT)
+             THEN n_chars END) AS hi
+  FROM r GROUP BY lang
+)
+SELECT r.doc_id, r.lang, r.n_chars,
+       GREATEST(b.lo, LEAST(b.hi, r.n_chars)) AS n_chars_winsor
+FROM r JOIN b USING (lang)
+"""
+
+register(QuerySpec("winsorize_doc_lengths", winsorize_doc_lengths,
+                   WINSORIZE_ORACLE, tags=("LLM-text",)))
