@@ -11,12 +11,20 @@ the differential check covers stage *interactions* (the mixing counts are
 computed over the post-decontamination corpus, the split applies after
 mixing — exactly the order a production curation run uses).
 
-Scale design: every stage is a map or a broadcast join over the corpus
-scan except the per-language percentile window (swap in
-``llm_text.quality_gate_approx`` — two-pass percentile_approx threshold,
-no per-language sort — when running at scale) — the corpus
-is never shuffled on a high-cardinality key, and the final rollup is a
-tiny partial aggregate.
+Scale design: every stage is a map, a broadcast join, or a partial-agg
+sketch over the corpus scan — there is NO window anywhere: the quality
+gate is the two-pass ``percentile_approx`` value threshold
+(``llm_text.quality_gate_approx``'s shape), whose sketch is exact at
+fixture scale (rank ``ceil(q*n)``, the formula the oracle mirrors —
+see ``quality_gate_approx_q``) and carries the documented ±rel_err rank
+error beyond it.  The corpus is never shuffled on a low-cardinality
+key, and the final rollup is a tiny partial aggregate.
+
+(The gate is value-thresholded: every document whose TTR ties the
+boundary value is kept, with no dependence on doc_id order inside tie
+blocks — cleaner curation semantics than a percent_rank cut, and the
+form that scales.  The exact window form remains available as
+``quality_percentile_gate``.)
 """
 
 from __future__ import annotations
@@ -66,18 +74,23 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = docs.filter(b_eval < _T_EVAL)
     train = docs.filter(b_eval >= _T_EVAL)
 
-    # 1. per-language quality gate (bottom TTR quartile dropped)
-    from pyspark.sql import Window
-
+    # 1. per-language quality gate (bottom TTR quartile dropped):
+    # two-pass value threshold — sketch per language, broadcast back,
+    # map-only filter; no per-language sort at any scale
     ttr = F.expr(
         "cast(size(array_distinct(split(text, '\\\\s+'))) as double)"
         " / cast(size(split(text, '\\\\s+')) as double)"
     )
-    w = Window.partitionBy("lang").orderBy(ttr.asc(), F.col("doc_id"))
+    with_ttr = train.withColumn("__ttr", ttr)
+    thr_q = with_ttr.groupBy("lang").agg(
+        F.percentile_approx("__ttr", F.lit(0.25), F.lit(10_000))
+        .alias("__thr")
+    )
     gated = (
-        train.withColumn("__qr", F.percent_rank().over(w))
-        .filter(F.col("__qr") >= 0.25)
-        .drop("__qr")
+        with_ttr.join(F.broadcast(thr_q), "lang")
+        .filter(F.col("__ttr") >= F.col("__thr"))
+        .drop("__ttr", "__thr")
+        .select("doc_id", "lang", "text", "n_chars")
     )
 
     # 2. decontaminate vs the eval set
@@ -123,15 +136,28 @@ train AS (
   SELECT doc_id, lang, text, n_chars FROM documents
   WHERE {_bucket_d(EVAL_SEED)} >= {_T_EVAL}
 ),
+tt AS (
+  SELECT doc_id, lang, text, n_chars,
+         CAST(len(list_distinct({tokens_duck('text')})) AS DOUBLE)
+           / CAST(len({tokens_duck('text')}) AS DOUBLE) AS ttr
+  FROM train
+),
+tr AS (
+  SELECT lang, ttr,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY ttr) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM tt
+),
+thr_q AS (
+  SELECT lang,
+         MAX(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT)
+             THEN ttr END) AS threshold
+  FROM tr GROUP BY lang
+),
 gated AS (
-  SELECT doc_id, lang, text, n_chars FROM (
-    SELECT *, PERCENT_RANK() OVER (
-      PARTITION BY lang
-      ORDER BY CAST(len(list_distinct({tokens_duck('text')})) AS DOUBLE)
-               / CAST(len({tokens_duck('text')}) AS DOUBLE),
-               doc_id) AS qr
-    FROM train
-  ) WHERE qr >= 0.25
+  SELECT t.doc_id, t.lang, t.text, t.n_chars
+  FROM tt t JOIN thr_q ON t.lang = thr_q.lang
+  WHERE t.ttr >= thr_q.threshold
 ),
 trg AS (SELECT doc_id AS train_id, unnest({grams}) AS g FROM gated),
 evg AS (SELECT doc_id AS eval_id, unnest({grams}) AS g FROM ev),
