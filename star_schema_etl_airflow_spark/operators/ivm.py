@@ -54,7 +54,12 @@ def sales_grain_partials(
         .agg(
             F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
             .alias("sum_sales"),
-            F.sum("l_quantity").alias("sum_qty"),
+            # decimal like sum_sales: a plain double SUM folded in two
+            # levels (partial → merge → summary) differs from a flat SUM
+            # in ULPs once quantities are fractional, breaking the
+            # incremental == full-recompute bit-for-bit contract.
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .alias("sum_qty"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -85,6 +90,7 @@ def grain_to_summary(grain: DataFrame) -> DataFrame:
             F.sum("sum_sales").cast("decimal(38,2)").cast("double")
             .alias("total_sales"),
             F.count(F.lit(1)).alias("total_orders"),
-            F.sum("sum_qty").alias("total_quantity"),
+            F.sum("sum_qty").cast("decimal(38,2)").cast("double")
+            .alias("total_quantity"),
         )
     )

@@ -390,7 +390,12 @@ def events_user_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     group's own rows only), not as a global sort; the shuffle key
     (user_id) is high-cardinality and skew-free.  Compare
     ``deterministic_shuffle`` for corpus-level ordering; this is the
-    per-entity version."""
+    per-entity version.
+
+    The sequence is *emitted* as a '|'-joined string (the array form
+    stays internal): the differential harness canonicalizes results
+    through pandas, which cannot hash/sort list-typed cells — a scalar
+    canonical form keeps the query exactly checkable."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "event_type"
     )
@@ -402,13 +407,13 @@ def events_user_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"transform(slice(sort_array(collect_list("
                 f"struct(ts, event_id, event_type))), 1, {SEQ_MAX_LEN}), "
                 f"s -> s.event_type)"
-            ).alias("seq"),
+            ).alias("seq_arr"),
         )
         .select(
             "user_id",
             "n_events",
-            "seq",
-            F.expr("size(seq)").alias("seq_len"),
+            F.array_join("seq_arr", "|").alias("seq"),
+            F.expr("size(seq_arr)").alias("seq_len"),
         )
     )
 
@@ -416,7 +421,8 @@ def events_user_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_SEQ_ORACLE = f"""
 SELECT user_id,
        COUNT(*) AS n_events,
-       (list(event_type ORDER BY ts, event_id))[1:{SEQ_MAX_LEN}] AS seq,
+       array_to_string((list(event_type ORDER BY ts, event_id))[1:{SEQ_MAX_LEN}],
+                       '|') AS seq,
        CAST(LEAST(COUNT(*), {SEQ_MAX_LEN}) AS INTEGER) AS seq_len
 FROM events
 GROUP BY user_id

@@ -68,7 +68,8 @@ SELECT CAST(o.o_orderdate AS DATE) AS sale_date,
        CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
             AS DECIMAL(38,2)) AS DOUBLE) AS total_sales,
        COUNT(DISTINCT l.l_orderkey) AS total_orders,
-       SUM(l.l_quantity) AS total_quantity
+       CAST(CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2)))
+            AS DECIMAL(38,2)) AS DOUBLE) AS total_quantity
 FROM lineitem l
 JOIN orders o ON o.o_orderkey = l.l_orderkey
 JOIN part p   ON p.p_partkey = l.l_partkey

@@ -49,6 +49,7 @@ from star_schema_etl_airflow_spark.operators.sampling import (
     mix_to_weights,
     threshold,
 )
+from star_schema_etl_airflow_spark.plans.llm_text import exact_regime_guard
 from star_schema_etl_airflow_spark.registry import QuerySpec, register
 from star_schema_etl_airflow_spark.sources.fixtures import load_table
 
@@ -82,9 +83,16 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         " / cast(size(split(text, '\\\\s+')) as double)"
     )
     with_ttr = train.withColumn("__ttr", ttr)
+    # the guard makes the sketch's exact-regime assumption (group rows <=
+    # accuracy, see llm_text.exact_regime_guard) raise at execution time
+    # on a bigger fixture instead of silently drifting from the oracle
+    _ACC = 10_000
     thr_q = with_ttr.groupBy("lang").agg(
-        F.percentile_approx("__ttr", F.lit(0.25), F.lit(10_000))
-        .alias("__thr")
+        F.percentile_approx("__ttr", F.lit(0.25), F.lit(_ACC))
+        .alias("__thr0"),
+        F.count(F.lit(1)).alias("__n"),
+    ).select(
+        "lang", exact_regime_guard("__thr0", "__n", _ACC).alias("__thr")
     )
     gated = (
         with_ttr.join(F.broadcast(thr_q), "lang")

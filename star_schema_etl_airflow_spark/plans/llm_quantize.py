@@ -66,9 +66,19 @@ def quantize_int8(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
 
 def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantize the fixture embedding corpus; the error column doubles as
-    the quality audit (max error is bounded by scale/2 by construction)."""
+    the quality audit (max error is bounded by scale/2 by construction).
+
+    ``qvec`` is emitted as a '|'-joined string of the int8 codes (the
+    array form stays internal, see ``quantize_int8``): the differential
+    harness canonicalizes through pandas, which cannot hash list cells."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    return quantize_int8(emb).select("vec_id", "scale", "qvec", "max_abs_err")
+    return quantize_int8(emb).select(
+        "vec_id",
+        "scale",
+        F.array_join(F.expr("transform(qvec, x -> cast(x as string))"), "|")
+        .alias("qvec"),
+        "max_abs_err",
+    )
 
 
 EMBED_QUANTIZE_ORACLE = f"""
@@ -79,10 +89,12 @@ WITH s AS (
   FROM embeddings
 )
 SELECT vec_id, scale,
-       list_transform(embedding, x -> CAST(
-         CASE WHEN scale = 0.0 THEN 0.0
-              ELSE floor(CAST(x AS DOUBLE) / scale + 0.5) END AS TINYINT)
-       ) AS qvec,
+       array_to_string(
+         list_transform(embedding, x -> CAST(CAST(
+           CASE WHEN scale = 0.0 THEN 0.0
+                ELSE floor(CAST(x AS DOUBLE) / scale + 0.5) END AS TINYINT)
+           AS VARCHAR)),
+         '|') AS qvec,
        CASE WHEN scale = 0.0 THEN 0.0 ELSE
          list_max(list_transform(embedding, x ->
            abs(CAST(x AS DOUBLE) -

@@ -191,12 +191,36 @@ def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def exact_regime_guard(thr_col: str, n_col: str, accuracy: int):
+    """Column expression that passes ``thr_col`` through only while the
+    group's row count stays under the sketch ``accuracy`` — the regime in
+    which ``percentile_approx`` is exact (no compression) and the DuckDB
+    rank-``ceil(q*n)`` oracle matches bit-for-bit.
+
+    Crossing the line raises ``assert_true`` at execution time instead of
+    surfacing later as a silent oracle hash mismatch: a bigger fixture
+    fails LOUDLY with this message, and the caller either raises
+    ``accuracy`` or switches to the documented ±rel_err approximate
+    contract (dropping the exact-oracle claim)."""
+    return F.when(
+        F.expr(
+            f"assert_true({n_col} <= {accuracy}, "
+            f"'percentile_approx exact-regime assumption violated: a group "
+            f"exceeds accuracy={accuracy} rows, the sketch now compresses "
+            f"and rank-exact oracles no longer apply — raise accuracy or "
+            f"use the approximate contract')"
+        ).isNull(),
+        F.col(thr_col),
+    )
+
+
 def quality_gate_approx(
     df: DataFrame,
     lang_col: str = "lang",
     value_col: str = "ttr",
     q: float = 0.25,
     rel_err: float = 0.01,
+    assert_exact: bool = False,
 ) -> DataFrame:
     """Scale path for :func:`quality_percentile_gate`: keep rows whose
     ``value_col`` is at or above the per-``lang_col`` ``q``-quantile,
@@ -220,8 +244,19 @@ def quality_gate_approx(
     thresholds = df.groupBy(lang_col).agg(
         F.percentile_approx(value_col, F.lit(q), F.lit(accuracy)).alias(
             "_q_threshold"
-        )
+        ),
+        F.count(F.lit(1)).alias("_q_n"),
     )
+    if assert_exact:
+        # differential-check mode: the exact-regime assumption must fail
+        # loudly (see exact_regime_guard), never as an oracle red
+        thresholds = thresholds.select(
+            lang_col,
+            exact_regime_guard("_q_threshold", "_q_n", accuracy)
+            .alias("_q_threshold"),
+        )
+    else:
+        thresholds = thresholds.drop("_q_n")
     return (
         df.join(F.broadcast(thresholds), lang_col)
         .filter(F.col(value_col) >= F.col("_q_threshold"))
@@ -268,7 +303,9 @@ def quality_gate_approx_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" / cast(size({_TOKS_S}) as double)"
         ).alias("ttr"),
     )
-    return quality_gate_approx(ttr, "lang", "ttr", q=0.25, rel_err=1e-4)
+    return quality_gate_approx(
+        ttr, "lang", "ttr", q=0.25, rel_err=1e-4, assert_exact=True
+    )
 
 
 QUALITY_GATE_APPROX_ORACLE = f"""
@@ -576,6 +613,7 @@ def winsorize(
     lo: float = WINSOR_LO,
     hi: float = WINSOR_HI,
     accuracy: int = 10_000,
+    assert_exact: bool = False,
 ) -> DataFrame:
     """Clip ``value_col`` to its per-group [lo, hi] quantile band — the
     outlier treatment for numeric curation signals (a single 10 MB
@@ -591,7 +629,16 @@ def winsorize(
         .alias("__lo"),
         F.percentile_approx(value_col, F.lit(hi), F.lit(accuracy))
         .alias("__hi"),
+        F.count(F.lit(1)).alias("__n"),
     )
+    if assert_exact:
+        bounds = bounds.select(
+            group_col,
+            exact_regime_guard("__lo", "__n", accuracy).alias("__lo"),
+            exact_regime_guard("__hi", "__n", accuracy).alias("__hi"),
+        )
+    else:
+        bounds = bounds.drop("__n")
     return (
         df.join(F.broadcast(bounds), group_col)
         .withColumn(
@@ -606,7 +653,7 @@ def winsorize_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.col("n_chars").cast("double").alias("n_chars")
     )
-    return winsorize(docs, "lang", "n_chars")
+    return winsorize(docs, "lang", "n_chars", assert_exact=True)
 
 
 WINSORIZE_ORACLE = f"""

@@ -25,11 +25,11 @@ SELECT doc_id AS media_id,
        {_TYPES_SQL}[CAST(doc_id % {len(MEDIA_TYPES)} AS INTEGER) + 1] AS media_type,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
        md5(text) AS payload_md5,
-       list_transform(
+       array_to_string(list_transform(
          list_filter(range(0, {SAMPLE_LEN}),
                      k -> k * {SAMPLE_STRIDE} < octet_length(encode(text))),
          k -> CAST(ord(substr(text, k * {SAMPLE_STRIDE} + 1, 1)) AS BIGINT)
-       ) AS byte_sample
+       ), '|') AS byte_sample
 FROM documents
 """
 

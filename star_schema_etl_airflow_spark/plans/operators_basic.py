@@ -532,36 +532,34 @@ def fn_array_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact DuckDB list-function twin.  Arrays are derived from the key
     via ``sequence`` so both engines build identical inputs.
 
+    Every array-valued result is emitted '|'-joined (the arrays stay
+    internal): the differential harness canonicalizes through pandas,
+    which cannot hash/sort list-typed cells.
+
     Scale: all higher-order functions run inside codegen over
     per-row arrays — a pure map stage, no shuffle, no Python."""
+
+    def joined(expr: str, alias: str):
+        return F.expr(
+            f"array_join(transform({expr}, x -> cast(x as string)), '|')"
+        ).alias(alias)
+
+    seq = "sequence(1, cast(c_custkey % 8 + 3 as int))"
     c = load_table(spark, sf_dir, "customer")
     return c.select(
         F.col("c_custkey").alias("customer_id"),
-        F.expr("sequence(1, cast(c_custkey % 8 + 3 as int))").alias("arr"),
-        F.expr("transform(sequence(1, cast(c_custkey % 8 + 3 as int)), x -> x * x)")
-        .alias("sq"),
-        F.expr("filter(sequence(1, cast(c_custkey % 8 + 3 as int)), x -> x % 2 = 0)")
-        .alias("evens"),
-        F.expr("aggregate(sequence(1, cast(c_custkey % 8 + 3 as int)), "
-               "0L, (acc, x) -> acc + x)").alias("total"),
-        F.expr("zip_with(sequence(1, cast(c_custkey % 8 + 3 as int)), "
-               "reverse(sequence(1, cast(c_custkey % 8 + 3 as int))), "
-               "(x, y) -> x * y)").alias("dotrev"),
-        F.expr("exists(sequence(1, cast(c_custkey % 8 + 3 as int)), x -> x > 5)")
-        .alias("has_gt5"),
-        F.expr("forall(sequence(1, cast(c_custkey % 8 + 3 as int)), x -> x < 9)")
-        .alias("all_lt9"),
-        F.expr("flatten(array(sequence(1, cast(c_custkey % 8 + 3 as int)), "
-               "sequence(1, cast(c_custkey % 8 + 3 as int))))").alias("flat2"),
-        F.expr("slice(sequence(1, cast(c_custkey % 8 + 3 as int)), 2, 3)")
-        .alias("mid"),
-        F.expr("cast(array_position("
-               "sequence(1, cast(c_custkey % 8 + 3 as int)), 3) as bigint)")
-        .alias("pos3"),
-        F.expr("cast(array_max(sequence(1, cast(c_custkey % 8 + 3 as int))) "
-               "as bigint)").alias("amax"),
-        F.expr("sort_array(sequence(1, cast(c_custkey % 8 + 3 as int)), false)")
-        .alias("asort_desc"),
+        joined(seq, "arr"),
+        joined(f"transform({seq}, x -> x * x)", "sq"),
+        joined(f"filter({seq}, x -> x % 2 = 0)", "evens"),
+        F.expr(f"aggregate({seq}, 0L, (acc, x) -> acc + x)").alias("total"),
+        joined(f"zip_with({seq}, reverse({seq}), (x, y) -> x * y)", "dotrev"),
+        F.expr(f"exists({seq}, x -> x > 5)").alias("has_gt5"),
+        F.expr(f"forall({seq}, x -> x < 9)").alias("all_lt9"),
+        joined(f"flatten(array({seq}, {seq}))", "flat2"),
+        joined(f"slice({seq}, 2, 3)", "mid"),
+        F.expr(f"cast(array_position({seq}, 3) as bigint)").alias("pos3"),
+        F.expr(f"cast(array_max({seq}) as bigint)").alias("amax"),
+        joined(f"sort_array({seq}, false)", "asort_desc"),
     )
 
 
@@ -572,19 +570,19 @@ WITH base AS (
   FROM customer
 )
 SELECT c_custkey AS customer_id,
-       arr,
-       list_transform(arr, x -> x * x) AS sq,
-       list_filter(arr, x -> x % 2 = 0) AS evens,
+       array_to_string(arr, '|') AS arr,
+       array_to_string(list_transform(arr, x -> x * x), '|') AS sq,
+       array_to_string(list_filter(arr, x -> x % 2 = 0), '|') AS evens,
        CAST(list_sum(arr) AS BIGINT) AS total,
-       list_transform(range(1, len(arr) + 1),
-                      i -> arr[i] * list_reverse(arr)[i]) AS dotrev,
+       array_to_string(list_transform(range(1, len(arr) + 1),
+                       i -> arr[i] * list_reverse(arr)[i]), '|') AS dotrev,
        len(list_filter(arr, x -> x > 5)) > 0 AS has_gt5,
        len(list_filter(arr, x -> x >= 9)) = 0 AS all_lt9,
-       flatten([arr, arr]) AS flat2,
-       arr[2:4] AS mid,
+       array_to_string(flatten([arr, arr]), '|') AS flat2,
+       array_to_string(arr[2:4], '|') AS mid,
        CAST(list_position(arr, 3) AS BIGINT) AS pos3,
        CAST(list_max(arr) AS BIGINT) AS amax,
-       list_sort(arr, 'DESC') AS asort_desc
+       array_to_string(list_sort(arr, 'DESC'), '|') AS asort_desc
 FROM base
 """
 
@@ -699,14 +697,17 @@ def fn_regex_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regex-function parity census: extract, global replace, match
     test, and regex split.  Patterns stay in the POSIX-common subset
     where Java (Spark) and RE2-ish (DuckDB) dialects agree — the same
-    subset the PII scrubber (`llm_text.pii_scrub`) restricts itself to."""
+    subset the PII scrubber (`llm_text.pii_scrub`) restricts itself to.
+
+    ``parts`` is emitted '|'-joined (scalar canonical form — the
+    differential harness cannot hash list-typed cells)."""
     c = load_table(spark, sf_dir, "customer")
     return c.select(
         F.col("c_custkey").alias("customer_id"),
         F.regexp_extract("c_name", "[0-9]+", 0).alias("digits"),
         F.regexp_replace("c_name", "[0-9]", "#").alias("masked"),
         F.col("c_name").rlike("^Customer").alias("is_cust"),
-        F.split("c_name", "[_#]").alias("parts"),
+        F.array_join(F.split("c_name", "[_#]"), "|").alias("parts"),
     )
 
 
@@ -715,7 +716,7 @@ SELECT c_custkey AS customer_id,
        regexp_extract(c_name, '[0-9]+') AS digits,
        regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
        regexp_matches(c_name, '^Customer') AS is_cust,
-       string_split_regex(c_name, '[_#]') AS parts
+       array_to_string(string_split_regex(c_name, '[_#]'), '|') AS parts
 FROM customer
 """
 

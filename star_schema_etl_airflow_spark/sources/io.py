@@ -152,7 +152,23 @@ def resolve_dated_path(template: str, run_date: str) -> str:
     return template.format(ds=run_date, ds_nodash=nodash)
 
 
-def _apply_create_disposition(path: str, create_disposition: str) -> None:
+def _target_exists(path: str, spark: SparkSession | None) -> bool:
+    """Existence check that works for any Hadoop-resolvable URI
+    (``hdfs://``, ``s3a://``, ``file:``, bare local paths), not just the
+    local filesystem: resolve through the JVM ``FileSystem`` for the
+    path's own scheme.  Falls back to ``os.path.exists`` when no session
+    is available (pure-local helper callers)."""
+    if spark is None:
+        return os.path.exists(path)
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
+def _apply_create_disposition(
+    path: str, create_disposition: str, spark: SparkSession | None = None
+) -> None:
     """BigQuery create-disposition parity (reference
     ``utils/operators.py:23,58``): ``CREATE_IF_NEEDED`` (default) creates
     the target on first write; ``CREATE_NEVER`` fails if the target does
@@ -161,7 +177,7 @@ def _apply_create_disposition(path: str, create_disposition: str) -> None:
     if create_disposition == "CREATE_IF_NEEDED":
         return
     if create_disposition == "CREATE_NEVER":
-        if not os.path.exists(path):
+        if not _target_exists(path, spark):
             raise FileNotFoundError(
                 f"CREATE_NEVER: target {path!r} does not exist"
             )
@@ -179,7 +195,7 @@ def write_append(
     create_disposition: str = "CREATE_IF_NEEDED",
 ) -> None:
     """S10 / WRITE_APPEND."""
-    _apply_create_disposition(path, create_disposition)
+    _apply_create_disposition(path, create_disposition, df.sparkSession)
     w = df.write.mode("append")
     if partition_by:
         w = w.partitionBy(partition_by)
@@ -195,7 +211,7 @@ def write_partition_overwrite(
     """S8: idempotent per-partition refresh (requires
     spark.sql.sources.partitionOverwriteMode=dynamic, set by the session
     factory) — only partitions present in ``df`` are replaced."""
-    _apply_create_disposition(path, create_disposition)
+    _apply_create_disposition(path, create_disposition, df.sparkSession)
     df.write.mode("overwrite").partitionBy(partition_by).parquet(path)
 
 
@@ -206,7 +222,7 @@ def write_full_overwrite(
     create_disposition: str = "CREATE_IF_NEEDED",
 ) -> None:
     """S9: full-table refresh."""
-    _apply_create_disposition(path, create_disposition)
+    _apply_create_disposition(path, create_disposition, df.sparkSession)
     w = df.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(partition_by)

@@ -41,7 +41,11 @@ FEATURE_SCHEMA = T.StructType([
     T.StructField("media_type", T.StringType()),
     T.StructField("n_bytes", T.LongType()),
     T.StructField("payload_md5", T.StringType()),
-    T.StructField("byte_sample", T.ArrayType(T.LongType())),
+    # '|'-joined sampled byte values: a scalar canonical form (the
+    # differential harness canonicalizes through pandas, which cannot
+    # hash list-typed cells); the per-byte list stays a kernel-internal
+    # intermediate.
+    T.StructField("byte_sample", T.StringType()),
 ])
 
 
@@ -119,7 +123,9 @@ def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             "n_bytes": payloads.map(len).astype("int64"),
             "payload_md5": payloads.map(lambda b: hashlib.md5(b).hexdigest()),
             "byte_sample": payloads.map(
-                lambda b: [int(x) for x in b[::SAMPLE_STRIDE][:SAMPLE_LEN]]
+                lambda b: "|".join(
+                    str(int(x)) for x in b[::SAMPLE_STRIDE][:SAMPLE_LEN]
+                )
             ),
         })
 

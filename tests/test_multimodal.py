@@ -32,7 +32,7 @@ def test_feature_extraction_roundtrip(spark):
     src = media.filter("media_id = 0").first().payload
     assert row.n_bytes == len(src)
     assert row.payload_md5 == hashlib.md5(src).hexdigest()
-    assert row.byte_sample == [int(x) for x in src[::37][:8]]
+    assert row.byte_sample == "|".join(str(int(x)) for x in src[::37][:8])
     # every document produced exactly one feature row
     assert feats.count() == media.count()
 
