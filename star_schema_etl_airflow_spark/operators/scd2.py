@@ -40,6 +40,25 @@ CHANGE_NEW = "new"
 CHANGE_CHANGED = "changed"
 CHANGE_UNCHANGED = "unchanged"
 
+# Estimated source-slice size above which apply_scd2 switches from the
+# global-window surrogate-key path (one partition sorts the whole delta)
+# to the range-partitioned parallel path.  A daily dimension delta below
+# this sorts in milliseconds on one core; above it, the single partition
+# is the documented 100×-scale bottleneck and the parallel construction
+# (identical output, see assign_surrogate_keys) takes over.  The probe
+# is Catalyst's plan-stats sizeInBytes — the same zero-cost estimate the
+# optimizer uses for broadcast decisions — so auto-selection costs no
+# extra job (a row count of the slice measured +16% on the headline
+# apply; counting the classified delta itself, +78%).
+DISTRIBUTED_SK_BYTES = 64 * 1024 * 1024
+
+
+def _estimated_bytes(df: DataFrame) -> int:
+    """Catalyst plan-stats size estimate (no job).  BigInt-safe."""
+    return int(
+        str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    )
+
 
 def assign_surrogate_keys(
     df: DataFrame,
@@ -80,9 +99,11 @@ def assign_surrogate_keys(
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
+    # typed empty map: a bare create_map() is map<void,void> and fails
+    # analysis when probed with an int pid (empty-delta edge case)
     omap = F.create_map(
         *[F.lit(v) for pair in offsets.items() for v in pair]
-    ) if offsets else F.create_map()
+    ) if offsets else F.expr("cast(map() as map<int, bigint>)")
     return (
         local.withColumn(
             sk_col,
@@ -146,7 +167,7 @@ def apply_scd2(
     effective_col: str = "effective_date",
     expiration_col: str = "expiration_date",
     current_col: str = "is_current",
-    distributed_keys: bool = False,
+    distributed_keys: bool | None = None,
     persist_classified: bool = False,
 ) -> DataFrame:
     """Apply one day's slice to an SCD2 dimension; returns the new dimension.
@@ -155,8 +176,26 @@ def apply_scd2(
     current_col`` (extra passthrough columns are preserved on untouched rows
     but must also exist in ``source`` for inserted rows).
     ``source`` columns: ``key, *tracked``.
+
+    ``distributed_keys``: ``None`` (default) auto-selects the surrogate-key
+    path by estimated slice size — the global window below
+    ``DISTRIBUTED_SK_BYTES``, the range-partitioned parallel construction
+    above it (both produce identical keys, pinned by
+    ``tests/test_scd2.py``).  The probe is Catalyst's free plan-stats
+    estimate, deliberately NOT a count of the classified delta:
+    materializing the classify join just to size it costs more than the
+    window it would save (measured +78% on the sf0.1 headline apply).
+    The slice size upper-bounds the insert set, so estimation error only
+    promotes toward the parallel path, which is equally correct.  Sources
+    with unknown stats (in-memory frames: Catalyst reports
+    ``defaultSizeInBytes`` = huge) therefore promote — deliberate: when
+    the size is unknowable, take the path that is safe at any size.
+    ``True``/``False`` force a path.
     """
     run = F.lit(run_date).cast("date")
+
+    if distributed_keys is None:
+        distributed_keys = _estimated_bytes(source) > DISTRIBUTED_SK_BYTES
 
     src = dedupe_latest(source, key, order_col) if order_col else source
     src = src.select(key, *tracked)

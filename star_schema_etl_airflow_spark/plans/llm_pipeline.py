@@ -101,8 +101,18 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "text", "n_chars")
     )
 
-    # 2. decontaminate vs the eval set
-    clean = drop_contaminated(gated, ev, min_shared=MIN_SHARED)
+    # 2. decontaminate vs the eval set.  The post-decontamination corpus
+    # is consumed TWICE — once by mix_to_weights' per-language counts,
+    # once by the final filtered rollup — so persist it: without the
+    # cache the whole gate+decontam upstream (several corpus scans)
+    # executes twice per run.  At 100 TB this stage is exactly what a
+    # production pipeline checkpoints to storage between curation steps;
+    # MEMORY_AND_DISK is the local twin of that checkpoint.
+    from pyspark import StorageLevel
+
+    clean = drop_contaminated(gated, ev, min_shared=MIN_SHARED).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
     # 3. mix to target language weights, 4. split
     mixed = mix_to_weights(clean, "lang", _KEY_S, MIX_WEIGHTS, MIX_SEED)

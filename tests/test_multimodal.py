@@ -37,16 +37,149 @@ def test_feature_extraction_roundtrip(spark):
     assert feats.count() == media.count()
 
 
-def test_decode_is_explicit_stub():
-    with pytest.raises(NotImplementedError):
-        decode_media(b"\x89PNG", "image")
+def _make_wav(sample_rate=8000, n_frames=160, n_channels=1):
+    import io
+    import math
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        pcm = b"".join(
+            struct.pack(
+                "<" + "h" * n_channels,
+                *([int(12000 * math.sin(2 * math.pi * 440 * i / sample_rate))]
+                  * n_channels),
+            )
+            for i in range(n_frames)
+        )
+        w.writeframes(pcm)
+    return buf.getvalue()
 
 
-def test_resize_is_explicit_stub():
+def _make_png(width=5, height=4, color_type=2):
+    from star_schema_etl_airflow_spark.sources.multimodal import (
+        _PNG_CHANNELS,
+        _png_encode,
+    )
+
+    ch = _PNG_CHANNELS[color_type]
+    pixels = bytes(
+        (x * 40 + y * 10 + c * 3) % 256
+        for y in range(height) for x in range(width) for c in range(ch)
+    )
+    return _png_encode(pixels, width, height, color_type), pixels
+
+
+def test_wav_decode_roundtrip():
+    payload = _make_wav(sample_rate=16000, n_frames=320, n_channels=2)
+    m = decode_media(payload, "audio")
+    assert m["kind"] == "audio"
+    assert m["sample_rate"] == 16000
+    assert m["n_channels"] == 2
+    assert m["n_frames"] == 320
+    assert len(m["frames"]) == 320 * 2 * 2  # frames × channels × 2 bytes
+
+
+def test_png_decode_roundtrip():
+    payload, pixels = _make_png(width=7, height=3, color_type=6)
+    m = decode_media(payload, "image")
+    assert (m["width"], m["height"], m["channels"]) == (7, 3, 4)
+    assert m["pixels"] == pixels
+
+
+def test_png_unfilter_all_filter_types():
+    """Hand-build a PNG whose rows use filters 0-4; the decoder must
+    invert each per the spec."""
+    import struct
+    import zlib
+
+    from star_schema_etl_airflow_spark.sources.multimodal import (
+        PNG_SIG,
+        _paeth,
+        _png_decode,
+    )
+
+    width, height, ch = 4, 5, 3
+    stride = width * ch
+    pixels = bytes((x * 17 + 5) % 256 for x in range(stride * height))
+    raw = bytearray()
+    prev = bytearray(stride)
+    for y in range(height):
+        f = y % 5
+        line = bytearray(pixels[y * stride:(y + 1) * stride])
+        filt = bytearray(stride)
+        for x in range(stride):
+            a = line[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if f == 0:
+                filt[x] = line[x]
+            elif f == 1:
+                filt[x] = (line[x] - a) & 0xFF
+            elif f == 2:
+                filt[x] = (line[x] - b) & 0xFF
+            elif f == 3:
+                filt[x] = (line[x] - (a + b) // 2) & 0xFF
+            else:
+                filt[x] = (line[x] - _paeth(a, b, c)) & 0xFF
+        raw.append(f)
+        raw.extend(filt)
+        prev = line
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    payload = (PNG_SIG + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", zlib.compress(bytes(raw)))
+               + chunk(b"IEND", b""))
+    assert _png_decode(payload)["pixels"] == pixels
+
+
+def test_resize_image_real():
     from star_schema_etl_airflow_spark.sources.multimodal import resize_image
 
+    payload, _ = _make_png(width=8, height=8, color_type=2)
+    small = resize_image(payload, 4, 4)
+    m = decode_media(small, "image")
+    assert (m["width"], m["height"], m["channels"]) == (4, 4, 3)
+    # nearest-neighbor: top-left output pixel == top-left source pixel
+    src = decode_media(payload, "image")
+    assert m["pixels"][:3] == src["pixels"][:3]
+
+
+def test_undecodable_formats_stay_explicit():
     with pytest.raises(NotImplementedError):
-        resize_image(b"\xff\xd8", 224, 224)
+        decode_media(b"\xff\xd8\xff\xe0JFIF....", "image")  # JPEG
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x00\x00\x00 ftypmp42....", "video")  # MP4
+    with pytest.raises(NotImplementedError):
+        decode_media(b"ID3\x04\x00....", "audio")  # MP3
+
+
+def test_decode_stats_over_spark(spark):
+    """decode_stats: real WAV/PNG payloads decode in the mapInPandas
+    kernel; undecodable ones surface as rows with decode_err."""
+    from star_schema_etl_airflow_spark.sources.multimodal import decode_stats
+
+    wav = _make_wav(sample_rate=8000, n_frames=100)
+    png, _ = _make_png(width=6, height=2)
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(wav)),
+         (2, "image", bytearray(png)),
+         (3, "video", bytearray(b"not-a-video"))],
+        "media_id long, media_type string, payload binary",
+    )
+    rows = {r.media_id: r for r in decode_stats(media).collect()}
+    assert rows[1].decoded and rows[1].sample_rate == 8000 \
+        and rows[1].n_frames == 100
+    assert rows[2].decoded and (rows[2].width, rows[2].height) == (6, 2)
+    assert not rows[3].decoded and rows[3].decode_err
 
 
 def test_frame_sample_plumbing(spark):

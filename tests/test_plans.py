@@ -85,7 +85,13 @@ def test_curation_pipeline_broadcasts_and_avoids_cartesians(spark):
         curation_pipeline,
     )
 
-    plan = _plan(curation_pipeline(spark, SF_DIR))
+    df = curation_pipeline(spark, SF_DIR)
+    qe = df._jdf.queryExecution()
+    # the post-decontam stage is persisted (consumed by both the mixing
+    # counts and the final rollup), so the executed plan ends at an
+    # InMemoryTableScan — the optimizedPlan string embeds the cached
+    # relation's physical plan, which is where the join shapes live
+    plan = qe.executedPlan().toString() + qe.optimizedPlan().toString()
     # decontam gram join + mix threshold join ride broadcasts; nothing in
     # the five-stage composition may degrade to a cartesian product
     assert "BroadcastHashJoin" in plan

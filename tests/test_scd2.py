@@ -162,3 +162,66 @@ def test_apply_scd2_distributed_keys_equivalent(spark):
     base = apply_scd2(dim, src, **kw).sort("sk").collect()
     dist = apply_scd2(dim, src, distributed_keys=True, **kw).sort("sk").collect()
     assert base == dist
+
+
+def _tiny_dim_and_src(spark):
+    from pyspark.sql import functions as F
+
+    dim = spark.createDataFrame(
+        [(1, "a", "x", "2024-01-01", None, True),
+         (2, "b", "y", "2024-01-01", None, True)],
+        "sk long, bk string, attr string, effective_date string, "
+        "expiration_date string, is_current boolean",
+    ).select(
+        "sk", "bk", "attr",
+        F.col("effective_date").cast("date").alias("effective_date"),
+        F.col("expiration_date").cast("date").alias("expiration_date"),
+        "is_current",
+    )
+    src = spark.createDataFrame(
+        [("a", "x2"), ("c", "z")], "bk string, attr string"
+    )
+    return dim, src
+
+
+def test_apply_scd2_auto_promotes_large_deltas(spark, monkeypatch):
+    """Auto mode (distributed_keys=None, the default) must switch to the
+    parallel surrogate-key path once the slice's estimated size exceeds
+    DISTRIBUTED_SK_BYTES: same rows as the forced-global path, and the
+    promoted plan carries NO single-partition exchange (the global window's
+    signature bottleneck)."""
+    import star_schema_etl_airflow_spark.operators.scd2 as scd2_mod
+
+    dim, src = _tiny_dim_and_src(spark)
+    kw = dict(key="bk", tracked=["attr"], run_date="2024-02-01", sk_col="sk")
+
+    # sanity of the pin: the forced-global path DOES plan SinglePartition
+    global_plan = (
+        scd2_mod.apply_scd2(dim, src, distributed_keys=False, **kw)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SinglePartition" in global_plan
+    # the probe itself sees a nonzero estimate without running a job
+    assert scd2_mod._estimated_bytes(src) > 0
+
+    monkeypatch.setattr(scd2_mod, "DISTRIBUTED_SK_BYTES", 0)
+    auto = scd2_mod.apply_scd2(dim, src, **kw)  # any slice > 0 bytes promotes
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    forced = scd2_mod.apply_scd2(dim, src, distributed_keys=False, **kw)
+    assert auto.sort("sk").collect() == forced.sort("sk").collect()
+
+
+def test_distributed_keys_empty_delta(spark):
+    """Empty insert set through the parallel key path: the per-partition
+    offset map is empty and must stay typed (regression — a bare
+    create_map() is map<void,void> and failed analysis)."""
+    from star_schema_etl_airflow_spark.operators.scd2 import apply_scd2
+
+    dim, _ = _tiny_dim_and_src(spark)
+    unchanged = dim.select("bk", "attr")  # re-deliver current values
+    out = apply_scd2(
+        dim, unchanged, key="bk", tracked=["attr"], run_date="2024-03-01",
+        sk_col="sk", distributed_keys=True,
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, dim.collect()))

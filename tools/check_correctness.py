@@ -8,12 +8,21 @@ by name, rows sorted by all columns).  Floats are compared exactly
 first, then with a 1e-9 relative tolerance fallback so near-misses are
 reported as WEAK rather than FAIL.
 
-Usage: python tools/check_correctness.py [sf_dir] [query ...]
+Usage:
+    python tools/check_correctness.py [sf_dir] [query ...]
+    python tools/check_correctness.py --sweep [sf_dir ...]
+
+``--sweep`` runs EVERY registered query at every given sf dir (default
+sf0.01 and sf0.1) and rewrites ``LOCAL_CORRECTNESS.md`` at the repo
+root — the committed per-round record that all queries were locally
+oracle-checked, not just the driver's 50-query sample.
 """
 
 from __future__ import annotations
 
 import math
+import os
+import subprocess
 import sys
 import time
 import traceback
@@ -24,8 +33,15 @@ import pandas as pd
 
 sys.path.insert(0, "/root/repo")
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-ONLY = set(sys.argv[2:])
+SWEEP = len(sys.argv) > 1 and sys.argv[1] == "--sweep"
+if SWEEP:
+    SWEEP_DIRS = sys.argv[2:] or [
+        "/root/testdata/sf0.01", "/root/testdata/sf0.1"
+    ]
+    SF_DIR, ONLY = SWEEP_DIRS[0], set()
+else:
+    SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    ONLY = set(sys.argv[2:])
 
 TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
@@ -95,49 +111,108 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> str:
     return "OK"
 
 
-def main() -> int:
+def run_suite(spark, sf_dir: str, only: set[str]) -> dict[str, str]:
+    """Run every registered query at ``sf_dir``; return name → status."""
     import __spark_entry__ as e
-    from star_schema_etl_airflow_spark.session import get_spark
 
-    spark = get_spark("check-correctness")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
-
     qs, oracles = e.queries(), e.oracle_sql()
-    n_ok = n_weak = n_fail = 0
+    statuses: dict[str, str] = {}
     for name, fn in qs.items():
-        if ONLY and name not in ONLY:
+        if only and name not in only:
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, SF_DIR).toPandas()
+            sdf = fn(spark, sf_dir).toPandas()
         except Exception:
             print(f"{name:40s} SPARK-ERROR")
             traceback.print_exc()
-            n_fail += 1
+            statuses[name] = "SPARK-ERROR"
             continue
         if name not in oracles:
             status = f"ROWS-ONLY ({len(sdf)} rows)"
-            n_ok += 1
         else:
             try:
                 odf = con.execute(oracles[name]).df()
             except Exception:
                 print(f"{name:40s} ORACLE-ERROR")
                 traceback.print_exc()
-                n_fail += 1
+                statuses[name] = "ORACLE-ERROR"
                 continue
             status = compare(name, sdf, odf)
-            if status == "OK":
-                n_ok += 1
-            elif status.startswith("WEAK"):
-                n_weak += 1
-            else:
-                n_fail += 1
+        statuses[name] = status
         print(f"{name:40s} {status}  [{time.time()-t0:.1f}s, {len(sdf)} rows]")
+    con.close()
+    return statuses
+
+
+def _tally(statuses: dict[str, str]) -> tuple[int, int, int]:
+    ok = sum(1 for s in statuses.values()
+             if s == "OK" or s.startswith("ROWS-ONLY"))
+    weak = sum(1 for s in statuses.values() if s.startswith("WEAK"))
+    fail = len(statuses) - ok - weak
+    return ok, weak, fail
+
+
+def write_sweep_report(path: str, results: dict[str, dict[str, str]]) -> None:
+    """results: sf_dir → (name → status); rewrites LOCAL_CORRECTNESS.md."""
+    try:
+        commit = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], cwd="/root/repo",
+            capture_output=True, text=True
+        ).stdout.strip()
+    except OSError:
+        commit = "?"
+    sf_dirs = list(results)
+    names = sorted({n for r in results.values() for n in r})
+    lines = [
+        "# LOCAL_CORRECTNESS — full local oracle sweep",
+        "",
+        "Every registered query differentially checked against its DuckDB",
+        "oracle (exact value compare) at every scale factor below — the",
+        "committed complement to the driver's per-round 50-query sample.",
+        f"Regenerated by `python tools/check_correctness.py --sweep` at",
+        f"commit `{commit}`.",
+        "",
+    ]
+    for sf in sf_dirs:
+        ok, weak, fail = _tally(results[sf])
+        lines.append(
+            f"- `{sf}`: **{ok} ok, {weak} weak, {fail} fail** "
+            f"({len(results[sf])} queries)"
+        )
+    lines += ["", "| query | " + " | ".join(
+        os.path.basename(sf.rstrip('/')) for sf in sf_dirs) + " |"]
+    lines.append("|---|" + "---|" * len(sf_dirs))
+    for n in names:
+        row = [results[sf].get(n, "—") for sf in sf_dirs]
+        lines.append(f"| {n} | " + " | ".join(row) + " |")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def main() -> int:
+    from star_schema_etl_airflow_spark.session import get_spark
+
+    spark = get_spark("check-correctness")
+    if SWEEP:
+        results = {}
+        for sf in SWEEP_DIRS:
+            print(f"=== {sf} ===")
+            results[sf] = run_suite(spark, sf, set())
+        write_sweep_report("/root/repo/LOCAL_CORRECTNESS.md", results)
+        total_fail = sum(_tally(r)[2] for r in results.values())
+        for sf, r in results.items():
+            ok, weak, fail = _tally(r)
+            print(f"{sf}: {ok} ok, {weak} weak, {fail} fail")
+        return 1 if total_fail else 0
+
+    statuses = run_suite(spark, SF_DIR, ONLY)
+    n_ok, n_weak, n_fail = _tally(statuses)
     print(f"\n{n_ok} ok, {n_weak} weak, {n_fail} fail")
     return 1 if n_fail else 0
 
