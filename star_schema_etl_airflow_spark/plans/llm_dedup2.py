@@ -1,0 +1,361 @@
+"""Second dedup wave over the ``documents`` / ``embeddings`` fixtures:
+line-level boilerplate removal, incremental (delta-vs-corpus) dedup, and
+SemDeDup-style cluster-scoped semantic dedup.
+
+These are the three dedup shapes the first wave (``plans/llm_dedup.py``)
+does not cover:
+
+- ``dedup_lines`` — *sub-document* dedup: lines repeated across a large
+  fraction of the corpus (copyright headers, navigation, footers) are
+  stripped from every document while each document's unique content and
+  line order are preserved.  This is the C4/RefinedWeb "remove
+  boilerplate lines seen in >X% of pages" pass.
+- ``dedup_incremental`` — *delta* dedup: a new ingest batch is deduped
+  against the already-curated corpus (and internally) without
+  reprocessing the corpus.  This is the shape every recurring crawl
+  pipeline actually runs — full-corpus re-dedup at 100 TB per day is a
+  non-starter.
+- ``semdedup`` — *semantic* dedup (SemDeDup, Abbas et al. 2023): train a
+  coarse k-means codebook, assign every vector to a cluster, and compare
+  pairs **within a cluster only**; a vector is dropped when a same-cluster
+  lower-id neighbor is cosine-similar above threshold.
+
+Scale design (100 TB):
+- ``dedup_lines`` shuffles 8-byte line hashes, never line text; the
+  surviving "common" set (lines above the document-frequency threshold)
+  is tiny by construction → broadcast to a map-side filter; the only
+  full-width shuffle is the per-document reassembly, keyed by doc_id
+  (skew-free).
+- ``dedup_incremental`` keeps the corpus side down to its 8-byte content
+  hashes (at rest: a bucketed hash-index table, so the daily probe is a
+  co-located join with zero corpus shuffle); the delta is the only side
+  that moves.
+- ``semdedup`` never runs an all-pairs scan: the codebook is k rows
+  (broadcast assignment, map-side argmin), and candidate pairs exist
+  only within a cluster — with k sized so clusters hold ~1/k of the
+  corpus, pair volume drops k× and each cluster's pair join is an
+  independent, skew-bounded unit (split oversized clusters by a
+  secondary LSH key if a cluster degenerates).
+
+Reference parity: beyond-reference (the reference has no document
+processing at all — builder's LLM-pipeline extension brief).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from star_schema_etl_airflow_spark.functions.text import (
+    md5_long_duck,
+    md5_long_spark,
+    tokens_duck,
+    tokens_spark,
+)
+from star_schema_etl_airflow_spark.operators.kmeans import assign_clusters
+from star_schema_etl_airflow_spark.registry import QuerySpec, register
+from star_schema_etl_airflow_spark.sources.fixtures import load_table
+
+# --- line-level boilerplate removal ----------------------------------------
+
+# The fixture corpus has no line structure (single-line token streams),
+# so lines are synthesized identically on both engines: the text is cut
+# into 8-token lines, a boilerplate header is prepended to every document
+# and a footer to every 2nd one.  Production replaces the synthesis with
+# ``split(text, '\n')``; everything downstream is unchanged.
+
+LINE_TOKENS = 8
+HEADER_LINE = "copyright acme corp all rights reserved"
+FOOTER_LINE = "subscribe to our newsletter for updates"
+# a line is boilerplate when it appears in ≥30% of documents
+COMMON_DOC_FRACTION = 0.3
+
+_TOKS_S = tokens_spark("text")
+_TOKS_D = tokens_duck("text")
+
+_NCHUNKS_S = f"cast(ceil(size({_TOKS_S}) / {LINE_TOKENS}.0d) as int)"
+_LINES_S = (
+    f"concat(array('{HEADER_LINE}'), "
+    f"transform(sequence(0, {_NCHUNKS_S} - 1), "
+    f"i -> array_join(slice({_TOKS_S}, i * {LINE_TOKENS} + 1, {LINE_TOKENS}), ' ')), "
+    f"slice(array('{FOOTER_LINE}'), 1, cast(doc_id % 2 = 0 as int)))"
+)
+
+_NCHUNKS_D = f"CAST(CEIL(len({_TOKS_D}) / {LINE_TOKENS}.0) AS INT)"
+_LINES_D = (
+    f"list_concat(list_concat(['{HEADER_LINE}'], "
+    f"list_transform(range(0, {_NCHUNKS_D}), "
+    f"i -> array_to_string(list_slice({_TOKS_D}, i * {LINE_TOKENS} + 1, "
+    f"i * {LINE_TOKENS} + {LINE_TOKENS}), ' '))), "
+    f"CASE WHEN doc_id % 2 = 0 THEN ['{FOOTER_LINE}'] ELSE [] END)"
+)
+
+
+def dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strip lines that occur in ≥30% of documents, keep per-document
+    line order.  Line identity travels as an 8-byte md5 hash (the
+    shuffle key at scale is fixed-width, never the text); the common-line
+    set is broadcast, so removal is a map-side filter and the only
+    full-width shuffle is the doc_id reassembly."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lines = docs.select(
+        "doc_id", F.posexplode(F.expr(_LINES_S)).alias("pos", "line")
+    ).withColumn("lh", F.expr(md5_long_spark("line")))
+
+    freq = lines.groupBy("lh").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    n_total = docs.agg(F.countDistinct("doc_id").alias("n"))
+    common = (
+        freq.crossJoin(F.broadcast(n_total))
+        .filter(F.col("n_docs") >= F.lit(COMMON_DOC_FRACTION) * F.col("n"))
+        .select("lh")
+    )
+    flagged = lines.join(
+        F.broadcast(common.withColumn("is_common", F.lit(True))), "lh", "left"
+    ).withColumn("is_common", F.coalesce("is_common", F.lit(False)))
+    return flagged.groupBy("doc_id").agg(
+        F.expr(
+            "array_join(transform(array_sort("
+            "collect_list(case when not is_common then struct(pos, line) end)"
+            "), s -> s.line), '\n')"
+        ).alias("clean_text"),
+        F.sum(F.col("is_common").cast("long")).alias("n_removed"),
+    )
+
+
+DEDUP_LINES_ORACLE = f"""
+WITH lw AS (
+  SELECT doc_id, {_LINES_D} AS ls FROM documents
+),
+l AS (
+  SELECT doc_id, unnest(range(1, len(ls) + 1)) AS pos, ls FROM lw
+),
+lines AS (
+  SELECT doc_id, pos, ls[pos] AS line, {md5_long_duck('ls[pos]')} AS lh FROM l
+),
+freq AS (
+  SELECT lh, COUNT(DISTINCT doc_id) AS n_docs FROM lines GROUP BY 1
+),
+ntot AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+common AS (
+  SELECT lh FROM freq, ntot WHERE n_docs >= {COMMON_DOC_FRACTION} * n
+)
+SELECT li.doc_id,
+       COALESCE(string_agg(li.line, chr(10) ORDER BY li.pos)
+                FILTER (c.lh IS NULL), '') AS clean_text,
+       COUNT(c.lh) AS n_removed
+FROM lines li LEFT JOIN common c ON li.lh = c.lh
+GROUP BY li.doc_id
+"""
+
+# --- incremental (delta-vs-corpus) dedup -----------------------------------
+
+# The "new batch" is synthesized from the fixture on both engines:
+#  - re-crawled exact copies of every 4th corpus doc (id + 3M),
+#  - genuinely new content: every 10th doc with tokens reversed (id + 4M),
+#  - batch-internal duplicates of the new content for every 20th (id + 5M).
+BATCH_RECRAWL_OFFSET = 3_000_000
+BATCH_NEW_OFFSET = 4_000_000
+BATCH_INTERNAL_DUP_OFFSET = 5_000_000
+
+_REV_S = f"array_join(reverse({_TOKS_S}), ' ')"
+_REV_D = f"array_to_string(list_reverse({_TOKS_D}), ' ')"
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup a new ingest batch against the existing corpus and itself,
+    touching only content hashes of the corpus.
+
+    Survivors = batch docs whose content hash (a) does not exist in the
+    corpus (anti join against the 8-byte hash projection — at rest this
+    is a bucketed hash-index table, so the probe co-locates and the
+    corpus never shuffles) and (b) is the lowest doc_id for that hash
+    within the batch (hash-groupBy on the small delta only)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = (
+        docs.filter(F.col("doc_id") % 4 == 0)
+        .select((F.col("doc_id") + BATCH_RECRAWL_OFFSET).alias("doc_id"), "text")
+        .unionByName(
+            docs.filter(F.col("doc_id") % 10 == 0).select(
+                (F.col("doc_id") + BATCH_NEW_OFFSET).alias("doc_id"),
+                F.expr(_REV_S).alias("text"),
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 20 == 0).select(
+                (F.col("doc_id") + BATCH_INTERNAL_DUP_OFFSET).alias("doc_id"),
+                F.expr(_REV_S).alias("text"),
+            )
+        )
+    )
+    corpus_hashes = docs.select(
+        F.expr(md5_long_spark("text")).alias("content_hash")
+    )
+    hashed = batch.select(
+        "doc_id", F.expr(md5_long_spark("text")).alias("content_hash")
+    )
+    vs_corpus = hashed.join(corpus_hashes, "content_hash", "left_anti")
+    return vs_corpus.groupBy("content_hash").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count("*").alias("n_batch_copies"),
+    )
+
+
+DEDUP_INCREMENTAL_ORACLE = f"""
+WITH batch AS (
+  SELECT doc_id + {BATCH_RECRAWL_OFFSET} AS doc_id, text
+  FROM documents WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT doc_id + {BATCH_NEW_OFFSET}, {_REV_D}
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + {BATCH_INTERNAL_DUP_OFFSET}, {_REV_D}
+  FROM documents WHERE doc_id % 20 = 0
+),
+hashed AS (
+  SELECT doc_id, {md5_long_duck('text')} AS content_hash FROM batch
+),
+corpus AS (
+  SELECT DISTINCT {md5_long_duck('text')} AS content_hash FROM documents
+)
+SELECT h.content_hash, MIN(h.doc_id) AS doc_id,
+       COUNT(*) AS n_batch_copies
+FROM hashed h
+WHERE h.content_hash NOT IN (SELECT content_hash FROM corpus)
+GROUP BY 1
+"""
+
+# --- SemDeDup: cluster-scoped semantic dedup --------------------------------
+
+SEM_COS_THRESHOLD = 0.98
+SEM_DUP_OFFSET = 1_000_000
+SEM_COS_DECIMALS = 9
+_EMB_DIM = 64
+
+# same float32-exact perturbation as dedup_embedding_cosine
+# (plans/llm_similarity.py): +0.0625 on the first component.
+_PERTURB_S = ("concat(array(cast(embedding[0] + cast(0.0625 as float) as float)), "
+              "slice(embedding, 2, size(embedding) - 1))")
+_PERTURB_D = ("[CAST(embedding[1] + CAST(0.0625 AS FLOAT) AS FLOAT)] "
+              "|| embedding[2:len(embedding)]")
+
+
+def _sem_cos_spark(a: str, b: str) -> str:
+    dot = (f"aggregate(zip_with({a}, {b}, (x, y) -> "
+           f"cast(x as double) * cast(y as double)), "
+           f"cast(0 as double), (acc, v) -> acc + v)")
+    na = (f"sqrt(aggregate(zip_with({a}, {a}, (x, y) -> "
+          f"cast(x as double) * cast(y as double)), "
+          f"cast(0 as double), (acc, v) -> acc + v))")
+    nb = (f"sqrt(aggregate(zip_with({b}, {b}, (x, y) -> "
+          f"cast(x as double) * cast(y as double)), "
+          f"cast(0 as double), (acc, v) -> acc + v))")
+    return f"round({dot} / ({na} * {nb}), {SEM_COS_DECIMALS})"
+
+
+def _sem_cos_duck(a: str, b: str) -> str:
+    dot = (f"list_sum(list_transform(range(1, {_EMB_DIM} + 1), "
+           f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))")
+    na = (f"sqrt(list_sum(list_transform(range(1, {_EMB_DIM} + 1), "
+          f"i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))")
+    nb = (f"sqrt(list_sum(list_transform(range(1, {_EMB_DIM} + 1), "
+          f"i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))))")
+    return f"round({dot} / ({na} * {nb}), {SEM_COS_DECIMALS})"
+
+
+def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: k-means codebook trained on the base embeddings
+    (``kmeans_fit`` determinism contract), the dup-augmented corpus
+    assigned to its nearest centroid (broadcast argmin, map-side
+    combine), then cosine compared **within clusters only** — a vector is
+    dropped when a same-cluster lower-id neighbor has cosine ≥ 0.98.
+
+    Cluster-scoping is the SemDeDup recall trade: cross-cluster near-dups
+    are missed by design, and in exchange pair volume falls k× and each
+    cluster dedups independently (the embarrassingly-parallel unit)."""
+    from star_schema_etl_airflow_spark.operators.kmeans import kmeans_fit
+    from star_schema_etl_airflow_spark.plans.clustering_queries import K, N_ITER
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    _, codebook = kmeans_fit(emb, K, N_ITER)
+    dup = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + SEM_DUP_OFFSET).alias("vec_id"),
+        F.expr(_PERTURB_S).alias("embedding"),
+    )
+    corpus = emb.unionByName(dup)
+    assigned = corpus.join(assign_clusters(corpus, codebook), "vec_id")
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(
+            F.expr(_sem_cos_spark("a.embedding", "b.embedding"))
+            >= SEM_COS_THRESHOLD
+        )
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dropped", F.lit(True))
+    )
+    return (
+        assigned.join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            (~F.coalesce("is_dropped", F.lit(False))).alias("is_kept"),
+        )
+    )
+
+
+def _sem_assign_cte(cent_table: str) -> str:
+    diff = (f"(CAST(v.embedding[i] AS DOUBLE) - "
+            f"CAST({cent_table}.embedding[i] AS DOUBLE))")
+    dist = (f"list_sum(list_transform(range(1, {_EMB_DIM} + 1), "
+            f"i -> {diff} * {diff}))")
+    return f"""sem_assign AS (
+  SELECT vec_id, cluster FROM (
+    SELECT v.vec_id, {cent_table}.cluster,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {dist}, {cent_table}.cluster) AS rn
+    FROM sem_corpus v CROSS JOIN {cent_table}
+  ) WHERE rn = 1
+)"""
+
+
+def _semdedup_oracle() -> str:
+    from star_schema_etl_airflow_spark.plans.clustering_queries import KMEANS_CTES
+
+    return f"""
+WITH {KMEANS_CTES},
+sem_corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {SEM_DUP_OFFSET}, {_PERTURB_D}
+  FROM embeddings WHERE vec_id % 5 = 0
+),
+{_sem_assign_cte('c2')},
+j AS (
+  SELECT v.vec_id, v.embedding, a.cluster
+  FROM sem_corpus v JOIN sem_assign a USING (vec_id)
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM j a JOIN j b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE {_sem_cos_duck('a.embedding', 'b.embedding')} >= {SEM_COS_THRESHOLD}
+)
+SELECT j.vec_id, j.cluster, d.vec_id IS NULL AS is_kept
+FROM j LEFT JOIN dropped d ON j.vec_id = d.vec_id
+"""
+
+
+register(QuerySpec("dedup_lines", dedup_lines, DEDUP_LINES_ORACLE,
+                   tags=("LLM-DEDUP",)))
+register(QuerySpec("dedup_incremental", dedup_incremental,
+                   DEDUP_INCREMENTAL_ORACLE, tags=("LLM-DEDUP",)))
+register(QuerySpec("semdedup", semdedup, _semdedup_oracle(),
+                   tags=("LLM-DEDUP", "KMEANS")))

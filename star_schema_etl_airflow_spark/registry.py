@@ -72,6 +72,7 @@ def _ensure_loaded() -> None:
         ivm_queries,
         llm_decontam,
         llm_dedup,
+        llm_dedup2,
         llm_pipeline,
         llm_quantize,
         llm_sampling,
@@ -79,9 +80,11 @@ def _ensure_loaded() -> None:
         llm_text,
         multimodal_queries,
         operators_basic,
+        scan_pruning,
         sketches,
         sql_queries,
         subquery_queries,
+        text_classify,
         timeseries,
         tpch_queries,
         tpch_queries2,

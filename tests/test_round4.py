@@ -1,0 +1,116 @@
+"""Invariant tests for the round-4 operators: line-level dedup,
+incremental dedup, SemDeDup, Naive Bayes classification, idf-weighted
+sparse cosine, and triangle counting.  (Exact-value parity with the
+DuckDB oracles is covered by the differential harness; these pin the
+semantic properties that a hash match alone would not explain.)"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_dedup_lines_strips_boilerplate_keeps_content(spark):
+    from star_schema_etl_airflow_spark.plans.llm_dedup2 import (
+        FOOTER_LINE,
+        HEADER_LINE,
+        dedup_lines,
+    )
+
+    out = dedup_lines(spark, SF_DIR).cache()
+    rows = out.collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assert len(rows) == docs.count()
+    for r in rows:
+        assert HEADER_LINE not in r["clean_text"]
+        assert FOOTER_LINE not in r["clean_text"]
+        # header always injected; footer on even doc_ids — both removed
+        expected_removed = 1 + (1 if r["doc_id"] % 2 == 0 else 0)
+        assert r["n_removed"] == expected_removed
+        assert len(r["clean_text"]) > 0
+    out.unpersist()
+
+
+def test_dedup_incremental_drops_recrawls_keeps_new(spark):
+    from star_schema_etl_airflow_spark.plans.llm_dedup2 import (
+        BATCH_INTERNAL_DUP_OFFSET,
+        BATCH_NEW_OFFSET,
+        BATCH_RECRAWL_OFFSET,
+        dedup_incremental,
+    )
+
+    out = dedup_incremental(spark, SF_DIR).collect()
+    ids = {r["doc_id"] for r in out}
+    # every recrawled exact copy is eliminated by the corpus anti-join
+    assert not any(
+        BATCH_RECRAWL_OFFSET <= i < BATCH_NEW_OFFSET for i in ids
+    )
+    # new content survives, canonicalized to the lowest batch id (+4M,
+    # never its +5M internal duplicate)
+    assert any(BATCH_NEW_OFFSET <= i < BATCH_INTERNAL_DUP_OFFSET for i in ids)
+    assert not any(i >= BATCH_INTERNAL_DUP_OFFSET for i in ids)
+    # internally-duplicated hashes report both batch copies
+    dup_rows = [r for r in out if r["n_batch_copies"] == 2]
+    assert len(dup_rows) > 0
+
+
+def test_semdedup_drops_only_injected_neighbors(spark):
+    from star_schema_etl_airflow_spark.plans.llm_dedup2 import (
+        SEM_DUP_OFFSET,
+        semdedup,
+    )
+
+    rows = semdedup(spark, SF_DIR).collect()
+    originals = [r for r in rows if r["vec_id"] < SEM_DUP_OFFSET]
+    dups = [r for r in rows if r["vec_id"] >= SEM_DUP_OFFSET]
+    # base vectors are near-orthogonal → no original is ever dropped
+    assert all(r["is_kept"] for r in originals)
+    # the perturbed twins are cosine≈0.998 to their originals; any that
+    # land in the original's cluster are dropped — expect most to be
+    assert len(dups) > 0
+    dropped = [r for r in dups if not r["is_kept"]]
+    assert len(dropped) >= len(dups) * 0.8
+
+
+def test_nb_classify_scores_every_doc(spark):
+    from star_schema_etl_airflow_spark.plans.text_classify import nb_classify
+
+    out = nb_classify(spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    langs = {r["lang"] for r in docs.select("lang").distinct().collect()}
+    assert len(out) == docs.count()
+    assert all(r["predicted_lang"] in langs for r in out)
+    # log-probabilities: strictly negative, finite
+    assert all(r["score"] < 0 for r in out)
+
+
+def test_tfidf_pairs_find_exact_duplicates(spark):
+    from star_schema_etl_airflow_spark.plans.llm_dedup import EXACT_DUP_OFFSET
+    from star_schema_etl_airflow_spark.plans.text_classify import (
+        tfidf_topk_pairs,
+    )
+
+    rows = tfidf_topk_pairs(spark, SF_DIR).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r["cosine_sim"] for r in rows}
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    exact_ids = [
+        r["doc_id"] for r in docs.filter(F.col("doc_id") % 10 == 0).collect()
+    ]
+    assert exact_ids
+    for i in exact_ids:
+        assert pairs.get((i, i + EXACT_DUP_OFFSET)) == pytest.approx(1.0)
+
+
+def test_triangles_consistent_with_edge_count(spark):
+    from star_schema_etl_airflow_spark.plans.clustering_queries import (
+        graph_triangles,
+    )
+
+    rows = graph_triangles(spark, SF_DIR).collect()
+    total_corner_credits = sum(r["n_triangles"] for r in rows)
+    # every triangle credits exactly 3 corners
+    assert total_corner_credits % 3 == 0
+    assert total_corner_credits > 0
