@@ -138,3 +138,91 @@ def drop_contaminated(
         .select(F.col("train_id").alias(id_col))
     )
     return train_df.join(flagged, id_col, "left_anti")
+
+
+def positional_gram_hashes(text_col: str, n: int = DECONTAM_NGRAM) -> str:
+    """Gram hashes in token-position order (NOT distinct — position i of
+    the result is the gram starting at token i).  Docs shorter than ``n``
+    tokens produce an empty array."""
+    toks = tokens_spark(text_col)
+    grams = (
+        f"case when size({toks}) < {n} then array() "
+        f"else transform(sequence(0, size({toks}) - {n}), "
+        f"i -> array_join(slice({toks}, i + 1, {n}), ' ')) end"
+    )
+    return shingle_hashes_spark(grams)
+
+
+def matched_spans(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DECONTAM_NGRAM,
+) -> DataFrame:
+    """Maximal contaminated token spans per (train, eval) doc pair:
+    ``(train_id, eval_id, span_start, span_end, span_tokens)`` with
+    ``[span_start, span_end)`` token intervals.
+
+    The span granularity is what substring-level dedup/decontamination
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better") acts on: instead of dropping a whole 10k-token document for
+    one leaked paragraph, the pipeline can excise the span.  Matched gram
+    *positions* are merged islands-and-gaps style: two matches belong to
+    one span when their gram starts are ≤ ``n`` apart (their token
+    windows touch or overlap).
+
+    Scale shape: identical to :func:`overlap_pairs` — the eval gram set
+    broadcasts, the train side explodes positionally and joins map-side;
+    the window partitions on (train_id, eval_id), a fine-grained
+    skew-free key (each partition holds one doc pair's match positions).
+    """
+    from pyspark.sql import Window
+
+    ev_grams = (
+        eval_df.select(
+            F.col(id_col).alias("eval_id"),
+            F.explode(F.expr(gram_hashes_expr(text_col, n))).alias("g"),
+        )
+    )
+    tr_pos = train_df.select(
+        F.col(id_col).alias("train_id"),
+        F.posexplode(F.expr(positional_gram_hashes(text_col, n))).alias(
+            "pos", "g"
+        ),
+    )
+    matched = (
+        tr_pos.join(F.broadcast(ev_grams), "g")
+        .select("train_id", "eval_id", "pos")
+        .distinct()
+    )
+    w = Window.partitionBy("train_id", "eval_id").orderBy("pos")
+    spans = (
+        matched.withColumn(
+            "new_span",
+            (
+                F.coalesce(
+                    F.col("pos") - F.lag("pos").over(w), F.lit(n + 1)
+                )
+                > n
+            ).cast("long"),
+        )
+        .withColumn(
+            "span_id",
+            F.sum("new_span").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("train_id", "eval_id", "span_id")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + n).alias("span_end"),
+        )
+    )
+    return spans.select(
+        "train_id",
+        "eval_id",
+        "span_start",
+        "span_end",
+        (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
+    )

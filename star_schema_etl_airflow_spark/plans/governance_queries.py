@@ -1,0 +1,171 @@
+"""Data-governance queries: k-anonymity / l-diversity audit and a
+fixed-bin histogram profile.
+
+Training corpora and analytics releases both go through privacy
+screening before they leave the pipeline; the k-anonymity audit is the
+standard first gate — every quasi-identifier combination must be shared
+by ≥ k individuals, and (l-diversity) must not collapse to a single
+sensitive value.  Both queries are single hash-aggregations: one shuffle
+on the quasi-identifier key, map-side combine, no joins on the big side
+— the shape survives any corpus size.
+
+Reference parity: beyond-reference (governance surface; the reference
+has no data-quality or privacy tooling).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from star_schema_etl_airflow_spark.registry import QuerySpec, register
+from star_schema_etl_airflow_spark.sources.fixtures import load_table
+
+K_ANON = 5
+# sensitive attribute: account-balance bucketed to thousands (a stand-in
+# for any per-individual sensitive value)
+BAL_BUCKET = 1000
+
+
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per quasi-identifier group (nation × market segment): group size,
+    l-diversity of the bucketed balance, and the k-anonymity verdict.
+    Groups below k are re-identification risks the release must
+    generalize or suppress."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(
+            F.count("*").alias("group_size"),
+            F.countDistinct(
+                F.floor(F.col("c_acctbal") / BAL_BUCKET)
+            ).alias("l_diversity"),
+            (F.count("*") >= K_ANON).alias("is_k_anonymous"),
+        )
+    )
+
+
+K_ANON_ORACLE = f"""
+SELECT n.n_name AS nation,
+       c.c_mktsegment AS segment,
+       COUNT(*) AS group_size,
+       COUNT(DISTINCT FLOOR(c.c_acctbal / {BAL_BUCKET})) AS l_diversity,
+       COUNT(*) >= {K_ANON} AS is_k_anonymous
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1, 2
+"""
+
+# --- fixed-bin histogram ----------------------------------------------------
+
+HIST_LO = 0.0
+HIST_HI = 110_000.0
+HIST_BINS = 22
+
+
+def hist_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram of lineitem extended price —
+    data-independent bin edges so the layout is fixed across runs and
+    scale factors (no min/max pre-pass); one map + one tiny aggregation
+    on the bin id.  The bin arithmetic is written out explicitly
+    (identical IEEE ops on both engines) rather than through
+    ``width_bucket``, which DuckDB lacks."""
+    li = load_table(spark, sf_dir, "lineitem")
+    width = (HIST_HI - HIST_LO) / HIST_BINS
+    bucket = (
+        F.when(F.col("l_extendedprice") < HIST_LO, F.lit(0))
+        .when(F.col("l_extendedprice") >= HIST_HI, F.lit(HIST_BINS + 1))
+        .otherwise(
+            F.floor((F.col("l_extendedprice") - HIST_LO) / F.lit(width)) + 1
+        )
+        .cast("long")
+    )
+    return (
+        li.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "bucket",
+            (F.lit(HIST_LO)
+             + (F.col("bucket") - 1)
+             * F.lit((HIST_HI - HIST_LO) / HIST_BINS)).alias("bin_lo"),
+            (F.lit(HIST_LO)
+             + F.col("bucket")
+             * F.lit((HIST_HI - HIST_LO) / HIST_BINS)).alias("bin_hi"),
+            "n",
+        )
+    )
+
+
+HIST_ORACLE = f"""
+SELECT bucket,
+       {HIST_LO} + (bucket - 1) * {(HIST_HI - HIST_LO) / HIST_BINS} AS bin_lo,
+       {HIST_LO} + bucket * {(HIST_HI - HIST_LO) / HIST_BINS} AS bin_hi,
+       COUNT(*) AS n
+FROM (
+  SELECT CAST(CASE
+    WHEN l_extendedprice < {HIST_LO} THEN 0
+    WHEN l_extendedprice >= {HIST_HI} THEN {HIST_BINS + 1}
+    ELSE FLOOR((l_extendedprice - {HIST_LO})
+               / CAST({(HIST_HI - HIST_LO) / HIST_BINS} AS DOUBLE)) + 1
+  END AS BIGINT) AS bucket
+  FROM lineitem
+)
+GROUP BY 1
+"""
+
+# --- market-basket pair counting -------------------------------------------
+
+MIN_SUPPORT = 2
+
+
+def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part pairs co-purchased in the same order with support ≥ 2 — the
+    pair-counting core of frequent-itemset mining.  The self-join is
+    keyed on the order (baskets are small, so per-order pair fan-out is
+    ~|basket|², bounded); the count then shuffles once on the pair key.
+    At scale, oversized baskets get capped (top-N items per basket) to
+    bound the quadratic term — the standard A-priori engineering trade."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= MIN_SUPPORT)
+    )
+
+
+BASKET_ORACLE = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       COUNT(*) AS support
+FROM items a JOIN items b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+HAVING COUNT(*) >= {MIN_SUPPORT}
+"""
+
+register(QuerySpec("k_anonymity_audit", k_anonymity_audit, K_ANON_ORACLE,
+                   tags=("GOVERNANCE", "A1", "A3")))
+register(QuerySpec("hist_extendedprice", hist_extendedprice, HIST_ORACLE,
+                   tags=("GOVERNANCE", "A1")))
+register(QuerySpec("basket_pairs", basket_pairs, BASKET_ORACLE,
+                   tags=("GOVERNANCE", "J1", "A1")))

@@ -166,3 +166,71 @@ register(QuerySpec("decontam_flags", decontam_flags, DECONTAM_FLAGS_ORACLE,
                    tags=("DECONTAM",)))
 register(QuerySpec("shuffle_rank", shuffle_rank, SHUFFLE_RANK_ORACLE,
                    tags=("SHUFFLE",)))
+
+
+# --- span-level decontamination --------------------------------------------
+
+
+def decontam_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal contaminated token spans (operators/decontaminate.py::
+    matched_spans) over the same planted-leak corpus as decontam_pairs —
+    the substring-granularity output that lets a pipeline excise leaked
+    passages instead of dropping whole documents."""
+    from star_schema_etl_airflow_spark.operators.decontaminate import (
+        matched_spans,
+    )
+
+    ev, tr = _split_docs(spark, sf_dir)
+    return matched_spans(_contaminated_train(ev, tr), ev)
+
+
+_TOKS_SPANS_D = tokens_duck("text")
+_GRAMS_NODIST_D = (
+    f"list_transform(range(0, len({_TOKS_SPANS_D}) - {DECONTAM_NGRAM} + 1), "
+    f"i -> array_to_string({_TOKS_SPANS_D}[i + 1 : i + {DECONTAM_NGRAM}], ' '))"
+)
+_POS_GRAMS_D = (
+    f"CASE WHEN len({_TOKS_SPANS_D}) < {DECONTAM_NGRAM} THEN [] "
+    f"ELSE {shingle_hashes_duck(_GRAMS_NODIST_D)} END"
+)
+
+DECONTAM_SPANS_ORACLE = f"""
+WITH {_CORPUS_D},
+pg AS (
+  SELECT doc_id AS train_id, gs FROM (
+    SELECT doc_id, {_POS_GRAMS_D} AS gs FROM train
+  )
+),
+pgp AS (
+  SELECT train_id, gs, unnest(range(1, len(gs) + 1)) AS p FROM pg
+),
+matched AS (
+  SELECT DISTINCT pgp.train_id, e.eval_id, pgp.p - 1 AS pos
+  FROM pgp JOIN evg e ON pgp.gs[pgp.p] = e.g
+),
+isl AS (
+  SELECT train_id, eval_id, pos,
+         CASE WHEN COALESCE(
+                pos - LAG(pos) OVER (
+                  PARTITION BY train_id, eval_id ORDER BY pos),
+                {DECONTAM_NGRAM + 1}) > {DECONTAM_NGRAM}
+              THEN 1 ELSE 0 END AS new_span
+  FROM matched
+),
+sp AS (
+  SELECT train_id, eval_id, pos,
+         SUM(new_span) OVER (
+           PARTITION BY train_id, eval_id ORDER BY pos
+           ROWS UNBOUNDED PRECEDING) AS span_id
+  FROM isl
+)
+SELECT train_id, eval_id,
+       MIN(pos) AS span_start,
+       MAX(pos) + {DECONTAM_NGRAM} AS span_end,
+       MAX(pos) + {DECONTAM_NGRAM} - MIN(pos) AS span_tokens
+FROM sp
+GROUP BY train_id, eval_id, span_id
+"""
+
+register(QuerySpec("decontam_spans", decontam_spans, DECONTAM_SPANS_ORACLE,
+                   tags=("DECONTAM",)))

@@ -69,6 +69,7 @@ def _ensure_loaded() -> None:
         core_queries,
         events_queries,
         fixture_queries,
+        governance_queries,
         ivm_queries,
         llm_decontam,
         llm_dedup,

@@ -296,3 +296,80 @@ def test_join_strategy_hints_are_honored(spark):
         cust.hint("broadcast"), orders.o_custkey == cust.c_custkey
     )
     assert "BroadcastHashJoin" in _plan(bcast)
+
+
+def test_dedup_lines_broadcasts_common_set(spark):
+    from star_schema_etl_airflow_spark.plans.llm_dedup2 import dedup_lines
+
+    plan = _plan(dedup_lines(spark, SF_DIR))
+    # common-line removal is a broadcast (map-side) join; no cartesian
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dedup_incremental_is_anti_join(spark):
+    from star_schema_etl_airflow_spark.plans.llm_dedup2 import (
+        dedup_incremental,
+    )
+
+    plan = _plan(dedup_incremental(spark, SF_DIR))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semdedup_broadcasts_codebook_no_cartesian(spark):
+    from star_schema_etl_airflow_spark.plans.llm_dedup2 import semdedup
+
+    plan = _plan(semdedup(spark, SF_DIR))
+    # centroid assignment is a broadcast nested-loop over k rows (the
+    # same shape as kmeans_assign); the in-cluster pair join must be a
+    # hash join on cluster — never an unbroadcast cartesian
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_nb_scoring_join_is_broadcast(spark):
+    from star_schema_etl_airflow_spark.plans.text_classify import nb_classify
+
+    plan = _plan(nb_classify(spark, SF_DIR))
+    # the model (smoothed log-likelihood grid) broadcasts into the
+    # token-scoring join — the corpus side never shuffles for the model
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tfidf_pair_join_is_equi_on_term(spark):
+    from star_schema_etl_airflow_spark.plans.text_classify import (
+        tfidf_topk_pairs,
+    )
+
+    plan = _plan(tfidf_topk_pairs(spark, SF_DIR))
+    # the inverted-index self-join is an equi join on term (doc_id
+    # inequality as residual) — never an all-pairs nested loop.  The one
+    # BroadcastNestedLoopJoin allowed is the 1-row n_docs scalar
+    # (crossJoin(broadcast(agg)) — same class as the max-sk seed).
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin [term" in plan or "ShuffledHashJoin [term" in plan
+
+
+def test_triangles_wedge_joins_are_equi(spark):
+    from star_schema_etl_airflow_spark.plans.clustering_queries import (
+        graph_triangles,
+    )
+
+    plan = _plan(graph_triangles(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_skip_pruned_scan_pushes_residual_filter(spark):
+    from star_schema_etl_airflow_spark.plans.scan_pruning import (
+        skip_pruned_scan,
+    )
+
+    plan = _plan(skip_pruned_scan(spark, SF_DIR))
+    # the residual predicate must reach the parquet scan of the pruned
+    # file set (row-group skipping inside the files the manifest kept)
+    scan = next(p for p in plan.split("FileScan")[1:] if "l_shipdate" in p)
+    pushed = scan.split("PushedFilters:")[1].splitlines()[0]
+    assert "l_shipdate" in pushed

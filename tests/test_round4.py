@@ -114,3 +114,66 @@ def test_triangles_consistent_with_edge_count(spark):
     # every triangle credits exactly 3 corners
     assert total_corner_credits % 3 == 0
     assert total_corner_credits > 0
+
+
+def test_decontam_spans_are_maximal_and_cover_planted_leaks(spark):
+    from star_schema_etl_airflow_spark.operators.decontaminate import (
+        DECONTAM_NGRAM,
+    )
+    from star_schema_etl_airflow_spark.plans.llm_decontam import (
+        decontam_spans,
+    )
+
+    rows = decontam_spans(spark, SF_DIR).collect()
+    assert rows
+    by_pair = {}
+    for r in rows:
+        assert r["span_tokens"] == r["span_end"] - r["span_start"]
+        assert r["span_tokens"] >= DECONTAM_NGRAM
+        by_pair.setdefault((r["train_id"], r["eval_id"]), []).append(
+            (r["span_start"], r["span_end"])
+        )
+    # maximality: spans of one pair are disjoint with a real gap (else
+    # the islands merge would have fused them)
+    for spans in by_pair.values():
+        spans.sort()
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert s2 > e1
+
+
+def test_k_anonymity_partitions_every_customer(spark):
+    from star_schema_etl_airflow_spark.plans.governance_queries import (
+        K_ANON,
+        k_anonymity_audit,
+    )
+
+    rows = k_anonymity_audit(spark, SF_DIR).collect()
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    assert sum(r["group_size"] for r in rows) == cust.count()
+    for r in rows:
+        assert r["is_k_anonymous"] == (r["group_size"] >= K_ANON)
+        assert 1 <= r["l_diversity"] <= r["group_size"]
+
+
+def test_histogram_covers_every_row(spark):
+    from star_schema_etl_airflow_spark.plans.governance_queries import (
+        HIST_BINS,
+        hist_extendedprice,
+    )
+
+    rows = hist_extendedprice(spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    assert sum(r["n"] for r in rows) == li.count()
+    assert all(0 <= r["bucket"] <= HIST_BINS + 1 for r in rows)
+
+
+def test_basket_pairs_canonical_and_supported(spark):
+    from star_schema_etl_airflow_spark.plans.governance_queries import (
+        MIN_SUPPORT,
+        basket_pairs,
+    )
+
+    rows = basket_pairs(spark, SF_DIR).collect()
+    for r in rows:
+        assert r["part_a"] < r["part_b"]
+        assert r["support"] >= MIN_SUPPORT
