@@ -194,12 +194,18 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("cname", "sname").alias("b"),
         )
         .distinct()
+        # the edge list is tiny (≤ nations²) but sits downstream of the
+        # full fact join — persist so the three wedge-join branches don't
+        # re-run that join, and broadcast the closure sides (at web scale
+        # the edge list is big: keep e1 shuffled, degree-orient, and let
+        # e2/e3 be the bucketed sides instead)
+        .persist()
     )
     e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
     tris = (
-        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        e1.join(F.broadcast(e2), F.col("e1.b") == F.col("e2.a"))
         .join(
-            e3,
+            F.broadcast(e3),
             (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
         )
         .select(

