@@ -169,3 +169,111 @@ register(QuerySpec("hist_extendedprice", hist_extendedprice, HIST_ORACLE,
                    tags=("GOVERNANCE", "A1")))
 register(QuerySpec("basket_pairs", basket_pairs, BASKET_ORACLE,
                    tags=("GOVERNANCE", "J1", "A1")))
+
+
+# --- association rules ------------------------------------------------------
+
+MIN_LIFT = 2.0
+
+
+def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules a→b over the supported pairs: confidence =
+    P(b|a) and lift = confidence / P(b), keeping rules whose lift ≥ 2
+    (co-occurrence at least twice the independence rate — the meaningful
+    gate for sparse baskets, where absolute confidence is tiny).  Item
+    supports re-aggregate the distinct basket-item relation (one extra
+    shuffle on the item key); the tiny item-support table broadcasts
+    into the rule join.  Both directions of every pair are emitted
+    (a→b and b→a differ in confidence).  Ratios are single double
+    divisions of exact integer counts — deterministic on both engines."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct().persist()
+    n_orders = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    item_support = li.groupBy("l_partkey").agg(
+        F.count("*").alias("item_n")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pair_support = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("pair_n"))
+        .filter(F.col("pair_n") >= MIN_SUPPORT)
+    )
+    # both rule directions from one pair relation
+    rules = pair_support.select(
+        F.col("part_a").alias("antecedent"),
+        F.col("part_b").alias("consequent"),
+        "pair_n",
+    ).unionByName(
+        pair_support.select(
+            F.col("part_b").alias("antecedent"),
+            F.col("part_a").alias("consequent"),
+            "pair_n",
+        )
+    )
+    ante = item_support.select(
+        F.col("l_partkey").alias("antecedent"), F.col("item_n").alias("ante_n")
+    )
+    cons = item_support.select(
+        F.col("l_partkey").alias("consequent"), F.col("item_n").alias("cons_n")
+    )
+    return (
+        rules.join(F.broadcast(ante), "antecedent")
+        .join(F.broadcast(cons), "consequent")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "antecedent",
+            "consequent",
+            "pair_n",
+            (F.col("pair_n").cast("double") / F.col("ante_n").cast("double"))
+            .alias("confidence"),
+            (
+                (F.col("pair_n").cast("double") / F.col("ante_n").cast("double"))
+                / (F.col("cons_n").cast("double") / F.col("n_orders").cast("double"))
+            ).alias("lift"),
+        )
+        .filter(F.col("lift") >= MIN_LIFT)
+    )
+
+
+BASKET_RULES_ORACLE = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items),
+isup AS (SELECT l_partkey, COUNT(*) AS item_n FROM items GROUP BY 1),
+psup AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS pair_n
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {MIN_SUPPORT}
+),
+rules AS (
+  SELECT part_a AS antecedent, part_b AS consequent, pair_n FROM psup
+  UNION ALL
+  SELECT part_b, part_a, pair_n FROM psup
+)
+SELECT r.antecedent, r.consequent, r.pair_n,
+       CAST(r.pair_n AS DOUBLE) / CAST(sa.item_n AS DOUBLE) AS confidence,
+       (CAST(r.pair_n AS DOUBLE) / CAST(sa.item_n AS DOUBLE))
+         / (CAST(sc.item_n AS DOUBLE) / CAST(n.n_orders AS DOUBLE)) AS lift
+FROM rules r
+JOIN isup sa ON sa.l_partkey = r.antecedent
+JOIN isup sc ON sc.l_partkey = r.consequent
+CROSS JOIN n
+WHERE (CAST(r.pair_n AS DOUBLE) / CAST(sa.item_n AS DOUBLE))
+        / (CAST(sc.item_n AS DOUBLE) / CAST(n.n_orders AS DOUBLE))
+      >= {MIN_LIFT}
+"""
+
+register(QuerySpec("basket_rules", basket_rules, BASKET_RULES_ORACLE,
+                   tags=("GOVERNANCE", "J1", "A1")))
