@@ -660,3 +660,49 @@ GROUP BY 1
 
 register(QuerySpec("w8_distinct_over_window", w8_distinct_over_window,
                    W8_ORACLE, tags=("W3", "A3", "window-census")))
+
+
+# --- UNPIVOT / melt ---------------------------------------------------------
+
+
+def upv1_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): a wide per-priority aggregate turned into long
+    (priority, metric, value) rows via ``stack`` — the inverse of the
+    pv1 pivot, completing the reshape surface.  stack() is a generator
+    (map-side, no shuffle beyond the one aggregation); money goes
+    through the decimal-exact sum before the reshape."""
+    o = load_table(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+    return wide.selectExpr(
+        "o_orderpriority",
+        "stack(3, 'n_orders', cast(n_orders as double), "
+        "'total_price', total_price, "
+        "'n_customers', cast(n_customers as double)) as (metric, value)",
+    )
+
+
+UPV1_ORACLE = """
+WITH wide AS (
+  SELECT o_orderpriority,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS total_price,
+         COUNT(DISTINCT o_custkey) AS n_customers
+  FROM orders GROUP BY 1
+)
+SELECT o_orderpriority, 'n_orders' AS metric,
+       CAST(n_orders AS DOUBLE) AS value FROM wide
+UNION ALL
+SELECT o_orderpriority, 'total_price', total_price FROM wide
+UNION ALL
+SELECT o_orderpriority, 'n_customers', CAST(n_customers AS DOUBLE) FROM wide
+"""
+
+register(QuerySpec("upv1_unpivot", upv1_unpivot, UPV1_ORACLE,
+                   tags=("PV1", "A1")))

@@ -203,8 +203,11 @@ def tfidf_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # idf as a scaled long (×1e6): the pair-join hot loop then runs pure
     # codegen long multiply-adds — exact and order-independent like
     # DECIMAL, but ~10× faster than BigDecimal(38,18) arithmetic.
-    # Magnitudes: idf ≤ ln(N) ≈ 6.5e6 scaled; a dot of ≤ max-shingle
-    # count products stays < 2^51 — no overflow headroom concerns.
+    # Overflow headroom: a dot accumulates (idf·1e6)² ≤ (ln(N)·1e6)² per
+    # shared term — >10⁴ shared terms fit under 2^62 at a 1e9-doc corpus
+    # and >5×10³ even at 1e12 docs, far above any document's shingle
+    # count here; chunking (chunk_documents) bounds it for pathological
+    # docs.  tests/test_round4.py pins the arithmetic.
     idf = (
         postings.groupBy("term")
         .agg(F.count("*").alias("df"))

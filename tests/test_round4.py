@@ -177,3 +177,17 @@ def test_basket_pairs_canonical_and_supported(spark):
     for r in rows:
         assert r["part_a"] < r["part_b"]
         assert r["support"] >= MIN_SUPPORT
+
+
+def test_tfidf_scaled_long_overflow_headroom():
+    """The ×1e6 idf scale must leave generous shared-term headroom under
+    a 2^62 accumulator cap: >10⁴ terms at a 1e9-doc corpus, >5×10³ even
+    at 1e12 docs."""
+    import math
+
+    from star_schema_etl_airflow_spark.plans.text_classify import IDF_SCALE
+
+    at_1e9 = (2 ** 62) / ((math.log(1e9) * IDF_SCALE) ** 2)
+    at_1e12 = (2 ** 62) / ((math.log(1e12) * IDF_SCALE) ** 2)
+    assert at_1e9 > 10_000
+    assert at_1e12 > 5_000

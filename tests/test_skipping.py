@@ -80,3 +80,27 @@ def test_null_only_file_skipped_mixed_file_kept(spark, tmp_path_factory):
         spark, path, "d", datetime.date(2024, 1, 1), datetime.date(2024, 12, 31)
     )
     assert [r["id"] for r in out.orderBy("id").collect()] == [10, 12, 14, 16, 18]
+
+
+def test_pruned_read_monetizes_zorder_layout(spark, tmp_path):
+    """The zone-map operator and the z-order writer compose: a band
+    predicate on EITHER clustered dimension skips files through
+    build_manifest/prune_files, and the pruned read stays exact."""
+    from pyspark.sql import functions as F
+
+    from star_schema_etl_airflow_spark.sources import io as sio
+
+    out = str(tmp_path / "zorder")
+    n, files = 64, 16
+    grid = spark.range(0, n * n).selectExpr(
+        f"id % {n} as x", f"id div {n} as y"
+    )
+    sio.write_zorder(grid, out, "x", "y", bits=8, n_files=files)
+    for col in ("x", "y"):
+        man = build_manifest(spark, out, col)
+        assert len(man) == files
+        kept = prune_files(man, 5, 10)
+        assert len(kept) < files  # the clustered layout actually prunes
+        pruned = pruned_read(spark, out, col, 5, 10)
+        full = spark.read.parquet(out).filter(F.col(col).between(5, 10))
+        assert sorted(pruned.collect()) == sorted(full.collect())
