@@ -83,6 +83,7 @@ def _ensure_loaded() -> None:
         operators_basic,
         scan_pruning,
         sketches,
+        spark4_features,
         sql_queries,
         subquery_queries,
         text_classify,
