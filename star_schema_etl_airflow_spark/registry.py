@@ -81,6 +81,7 @@ def _ensure_loaded() -> None:
         llm_text,
         multimodal_queries,
         operators_basic,
+        pudf_queries,
         scan_pruning,
         sketches,
         spark4_features,

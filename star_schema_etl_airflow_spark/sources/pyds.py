@@ -28,6 +28,7 @@ import hashlib
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
 )
 
@@ -77,7 +78,55 @@ class SyntheticEventsDataSource(DataSource):
     def reader(self, schema) -> SyntheticEventsReader:
         return SyntheticEventsReader(self.options)
 
+    def streamReader(self, schema) -> "SyntheticEventsStreamReader":
+        return SyntheticEventsStreamReader(self.options)
+
 
 def register_synthetic_events(spark) -> None:
     """Idempotent registration of the datasource with a session."""
     spark.dataSource.register(SyntheticEventsDataSource)
+
+
+# --- streaming reader -------------------------------------------------------
+
+
+class SyntheticEventsStreamReader(DataSourceStreamReader):
+    """Offset-tracked streaming variant: the offset is the count of rows
+    emitted so far; ``latestOffset`` exposes everything up to the
+    configured ``rows`` cap, and each micro-batch's [start, end) range is
+    split into ``partitions`` contiguous chunks.  Rows are the same pure
+    md5 function of the id as the batch reader, so a resumed query
+    (checkpointed offset) continues the exact sequence — exactly-once
+    end-to-end with a transactional sink."""
+
+    def __init__(self, options):
+        self.rows = int(options.get("rows", DEFAULT_ROWS))
+        self.parts = int(options.get("partitions", DEFAULT_PARTITIONS))
+
+    def initialOffset(self):
+        return {"offset": 0}
+
+    def latestOffset(self):
+        return {"offset": self.rows}
+
+    def partitions(self, start, end):
+        lo, hi = start["offset"], end["offset"]
+        n = max(1, self.parts)
+        bounds = [lo + (hi - lo) * i // n for i in range(n + 1)]
+        return [
+            RangePartition(bounds[i], bounds[i + 1])
+            for i in range(n)
+            if bounds[i] < bounds[i + 1]
+        ]
+
+    def read(self, partition):
+        for event_id in range(partition.lo, partition.hi):
+            yield _row(event_id)
+
+    def commit(self, end):
+        pass
+
+
+class RangePartition(InputPartition):
+    def __init__(self, lo, hi):
+        self.lo, self.hi = lo, hi

@@ -40,3 +40,51 @@ def test_uneven_partition_bounds_cover_exactly(spark):
     # 10 rows over 4 partitions → bounds 0-2,2-5,5-7,7-10; no gap/overlap
     ids = sorted(r["event_id"] for r in _read(spark, 10, 4).collect())
     assert ids == list(range(10))
+
+
+def test_stream_reader_reads_all_rows_exactly_once(spark, tmp_path):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    register_synthetic_events(spark)
+    q = (
+        spark.readStream.format("synthetic_events")
+        .option("rows", 120)
+        .option("partitions", 3)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    assert got == {_row(i) for i in range(120)}
+
+
+def test_stream_resumes_from_checkpointed_offset(spark, tmp_path):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    register_synthetic_events(spark)
+
+    def run(rows):
+        q = (
+            spark.readStream.format("synthetic_events")
+            .option("rows", rows)
+            .option("partitions", 2)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run(60)
+    assert spark.read.parquet(out).count() == 60
+    # restart with a larger horizon and the SAME checkpoint: only the
+    # unread tail [60, 100) may be emitted — no duplicates of 0-59
+    run(100)
+    got = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
+    assert got == list(range(100))
