@@ -65,3 +65,54 @@ GROUP BY 1
 
 register(QuerySpec("pudf_weighted_median", pudf_weighted_median,
                    PUDF_WMEDIAN_ORACLE, tags=("PUDF", "A4")))
+
+
+# --- Python UDTF ------------------------------------------------------------
+
+
+def udtf_token_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 table function) exploding each document into
+    8-token lines with positions, invoked per-row via LATERAL — the
+    table-function twin of the builtin-generator chunker
+    (``chunk_documents``), for logic that genuinely needs Python.
+    Deterministic (pure function of the row), so fully oracle-checked;
+    the builtin-expression chunker remains the hot-path default (UDTFs
+    pay the Python-worker round trip)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, line string")
+    class SplitLines:
+        def eval(self, text: str):
+            toks = text.split()
+            for i in range((len(toks) + 7) // 8):
+                yield i, " ".join(toks[i * 8:(i + 1) * 8])
+
+    spark.udtf.register("split_lines", SplitLines)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 100
+    )
+    docs.createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, t.pos, t.line "
+        "FROM __udtf_docs d, LATERAL split_lines(d.text) t"
+    )
+
+
+UDTF_LINES_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS tk
+  FROM documents WHERE doc_id < 100
+),
+chunks AS (
+  SELECT doc_id,
+         unnest(range(0, CAST(CEIL(len(tk) / 8.0) AS INT))) AS pos,
+         tk
+  FROM toks
+)
+SELECT doc_id, CAST(pos AS INT) AS pos,
+       array_to_string(tk[pos * 8 + 1 : pos * 8 + 8], ' ') AS line
+FROM chunks
+"""
+
+register(QuerySpec("udtf_token_lines", udtf_token_lines, UDTF_LINES_ORACLE,
+                   tags=("UDTF", "G1")))

@@ -99,3 +99,47 @@ register(QuerySpec("sq17_below_avg_qty", sq17_below_avg_qty, SQ17_ORACLE,
                    tags=("SQ17",)))
 register(QuerySpec("sq13_orders_per_customer", sq13_orders_per_customer,
                    SQ13_ORACLE, tags=("SQ13",)))
+
+
+# --- LATERAL correlated subquery --------------------------------------------
+
+
+def lat1_top2_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery: the two most expensive line items
+    per order (ties → lowest part key).  Catalyst decorrelates the
+    per-row LIMIT into a ranked join — no per-order re-scan of lineitem
+    — which is exactly why LATERAL is safe at fact scale; the
+    deterministic ORDER BY makes it oracle-checkable."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("__lat_o")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("__lat_l")
+    return spark.sql("""
+      SELECT o.o_orderkey, o.o_orderpriority,
+             t.l_partkey, t.l_extendedprice
+      FROM __lat_o o,
+      LATERAL (
+        SELECT l_partkey, l_extendedprice
+        FROM __lat_l l
+        WHERE l.l_orderkey = o.o_orderkey
+        ORDER BY l_extendedprice DESC, l_partkey
+        LIMIT 2
+      ) t
+      WHERE o.o_orderkey < 1000
+    """)
+
+
+LAT1_ORACLE = """
+SELECT o.o_orderkey, o.o_orderpriority,
+       t.l_partkey, t.l_extendedprice
+FROM orders o,
+LATERAL (
+  SELECT l_partkey, l_extendedprice
+  FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+  ORDER BY l_extendedprice DESC, l_partkey
+  LIMIT 2
+) t
+WHERE o.o_orderkey < 1000
+"""
+
+register(QuerySpec("lat1_top2_per_order", lat1_top2_per_order, LAT1_ORACLE,
+                   tags=("LATERAL", "TN1")))
