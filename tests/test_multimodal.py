@@ -206,3 +206,60 @@ def test_frame_sample_plumbing(spark):
         )
     )
     assert vid.payload.startswith(got[: len(vid.payload) // 4])
+
+
+def test_audio_features_match_pure_python(spark):
+    """Synthesize deterministic 16-bit PCM WAVs, extract features via
+    the Arrow kernel, and check against a pure-Python recomputation."""
+    import io
+    import math
+    import struct
+    import wave
+
+    from pyspark.sql import types as T
+
+    from star_schema_etl_airflow_spark.sources.multimodal import (
+        audio_features,
+    )
+
+    def make_wav(freq_hz, n, rate=8000, amp=12000):
+        samples = [
+            int(amp * math.sin(2 * math.pi * freq_hz * i / rate))
+            for i in range(n)
+        ]
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(b"".join(struct.pack("<h", v) for v in samples))
+        return buf.getvalue(), samples
+
+    payloads = {1: make_wav(440, 800), 2: make_wav(50, 1600)}
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+    ])
+    media = spark.createDataFrame(
+        [(k, "audio", v[0]) for k, v in payloads.items()]
+        + [(3, "video", b"not-audio")],
+        schema,
+    )
+    got = {r["media_id"]: r for r in audio_features(media).collect()}
+    for mid, (_, samples) in payloads.items():
+        r = got[mid]
+        assert r["decode_err"] is None
+        assert r["sample_rate"] == 8000
+        assert r["n_samples"] == len(samples)
+        assert r["duration_s"] == len(samples) / 8000
+        exp_rms = (sum(v * v for v in samples) / len(samples)) ** 0.5
+        assert abs(r["rms"] - exp_rms) < 1e-9
+        assert r["peak"] == max(abs(v) for v in samples)
+        exp_zc = sum(
+            1 for a, b in zip(samples, samples[1:]) if (a >= 0) != (b >= 0)
+        )
+        assert r["zero_crossings"] == exp_zc
+    # the 440 Hz tone crosses zero far more often than the 50 Hz one
+    assert got[1]["zero_crossings"] > got[2]["zero_crossings"]
+    assert got[3]["decode_err"] is not None
