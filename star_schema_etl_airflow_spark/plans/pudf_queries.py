@@ -24,17 +24,25 @@ from star_schema_etl_airflow_spark.registry import QuerySpec, register
 from star_schema_etl_airflow_spark.sources.fixtures import load_table
 
 
-@F.pandas_udf("double")
-def _weighted_median(price: pd.Series, qty: pd.Series) -> float:
-    df = pd.DataFrame({"p": price, "q": qty}).sort_values("p")
-    cum = df["q"].cumsum()
-    total = df["q"].sum()
-    return float(df["p"][cum >= total / 2].iloc[0])
+def _weighted_median_udf():
+    # built lazily: the pandas_udf decorator parses its DDL return type
+    # through the ACTIVE SparkSession, so a module-level decoration
+    # breaks any import that happens before a session exists (observed:
+    # pytest collection of the registry)
+    @F.pandas_udf("double")
+    def _weighted_median(price: pd.Series, qty: pd.Series) -> float:
+        df = pd.DataFrame({"p": price, "q": qty}).sort_values("p")
+        cum = df["q"].cumsum()
+        total = df["q"].sum()
+        return float(df["p"][cum >= total / 2].iloc[0])
+
+    return _weighted_median
 
 
 def pudf_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantity-weighted median extended price per return flag via a
     GROUPED_AGG pandas UDF (Arrow batches, one Python call per group)."""
+    _weighted_median = _weighted_median_udf()
     li = load_table(spark, sf_dir, "lineitem")
     # GROUPED_AGG pandas UDFs cannot mix with JVM aggregates in one agg
     # (INVALID_PANDAS_UDF_PLACEMENT) — run the plain count as its own
