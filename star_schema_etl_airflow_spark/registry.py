@@ -75,6 +75,7 @@ def _ensure_loaded() -> None:
         llm_dedup,
         llm_dedup2,
         llm_pipeline,
+        llm_pipeline2,
         llm_quantize,
         llm_sampling,
         llm_similarity,
