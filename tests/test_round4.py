@@ -191,3 +191,19 @@ def test_tfidf_scaled_long_overflow_headroom():
     at_1e12 = (2 ** 62) / ((math.log(1e12) * IDF_SCALE) ** 2)
     assert at_1e9 > 10_000
     assert at_1e12 > 5_000
+
+
+def test_curation_v2_rollup_is_consistent(spark):
+    from star_schema_etl_airflow_spark.plans.llm_pipeline2 import (
+        GATE_MIN_TOKENS,
+        curation_pipeline_v2,
+    )
+
+    rows = {r["split"]: r for r in curation_pipeline_v2(spark, SF_DIR).collect()}
+    assert set(rows) <= {"train", "val"}
+    assert "train" in rows
+    for r in rows.values():
+        assert r["n_docs"] > 0
+        # every surviving doc passed the token gate
+        assert r["total_tokens"] >= GATE_MIN_TOKENS * r["n_docs"]
+        assert r["min_doc_id"] <= r["max_doc_id"]
