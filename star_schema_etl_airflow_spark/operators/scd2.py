@@ -115,9 +115,20 @@ def assign_surrogate_keys(
 
 
 def dedupe_latest(source: DataFrame, key: str, order_col: str) -> DataFrame:
-    """Latest row per business key (highest ``order_col``; ties broken by
-    the key itself for determinism)."""
-    w = Window.partitionBy(key).orderBy(F.col(order_col).desc())
+    """Latest row per business key (highest ``order_col``).
+
+    Tie-break: within a window partition every row shares ``key``, so
+    ordering by the key would be vacuous — two same-key rows with equal
+    ``order_col`` would get an arbitrary winner that changes with
+    partitioning.  Instead ties order by a content hash of ALL columns
+    (``xxhash64`` ascending), making the winner a pure function of the
+    data: byte-identical output under any repartitioning (pinned by
+    ``tests/test_scd2.py::test_dedupe_latest_deterministic_under_ties``).
+    Full-duplicate rows still tie, but every candidate is then identical,
+    so the output is deterministic regardless of which survives."""
+    w = Window.partitionBy(key).orderBy(
+        F.col(order_col).desc(), F.xxhash64(*source.columns).asc()
+    )
     return (
         source.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

@@ -66,9 +66,10 @@ def build_manifest(
 
 
 def _coerce_bound(bound: object, sample: object) -> object:
-    """Match SQL's date→timestamp cast (midnight) when the column stats
-    are timestamps but the predicate bounds are plain dates — the same
-    coercion both engines apply inside BETWEEN."""
+    """Match SQL's date→timestamp cast (midnight) whenever one side of a
+    comparison is a timestamp and the other a plain date — symmetric, so
+    both (date bound vs timestamp stats) and (timestamp bound vs date
+    stats) compare as timestamps instead of raising TypeError."""
     import datetime
 
     if (
@@ -91,8 +92,11 @@ def prune_files(
     for fr in manifest:
         if fr.lo is None and fr.hi is None:
             continue
+        # Promote BOTH directions: date bounds up to the stats' timestamp
+        # type, and date stats up to the bounds' timestamp type.
         flo, fhi = _coerce_bound(lo, fr.lo), _coerce_bound(hi, fr.hi)
-        if fr.hi < flo or fr.lo > fhi:
+        frlo, frhi = _coerce_bound(fr.lo, lo), _coerce_bound(fr.hi, hi)
+        if frhi < flo or frlo > fhi:
             continue
         keep.append(fr.path)
     return keep

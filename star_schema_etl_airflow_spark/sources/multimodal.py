@@ -394,7 +394,17 @@ def audio_features(media: DataFrame) -> DataFrame:
                         n / m["sample_rate"] if m["sample_rate"] else 0.0,
                         rms, max((abs(v) for v in s), default=0), zc, None,
                     ))
-                except (NotImplementedError, ValueError, KeyError) as exc:
+                except (
+                    NotImplementedError,
+                    ValueError,
+                    KeyError,
+                    # wave.readframes can return a partial tail on a
+                    # truncated PCM data chunk; struct.unpack_from then
+                    # raises struct.error — that's a malformed payload,
+                    # which must surface as a decode_err row, not kill
+                    # the task (the decode_stats contract).
+                    struct.error,
+                ) as exc:
                     rows.append((
                         mid, None, None, None, None, None, None,
                         str(exc)[:120],

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from star_schema_etl_airflow_spark.functions.text import md5_long_spark
+from star_schema_etl_airflow_spark.sources.io import _target_exists
 
 
 def dedup_batch_against(
@@ -77,10 +78,16 @@ def run_dedup_stream(
     def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        try:
-            corpus = spark.read.parquet(corpus_path)
-        except Exception:
-            corpus = None
+        # Day-0 detection must be an explicit existence check, not a broad
+        # except: treating a transient read failure (corruption, IO,
+        # permissions) as "empty corpus" would append the batch undeduped
+        # and permanently admit duplicates.  Any real read error re-raises
+        # and fails the micro-batch, which the checkpoint then retries.
+        corpus = (
+            spark.read.parquet(corpus_path)
+            if _target_exists(corpus_path, spark)
+            else None
+        )
         survivors = dedup_batch_against(corpus, batch_df, id_col, text_col)
         survivors.write.mode("append").parquet(corpus_path)
 

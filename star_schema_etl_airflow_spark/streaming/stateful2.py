@@ -30,6 +30,7 @@ with new rows, and Arrow batches keep the Python hook vectorized.
 from __future__ import annotations
 
 from collections.abc import Iterator
+from contextlib import contextmanager
 
 import pandas as pd
 
@@ -86,13 +87,41 @@ class UserProfileProcessor(StatefulProcessor):
         pass
 
 
+_PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+@contextmanager
+def rocksdb_state_store(spark: SparkSession):
+    """Scope the RocksDB state-store provider to one query run.
+
+    transformWithStateInPandas requires RocksDB, but the provider conf is
+    session-wide — setting it permanently would silently switch EVERY
+    later streaming query in a shared session.  Save the prior value and
+    restore (or unset) it on exit."""
+    try:
+        prior = spark.conf.get(_PROVIDER_KEY)
+    except Exception:
+        prior = None
+    spark.conf.set(_PROVIDER_KEY, _ROCKSDB_PROVIDER)
+    try:
+        yield
+    finally:
+        if prior is None:
+            spark.conf.unset(_PROVIDER_KEY)
+        else:
+            spark.conf.set(_PROVIDER_KEY, prior)
+
+
 def user_profile_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming per-user running profile through the new API."""
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider",
-    )
+    """Streaming per-user running profile through the new API.
+
+    The returned plan is lazy: the RocksDB provider conf must be in
+    effect when the query STARTS — use :func:`rocksdb_state_store`
+    around ``start()``/``awaitTermination`` (the runner below does)."""
     ev = stream_events(spark, sf_dir).select("user_id", "ts", "value")
     return ev.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=UserProfileProcessor(),
@@ -105,13 +134,14 @@ def user_profile_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
 def run_tws_profiles_to_memory(
     spark: SparkSession, sf_dir: str, name: str = "tws_profiles"
 ) -> DataFrame:
-    q = (
-        user_profile_tws(spark, sf_dir)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(180)
+    with rocksdb_state_store(spark):
+        q = (
+            user_profile_tws(spark, sf_dir)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
     return spark.table(name)
