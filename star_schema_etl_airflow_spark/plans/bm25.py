@@ -1,0 +1,192 @@
+"""BM25 ranked retrieval over the ``documents`` corpus — the classic
+probabilistic relevance score a curation pipeline uses to mine
+task-relevant training data (query-targeted subset selection), and the
+baseline every learned retriever is compared against.
+
+Formula (Robertson/Sparck-Jones, k1=1.2, b=0.75):
+
+    score(q, d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    idf(t)      = ln((N − df + 0.5)/(df + 0.5) + 1)
+
+Float determinism (the repo's cross-engine contract): the only
+transcendental, ``ln``, is carried as ``round(ln·1e6)`` BIGINT; the
+length-normalized term ratio is restated as a ratio of EXACT INTEGERS by
+multiplying through by ``10·Σdl``:
+
+    tf·(k1+1) / (tf + 0.3 + 0.9·dl·N/Σdl)
+      = 22·tf·Σdl / (10·tf·Σdl + 3·Σdl + 9·dl·N)
+
+so each per-term contribution is two integer-valued doubles divided once,
+rounded to 9 decimals, and summed in DECIMAL (order-independent).  Both
+engines evaluate the identical IEEE expression tree, so values match
+exactly, not just within tolerance.
+
+Scale design (100 TB): tf is the one corpus-sized aggregation (one
+shuffle on (doc, term)); the query-term × idf table is tiny and
+broadcast, so scoring never shuffles the corpus again; dl joins on
+doc_id (broadcast here, bucketed co-partitioned at corpus scale); top-k
+per query is a partial ``InferWindowGroupLimit`` window.  Integer
+headroom: 22·tf·Σdl fits int64 up to Σdl ≈ 4·10¹⁵ tokens with tf ≤ 100
+— beyond that, production switches num/den to doubles AFTER the exact
+construction (one rounding, still deterministic per-engine).
+
+Reference parity: beyond-reference (LLM-pipeline extension; the
+reference has no text retrieval).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from star_schema_etl_airflow_spark.functions.text import (
+    tokens_duck,
+    tokens_spark,
+)
+from star_schema_etl_airflow_spark.registry import QuerySpec, register
+from star_schema_etl_airflow_spark.sources.fixtures import load_table
+
+_TOKS_S = tokens_spark("text")
+_TOKS_D = tokens_duck("text")
+
+IDF_SCALE = 1_000_000
+SCORE_DECIMALS = 9
+TOP_K = 10
+
+# Fixed retrieval queries over the fixture vocabulary (documents are
+# synthetic word-salad; discrimination comes from tf and length).
+BM25_QUERIES: tuple[tuple[int, tuple[str, ...]], ...] = (
+    (1, ("vector", "hash", "merge")),
+    (2, ("stream", "window", "join")),
+    (3, ("customer", "query", "filter")),
+)
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", F.explode(F.expr(_TOKS_S)).alias("term"))
+    # tf feeds both df-counting and scoring; persist the (doc,term)-sized
+    # partial instead of re-exploding the corpus
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).persist()
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+
+    qrows = [
+        (qid, term) for qid, terms in BM25_QUERIES for term in terms
+    ]
+    qterms = spark.createDataFrame(qrows, "query_id int, term string")
+
+    # idf only for query terms: the broadcast side stays |q| rows no
+    # matter the corpus size
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    qidf = (
+        qterms.join(df_t, "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "term",
+            F.round(
+                F.log(
+                    (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                    + F.lit(1.0)
+                )
+                * F.lit(float(IDF_SCALE)),
+                0,
+            ).cast("long").alias("w"),
+            "n_docs",
+            "sum_dl",
+        )
+    )
+
+    contrib = (
+        tf.join(F.broadcast(qidf), "term")
+        .join(F.broadcast(dl), "doc_id")
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(
+                (F.col("w").cast("double") / F.lit(float(IDF_SCALE)))
+                * (
+                    (F.lit(22) * F.col("tf") * F.col("sum_dl")).cast("double")
+                    / (
+                        F.lit(10) * F.col("tf") * F.col("sum_dl")
+                        + F.lit(3) * F.col("sum_dl")
+                        + F.lit(9) * F.col("dl") * F.col("n_docs")
+                    ).cast("double")
+                ),
+                SCORE_DECIMALS,
+            ).cast("decimal(19,9)").alias("c"),
+        )
+    )
+    scored = contrib.groupBy("query_id", "doc_id").agg(
+        F.sum("c").cast("decimal(38,9)").alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+_QUERY_VALUES = ", ".join(
+    f"({qid}, '{term}')" for qid, terms in BM25_QUERIES for term in terms
+)
+
+BM25_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS_D}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+),
+dl AS (
+  SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1
+),
+stats AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl
+),
+q(query_id, term) AS (VALUES {_QUERY_VALUES}),
+df_t AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+),
+qidf AS (
+  SELECT q.query_id, q.term,
+         CAST(ROUND(LN((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                    * {IDF_SCALE}.0, 0) AS BIGINT) AS w,
+         s.n_docs, s.sum_dl
+  FROM q JOIN df_t d ON q.term = d.term CROSS JOIN stats s
+),
+contrib AS (
+  SELECT i.query_id, t.doc_id,
+         CAST(ROUND(
+           (CAST(i.w AS DOUBLE) / {IDF_SCALE}.0)
+           * (CAST(22 * t.tf * i.sum_dl AS DOUBLE)
+              / CAST(10 * t.tf * i.sum_dl + 3 * i.sum_dl
+                     + 9 * l.dl * i.n_docs AS DOUBLE)),
+           {SCORE_DECIMALS}) AS DECIMAL(19,9)) AS c
+  FROM tf t
+  JOIN qidf i ON t.term = i.term
+  JOIN dl l ON t.doc_id = l.doc_id
+),
+scored AS (
+  SELECT query_id, doc_id, CAST(SUM(c) AS DECIMAL(38,9)) AS score
+  FROM contrib GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {TOP_K}
+"""
+
+register(QuerySpec("bm25_topk", bm25_topk, BM25_ORACLE,
+                   tags=("LLM-RETRIEVAL",)))

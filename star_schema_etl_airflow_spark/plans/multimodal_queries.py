@@ -35,3 +35,147 @@ FROM documents
 
 register(QuerySpec("multimodal_features", multimodal_features,
                    MULTIMODAL_FEATURES_ORACLE, tags=("LLM-multimodal",)))
+
+
+# ---------------------------------------------------------------------------
+# multimodal_decoded: differential coverage of the REAL decode kernels
+# (round-4 verdict task 7).  Payload contents are a closed-form function of
+# each document row, so DuckDB can state the expected decoded features in
+# pure SQL — no precomputed fixture, valid at every scale factor:
+#
+# - even doc_id → WAV: synthesized by an INDEPENDENT raw-struct RIFF writer
+#   (below, not the stdlib ``wave`` module), decoded by the production
+#   ``_wav_decode`` (stdlib ``wave`` reader) + ``_pcm_samples`` kernels.
+#   Any header/endianness/width/channel bug on either side breaks the
+#   sample sum/peak.
+# - odd doc_id → PNG: encoded by ``_png_encode``, decoded by
+#   ``_png_decode`` (chunk walk + CRC + inflate + unfilter) — proves the
+#   roundtrip is lossless against the closed-form pixel values.
+#
+# sample[i]  = ((doc_id*31 + i*7) % 4096) - 2048          (16-bit mono PCM)
+# pixel[idx] = (doc_id + 3*x + 5*y + 11*c) % 256          (16-wide RGB)
+# ---------------------------------------------------------------------------
+
+WAV_RATE = 8000
+MAX_WAV_SAMPLES = 256
+PNG_WIDTH = 16
+PNG_CHANNELS = 3
+
+
+def _raw_wav_encode(samples: list[int], rate: int) -> bytes:
+    """Minimal RIFF/WAVE writer via struct only — deliberately NOT the
+    stdlib ``wave`` module, so encode and decode are independent
+    implementations of the container format."""
+    import struct
+
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def _decoded_kernel(batches):
+    import pandas as pd
+
+    from star_schema_etl_airflow_spark.sources.multimodal import (
+        _pcm_samples,
+        _png_decode,
+        _png_encode,
+        _wav_decode,
+    )
+
+    for pdf in batches:
+        rows = []
+        for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+            doc_id, n_chars = int(doc_id), int(n_chars)
+            if doc_id % 2 == 0:
+                n = min(max(n_chars, 1), MAX_WAV_SAMPLES)
+                samples = [
+                    ((doc_id * 31 + i * 7) % 4096) - 2048 for i in range(n)
+                ]
+                decoded = _wav_decode(_raw_wav_encode(samples, WAV_RATE))
+                vals = _pcm_samples(decoded)
+                rows.append((
+                    doc_id, "audio", len(vals), sum(vals),
+                    max(abs(v) for v in vals), decoded["sample_rate"],
+                ))
+            else:
+                h = 1 + (n_chars % PNG_WIDTH)
+                pixels = bytes(
+                    (doc_id + 3 * x + 5 * y + 11 * c) % 256
+                    for y in range(h)
+                    for x in range(PNG_WIDTH)
+                    for c in range(PNG_CHANNELS)
+                )
+                img = _png_decode(_png_encode(pixels, PNG_WIDTH, h, 2))
+                px = img["pixels"]
+                rows.append((
+                    doc_id, "image",
+                    img["width"] * img["height"] * img["channels"],
+                    sum(px), max(px), None,
+                ))
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "media_id", "kind", "n_units", "value_sum", "value_max",
+                "rate",
+            ],
+        )
+
+
+def multimodal_decoded(spark, sf_dir):
+    from pyspark.sql import types as T
+
+    from star_schema_etl_airflow_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_units", T.LongType()),
+        T.StructField("value_sum", T.LongType()),
+        T.StructField("value_max", T.IntegerType()),
+        T.StructField("rate", T.IntegerType()),
+    ])
+    return docs.mapInPandas(_decoded_kernel, schema=schema)
+
+
+MULTIMODAL_DECODED_ORACLE = f"""
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'audio' ELSE 'image' END AS kind,
+       CASE WHEN doc_id % 2 = 0
+            THEN LEAST(GREATEST(n_chars, 1), {MAX_WAV_SAMPLES})
+            ELSE {PNG_WIDTH} * (1 + (n_chars % {PNG_WIDTH})) * {PNG_CHANNELS}
+       END AS n_units,
+       CAST(CASE WHEN doc_id % 2 = 0
+            THEN list_sum(list_transform(
+                   range(0, CAST(LEAST(GREATEST(n_chars, 1), {MAX_WAV_SAMPLES}) AS BIGINT)),
+                   i -> ((doc_id * 31 + i * 7) % 4096) - 2048))
+            ELSE list_sum(list_transform(
+                   range(0, CAST({PNG_WIDTH} * (1 + (n_chars % {PNG_WIDTH})) * {PNG_CHANNELS} AS BIGINT)),
+                   idx -> (doc_id
+                           + 3 * ((idx // {PNG_CHANNELS}) % {PNG_WIDTH})
+                           + 5 * (idx // {PNG_CHANNELS * PNG_WIDTH})
+                           + 11 * (idx % {PNG_CHANNELS})) % 256))
+       END AS BIGINT) AS value_sum,
+       CAST(CASE WHEN doc_id % 2 = 0
+            THEN list_max(list_transform(
+                   range(0, CAST(LEAST(GREATEST(n_chars, 1), {MAX_WAV_SAMPLES}) AS BIGINT)),
+                   i -> abs(((doc_id * 31 + i * 7) % 4096) - 2048)))
+            ELSE list_max(list_transform(
+                   range(0, CAST({PNG_WIDTH} * (1 + (n_chars % {PNG_WIDTH})) * {PNG_CHANNELS} AS BIGINT)),
+                   idx -> (doc_id
+                           + 3 * ((idx // {PNG_CHANNELS}) % {PNG_WIDTH})
+                           + 5 * (idx // {PNG_CHANNELS * PNG_WIDTH})
+                           + 11 * (idx % {PNG_CHANNELS})) % 256))
+       END AS INTEGER) AS value_max,
+       CASE WHEN doc_id % 2 = 0 THEN {WAV_RATE} ELSE NULL END AS rate
+FROM documents
+"""
+
+register(QuerySpec("multimodal_decoded", multimodal_decoded,
+                   MULTIMODAL_DECODED_ORACLE, tags=("LLM-multimodal",)))

@@ -65,10 +65,12 @@ def _ensure_loaded() -> None:
     from star_schema_etl_airflow_spark.plans import (  # noqa: F401
         analytics_queries,
         approx_queries,
+        bm25,
         clustering_queries,
         core_queries,
         events_queries,
         fixture_queries,
+        fuzzy_join,
         governance_queries,
         ivm_queries,
         llm_decontam,

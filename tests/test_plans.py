@@ -373,3 +373,33 @@ def test_skip_pruned_scan_pushes_residual_filter(spark):
     scan = next(p for p in plan.split("FileScan")[1:] if "l_shipdate" in p)
     pushed = scan.split("PushedFilters:")[1].splitlines()[0]
     assert "l_shipdate" in pushed
+
+
+def test_bm25_scoring_joins_are_broadcast(spark):
+    """BM25's corpus-sized tf relation must join the query-term idf table
+    and dl via broadcast — the corpus shuffles once for the tf groupBy
+    and never again for scoring."""
+    from star_schema_etl_airflow_spark.plans.bm25 import bm25_topk
+
+    plan = _plan(bm25_topk(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    # documents scan reads only the referenced columns
+    scan = next(p for p in plan.split("FileScan")[1:] if "documents" in p)
+    schema = scan.split("ReadSchema:")[1].splitlines()[0]
+    assert set(
+        c.split(":")[0] for c in schema.strip().strip("struct<>").split(",")
+    ) == {"doc_id", "text"}
+
+
+def test_fuzzy_edit_join_is_banded_equi_join(spark):
+    """The edit-distance join must be an equi-join on the exploded length
+    band (SortMerge or BroadcastHash — never a cartesian nested loop),
+    with the key-sample filter pushed into the part scan."""
+    from star_schema_etl_airflow_spark.plans.fuzzy_join import fuzzy_edit_join
+
+    plan = _plan(fuzzy_edit_join(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan)
+    assert "PushedFilters" in plan

@@ -257,3 +257,62 @@ def test_audio_features_truncated_pcm_yields_decode_err_row(spark):
     assert rows[1].n_samples == 64
     assert rows[2].decode_err is not None
     assert rows[2].sample_rate is None
+
+
+# ------------------------------------- surrogate-key promotion at scale
+
+def test_surrogate_key_promotion_engages_at_real_scale(spark, tmp_path):
+    """Round-4 verdict task 8: drive apply_scd2's AUTO path with a slice
+    whose on-disk size genuinely exceeds DISTRIBUTED_SK_BYTES (no
+    monkeypatched threshold) and assert (a) the promoted plan engages —
+    no single-partition exchange — and (b) the keys equal the global
+    `row_number() over (order by key)` definition."""
+    from pyspark.sql import functions as F
+
+    from star_schema_etl_airflow_spark.operators.scd2 import (
+        DISTRIBUTED_SK_BYTES,
+        _estimated_bytes,
+        apply_scd2,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    n_docs = docs.count()
+    n_reps = 170
+    reps = spark.range(n_reps).select(F.col("id").alias("rep"))
+    big_path = str(tmp_path / "big_slice")
+    (
+        docs.crossJoin(reps)
+        .select(
+            (F.col("doc_id") * 1000 + F.col("rep")).alias("bk"),
+            # distinct per replica: identical strings would dictionary-
+            # encode the replicated corpus back under the threshold
+            F.concat_ws(
+                ":",
+                F.sha2(F.concat_ws("|", "doc_id", "rep"), 256),
+                F.col("text"),
+            ).alias("attr"),
+        )
+        .write.parquet(big_path)
+    )
+    source = spark.read.parquet(big_path)
+
+    # the probe must see the real file size clear the threshold
+    assert _estimated_bytes(source) > DISTRIBUTED_SK_BYTES
+
+    dim = spark.createDataFrame(
+        [],
+        "sk long, bk long, attr string, effective_date date, "
+        "expiration_date date, is_current boolean",
+    )
+    out = apply_scd2(
+        dim, source, key="bk", tracked=["attr"], run_date="2024-06-01",
+        sk_col="sk",
+    )  # distributed_keys=None → auto-promotion decides
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+    rows = out.select("bk", "sk").collect()
+    assert len(rows) == n_docs * n_reps
+    expected = {bk: i + 1 for i, bk in enumerate(sorted(r.bk for r in rows))}
+    mismatches = sum(1 for r in rows if r.sk != expected[r.bk])
+    assert mismatches == 0
