@@ -34,6 +34,18 @@ def _sf_from_dir(path: str) -> float:
     return -1.0
 
 
+def _host_calibration() -> float:
+    """Single-core Python-loop seconds — a fixed workload whose runtime
+    varies ±30% with invisible host-level contention on this box (zero
+    guest-visible steal).  Recorded so per-round bench numbers can be
+    read against the host speed they were measured at."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(10_000_000):
+        x += i * i
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     from star_schema_etl_airflow_spark import registry
     from star_schema_etl_airflow_spark.session import get_spark
@@ -83,6 +95,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": _sf_from_dir(SF_DIR),
+        "host_pyloop_sec": _host_calibration(),
     }))
 
 

