@@ -79,6 +79,7 @@ def main() -> None:
     # scheduling jitter invisible to /proc/stat steal).  The min of three
     # interleaved steady-state passes is the stable estimator; two passes
     # still had a measurable chance of both landing on a stall.
+    cal_before = _host_calibration()
     timings: dict[str, float] = {}
     for _ in range(3):
         for spec in headline:
@@ -95,7 +96,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": _sf_from_dir(SF_DIR),
-        "host_pyloop_sec": _host_calibration(),
+        # before/after pair: observed host speed varies 0.6-1.5s on this
+        # fixed workload across minutes, which dominates round-to-round
+        # bench deltas — read totals against these.
+        "host_pyloop_sec": [cal_before, _host_calibration()],
     }))
 
 
