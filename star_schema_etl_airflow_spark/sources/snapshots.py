@@ -73,12 +73,18 @@ def history(table_dir: str) -> list[int]:
     return [v["version"] for v in _load_manifest(table_dir)["versions"]]
 
 
-def write_snapshot(df: DataFrame, table_dir: str) -> int:
+def write_snapshot(
+    df: DataFrame, table_dir: str, meta: dict | None = None
+) -> int:
     """Publish ``df`` as the next version; returns the version number.
 
     Data lands completely in the new version directory BEFORE the
     manifest references it — a crash mid-write leaves an orphan
-    directory (cleaned by ``vacuum``), never a torn table."""
+    directory (cleaned by ``vacuum``), never a torn table.
+
+    ``meta``: small JSON-able payload stored on the manifest entry —
+    e.g. a streaming sink's ``batch_id`` (the Delta ``txn`` pattern),
+    queried back via :func:`version_meta` to make replays idempotent."""
     os.makedirs(table_dir, exist_ok=True)
     manifest = _load_manifest(table_dir)
     # allocate past BOTH the manifest max and any version directory still
@@ -92,9 +98,20 @@ def write_snapshot(df: DataFrame, table_dir: str) -> int:
     version = max([*on_disk, *committed], default=0) + 1
     rel = f"v={version}"
     df.write.mode("errorifexists").parquet(os.path.join(table_dir, rel))
-    manifest["versions"].append({"version": version, "path": rel})
+    entry = {"version": version, "path": rel}
+    if meta:
+        entry["meta"] = meta
+    manifest["versions"].append(entry)
     _store_manifest(table_dir, manifest)
     return version
+
+
+def version_meta(table_dir: str) -> dict[int, dict]:
+    """Committed version → its ``meta`` payload (empty dict if none)."""
+    return {
+        v["version"]: v.get("meta", {})
+        for v in _load_manifest(table_dir)["versions"]
+    }
 
 
 def read_snapshot(
