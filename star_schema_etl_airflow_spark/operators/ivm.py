@@ -94,3 +94,68 @@ def grain_to_summary(grain: DataFrame) -> DataFrame:
             .alias("total_quantity"),
         )
     )
+
+
+def ivm_join_delta(
+    a_old: DataFrame,
+    a_delta: DataFrame,
+    b_old: DataFrame,
+    b_delta: DataFrame,
+    on,
+) -> DataFrame:
+    """Delta of an inner-join view under inserts on BOTH sides:
+
+        Δ(A ⋈ B) = (ΔA ⋈ B_old) ∪ (A_old ⋈ ΔB) ∪ (ΔA ⋈ ΔB)
+
+    the classic counting-free join-IVM identity for insert-only deltas
+    (each new pair contains a new row from at least one side, counted
+    exactly once by conditioning the other side on old/new).  The new
+    view is ``V_old ∪ ivm_join_delta(...)`` — no rescan of V_old.
+
+    Scale design: deltas are batch-sized, so the two cross terms
+    broadcast the delta side against the big old side — the ONLY
+    big-table scans are one pass each of A_old and B_old, vs the full
+    A ⋈ B recompute; ΔA ⋈ ΔB is delta×delta (tiny).  With the base
+    tables bucketed on the join key the old-side scans co-locate too.
+    Delete/update deltas need counting IVM (multiplicity column) — out
+    of scope here, documented rather than faked.
+    """
+    return (
+        F.broadcast(a_delta).join(b_old, on)
+        .unionByName(a_old.join(F.broadcast(b_delta), on))
+        .unionByName(a_delta.join(b_delta, on))
+    )
+
+
+def ivm_counting_state(df: DataFrame, keys: list[str], val_col: str,
+                       mult: int) -> DataFrame:
+    """Counting-IVM partial state for one batch: per-group multiplicity
+    and multiplicity-signed value sum.  ``mult`` is +1 for insert
+    batches, -1 for delete batches (a deleted row must exist in the
+    maintained multiset — the caller's referential contract)."""
+    return df.groupBy(*keys).agg(
+        (F.count(F.lit(1)) * mult).alias("mult"),
+        (F.sum(F.col(val_col).cast("decimal(18,2)")) * mult).alias("vsum"),
+    )
+
+
+def ivm_counting_merge(*states: DataFrame) -> DataFrame:
+    """Merge counting-IVM states by addition, dropping groups whose net
+    multiplicity reaches zero — the counting algebra that makes DELETE
+    deltas maintainable (plain additive IVM handles inserts only).
+
+    SUM/COUNT maintain under deletes this way; MIN/MAX do NOT (a deleted
+    extremum needs a per-group value index to re-derive) — documented
+    limit, same as every counting-IVM system.  Scale: each merge is one
+    hash aggregate over state ∪ delta (state-sized, map-side combined);
+    zero-multiplicity groups are physically dropped so state never
+    accretes tombstones."""
+    keys = [c for c in states[0].columns if c not in ("mult", "vsum")]
+    merged = states[0]
+    for s in states[1:]:
+        merged = merged.unionByName(s)
+    return (
+        merged.groupBy(*keys)
+        .agg(F.sum("mult").alias("mult"), F.sum("vsum").alias("vsum"))
+        .filter(F.col("mult") != 0)
+    )

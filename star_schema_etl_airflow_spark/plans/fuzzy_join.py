@@ -97,3 +97,62 @@ WHERE levenshtein(a.name, b.name) <= {EDIT_K}
 
 register(QuerySpec("fuzzy_edit_join", fuzzy_edit_join, FUZZY_EDIT_ORACLE,
                    tags=("LLM-DEDUP",)))
+
+
+def fuzzy_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end: edit-distance pair generation →
+    connected components → ``(part_id, entity_id)`` with entity_id =
+    smallest id in the transitive cluster (the canonical record).
+    Singletons are their own entity, so ``part_id = entity_id`` IS the
+    keep-one verdict — the same composition contract as
+    ``dedup_clusters``, driven by typo-level string similarity instead
+    of MinHash."""
+    from star_schema_etl_airflow_spark.operators.components import (
+        connected_components,
+    )
+
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 10 == 0)
+        .select("p_partkey", "p_name")
+    )
+    pairs = edit_distance_join(parts, "p_partkey", "p_name", EDIT_K).select(
+        "id_a", "id_b"
+    )
+    nodes = parts.select(F.col("p_partkey").alias("node"))
+    comp = connected_components(pairs, "id_a", "id_b", nodes=nodes)
+    return comp.select(
+        F.col("node").alias("part_id"), F.col("component").alias("entity_id")
+    )
+
+
+FUZZY_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE s AS (
+  SELECT p_partkey AS id, p_name AS name
+  FROM part WHERE p_partkey % 10 = 0
+),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM s a JOIN s b
+    ON a.id < b.id
+   AND abs(length(a.name) - length(b.name)) <= {EDIT_K}
+   AND levenshtein(a.name, b.name) <= {EDIT_K}
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT id AS node, id AS r FROM s
+  UNION
+  SELECT e.b AS node, reach.r AS r
+  FROM reach JOIN edges e ON reach.node = e.a
+)
+SELECT node AS part_id, MIN(r) AS entity_id
+FROM reach
+GROUP BY node
+"""
+
+register(QuerySpec("fuzzy_entity_clusters", fuzzy_entity_clusters,
+                   FUZZY_CLUSTERS_ORACLE, tags=("LLM-DEDUP",)))

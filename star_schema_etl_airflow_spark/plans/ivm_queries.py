@@ -78,3 +78,89 @@ GROUP BY 1, 2
 
 register(QuerySpec("ivm_sales_summary", ivm_sales_summary, IVM_ORACLE,
                    tags=("IVM", "A1", "A2", "A3")))
+
+
+def ivm_join_orders_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-view IVM: maintain V = orders ⋈ customer under insert deltas
+    on BOTH sides (new orders AND newly-arrived customers in the same
+    batch), then return V_old ∪ ΔV.  The oracle is the full join over
+    the unioned inputs, so the identity Δ(A⋈B) = ΔA⋈B_old ∪ A_old⋈ΔB ∪
+    ΔA⋈ΔB is value-hash-proven, not just unit-tested."""
+    from star_schema_etl_airflow_spark.operators.ivm import ivm_join_delta
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name", "c_nationkey"
+    )
+    a_old = orders.filter(F.col("o_orderkey") % 7 != 0)
+    a_delta = orders.filter(F.col("o_orderkey") % 7 == 0)
+    b_old = cust.filter(F.col("o_custkey") % 5 != 0)
+    b_delta = cust.filter(F.col("o_custkey") % 5 == 0)
+
+    v_old = a_old.join(b_old, "o_custkey")
+    dv = ivm_join_delta(a_old, a_delta, b_old, b_delta, "o_custkey")
+    return v_old.unionByName(dv).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus",
+        "c_name", "c_nationkey",
+    )
+
+
+IVM_JOIN_ORACLE = """
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, o.o_orderstatus,
+       c.c_name, c.c_nationkey
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+"""
+
+register(QuerySpec("ivm_join_orders_customers", ivm_join_orders_customers,
+                   IVM_JOIN_ORACLE, tags=("IVM",)))
+
+
+def ivm_counting_returnflags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counting IVM under INSERT AND DELETE deltas: maintain the
+    per-(returnflag, linestatus) count/quantity rollup through
+    (1) an initial load, (2) an insert batch, (3) a DELETE batch, and
+    require the result to equal the direct aggregate over the net
+    multiset — deletes are the case plain additive IVM cannot express."""
+    from star_schema_etl_airflow_spark.operators.ivm import (
+        ivm_counting_merge,
+        ivm_counting_state,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",
+        "l_quantity",
+    )
+    keys = ["l_returnflag", "l_linestatus"]
+    initial = li.filter(F.col("l_orderkey") % 3 != 0)
+    inserted = li.filter(F.col("l_orderkey") % 3 == 0)
+    # delete a subset of what is now present (rows from both batches)
+    deleted = li.filter(
+        (F.col("l_linenumber") == 1) & (F.col("l_orderkey") % 2 == 0)
+    )
+    state = ivm_counting_merge(
+        ivm_counting_state(initial, keys, "l_quantity", +1),
+        ivm_counting_state(inserted, keys, "l_quantity", +1),
+        ivm_counting_state(deleted, keys, "l_quantity", -1),
+    )
+    return state.select(
+        *keys,
+        F.col("mult").alias("n_lines"),
+        F.col("vsum").cast("decimal(38,2)").alias("sum_qty"),
+    )
+
+
+IVM_COUNTING_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
+         AS sum_qty
+FROM lineitem
+WHERE NOT (l_linenumber = 1 AND l_orderkey % 2 = 0)
+GROUP BY 1, 2
+"""
+
+register(QuerySpec("ivm_counting_returnflags", ivm_counting_returnflags,
+                   IVM_COUNTING_ORACLE, tags=("IVM",)))
