@@ -403,3 +403,16 @@ def test_fuzzy_edit_join_is_banded_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan)
     assert "PushedFilters" in plan
+
+
+def test_fuzzy_qgram_join_is_equi_on_gram(spark):
+    """The ED-Join candidate generator must join on the gram equi-key
+    (position/length bands as residuals) — no cartesian anywhere,
+    including the short-string fallback."""
+    from star_schema_etl_airflow_spark.plans.fuzzy_join import (
+        fuzzy_edit_join_qgram,
+    )
+
+    plan = _plan(fuzzy_edit_join_qgram(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan)
