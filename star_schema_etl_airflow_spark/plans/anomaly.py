@@ -1,0 +1,148 @@
+"""Time-series anomaly detection over the events stream: EWMA smoothing
+and trailing-window z-score spike flags per event type — the monitoring
+queries an ingestion pipeline runs on its own volume to catch drops,
+floods, and schema-break silences.
+
+Cross-engine exactness (no tolerance, value-hash equal):
+
+- **EWMA** uses the finite-lag form Σ_j α(1−α)^j·c_{t−j}: the weights
+  are Python-computed float literals embedded in BOTH engines' plans
+  (identical bits), each term is int×double (one IEEE op), and the sum
+  is written as an explicit left-associated chain so both engines add
+  in the same order.
+- **z-score** derives mean/variance from EXACT integer window sums
+  (Σx, Σx² over a trailing row frame) with the identical expression
+  tree: var = (Σx² − (Σx)²/n)/(n−1), z = (x − mean)/√var.  No
+  Welford-vs-naive drift because neither engine's native STDDEV is
+  used.
+
+Scale design: one shuffle to the hourly (event_type, hour) grain —
+rollup-sized, not event-sized; the lag/frame windows then run inside
+each event_type partition (bounded cardinality, no skew; at 100 TB the
+hourly grain for a year is ~9k rows per type).  This is the continuous-
+aggregate + sliding-stats shape monitoring systems materialize
+incrementally; composing it with `operators/ivm.py` keeps the hourly
+grain maintained by deltas.
+
+Reference parity: beyond-reference (time-series extension).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from star_schema_etl_airflow_spark.registry import QuerySpec, register
+from star_schema_etl_airflow_spark.sources.fixtures import load_table
+
+ALPHA = 0.3
+EWMA_LAGS = 12
+Z_WINDOW = 24      # trailing buckets in the z-score frame (prior rows only)
+Z_MIN_N = 12       # minimum history before a z-score is emitted
+Z_THRESHOLD = 3.0
+DECIMALS = 9
+
+# identical float literals on both sides (repr roundtrips exactly)
+_WEIGHTS = [ALPHA * (1 - ALPHA) ** j for j in range(EWMA_LAGS)]
+
+
+def _hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.count("*").alias("cnt"))
+
+
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type hourly counts with finite-lag EWMA smoothing (missing
+    lags at series start contribute 0 — the cold-start convention)."""
+    h = _hourly(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("hour")
+    ewma = None
+    for j, wt in enumerate(_WEIGHTS):
+        term = F.coalesce(F.lag("cnt", j).over(w), F.lit(0)).cast(
+            "double"
+        ) * F.lit(wt)
+        ewma = term if ewma is None else ewma + term
+    return h.select(
+        "hour", "event_type", "cnt",
+        F.round(ewma, DECIMALS).alias("ewma"),
+    )
+
+
+def _ewma_oracle() -> str:
+    terms = " + ".join(
+        f"CAST(COALESCE(LAG(cnt, {j}) OVER w, 0) AS DOUBLE) * {wt!r}"
+        for j, wt in enumerate(_WEIGHTS)
+    )
+    return f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+)
+SELECT hour, event_type, cnt,
+       ROUND({terms}, {DECIMALS}) AS ewma
+FROM hourly
+WINDOW w AS (PARTITION BY event_type ORDER BY hour)
+"""
+
+
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spike/drop detection: z-score of each hourly count against the
+    trailing ``Z_WINDOW`` buckets (prior rows only, so the anomaly
+    doesn't contaminate its own baseline); NULL until ``Z_MIN_N``
+    history or when the baseline is constant (zero variance)."""
+    h = _hourly(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-Z_WINDOW, -1)
+    )
+    n = F.count("cnt").over(w).cast("double")
+    s1 = F.sum("cnt").over(w).cast("double")
+    s2 = F.sum(F.col("cnt") * F.col("cnt")).over(w).cast("double")
+    mean = s1 / n
+    var = (s2 - s1 * s1 / n) / (n - F.lit(1.0))
+    z = F.round((F.col("cnt").cast("double") - mean) / F.sqrt(var), DECIMALS)
+    ok = (n >= F.lit(float(Z_MIN_N))) & (var > F.lit(0.0))
+    zcol = F.when(ok, z)
+    return h.select(
+        "hour", "event_type", "cnt",
+        zcol.alias("zscore"),
+        F.when(ok, F.abs(z) > Z_THRESHOLD).alias("is_anomaly"),
+    )
+
+
+ANOMALY_ORACLE = f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT hour, event_type, cnt,
+         CAST(COUNT(cnt) OVER w AS DOUBLE) AS n,
+         CAST(SUM(cnt) OVER w AS DOUBLE) AS s1,
+         CAST(SUM(cnt * cnt) OVER w AS DOUBLE) AS s2
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN {Z_WINDOW} PRECEDING AND 1 PRECEDING)
+)
+SELECT hour, event_type, cnt,
+       CASE WHEN n >= {float(Z_MIN_N)!r}
+                 AND (s2 - s1 * s1 / n) / (n - 1.0) > 0.0
+            THEN ROUND((CAST(cnt AS DOUBLE) - s1 / n)
+                       / sqrt((s2 - s1 * s1 / n) / (n - 1.0)), {DECIMALS})
+       END AS zscore,
+       CASE WHEN n >= {float(Z_MIN_N)!r}
+                 AND (s2 - s1 * s1 / n) / (n - 1.0) > 0.0
+            THEN abs(ROUND((CAST(cnt AS DOUBLE) - s1 / n)
+                           / sqrt((s2 - s1 * s1 / n) / (n - 1.0)),
+                     {DECIMALS})) > {Z_THRESHOLD!r}
+       END AS is_anomaly
+FROM stats
+"""
+
+register(QuerySpec("events_ewma", events_ewma, _ewma_oracle(),
+                   tags=("TIMESERIES",)))
+register(QuerySpec("events_anomaly_zscore", events_anomaly_zscore,
+                   ANOMALY_ORACLE, tags=("TIMESERIES",)))

@@ -64,6 +64,7 @@ def _ensure_loaded() -> None:
         return
     from star_schema_etl_airflow_spark.plans import (  # noqa: F401
         analytics_queries,
+        anomaly,
         approx_queries,
         bm25,
         clustering_queries,
