@@ -62,8 +62,14 @@ BM25_QUERIES: tuple[tuple[int, tuple[str, ...]], ...] = (
 )
 
 
-def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+def bm25_scores(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: tuple[tuple[int, tuple[str, ...]], ...] = BM25_QUERIES,
+) -> DataFrame:
+    """(query_id, doc_id, score) over ANY (doc_id, text) corpus — the
+    corpus-parametric core shared by ``bm25_topk`` and the composed
+    curation pipelines."""
     toks = docs.select("doc_id", F.explode(F.expr(_TOKS_S)).alias("term"))
     # tf feeds both df-counting and scoring; persist the (doc,term)-sized
     # partial instead of re-exploding the corpus
@@ -74,7 +80,7 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     qrows = [
-        (qid, term) for qid, terms in BM25_QUERIES for term in terms
+        (qid, term) for qid, terms in queries for term in terms
     ]
     qterms = spark.createDataFrame(qrows, "query_id int, term string")
 
@@ -121,9 +127,14 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("decimal(19,9)").alias("c"),
         )
     )
-    scored = contrib.groupBy("query_id", "doc_id").agg(
+    return contrib.groupBy("query_id", "doc_id").agg(
         F.sum("c").cast("decimal(38,9)").alias("score")
     )
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = bm25_scores(spark, docs)
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
     )
@@ -138,9 +149,15 @@ _QUERY_VALUES = ", ".join(
     f"({qid}, '{term}')" for qid, terms in BM25_QUERIES for term in terms
 )
 
-BM25_ORACLE = f"""
-WITH toks AS (
-  SELECT doc_id, unnest({_TOKS_D}) AS term FROM documents
+def bm25_scored_ctes(corpus: str) -> str:
+    """The CTE chain computing ``scored(query_id, doc_id, score)`` over
+    an arbitrary ``(doc_id, text)`` corpus relation — the oracle twin of
+    :func:`bm25_scores` (same integer-exact arithmetic), reusable by
+    composed pipelines.  ``corpus`` is a relation name or parenthesized
+    subquery."""
+    return f"""
+toks AS (
+  SELECT doc_id, unnest({_TOKS_D}) AS term FROM {corpus}
 ),
 tf AS (
   SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
@@ -177,7 +194,11 @@ contrib AS (
 scored AS (
   SELECT query_id, doc_id, CAST(SUM(c) AS DECIMAL(38,9)) AS score
   FROM contrib GROUP BY 1, 2
-),
+)"""
+
+
+BM25_ORACLE = f"""
+WITH {bm25_scored_ctes("documents")},
 ranked AS (
   SELECT query_id, doc_id, score,
          CAST(ROW_NUMBER() OVER (

@@ -79,6 +79,7 @@ def _ensure_loaded() -> None:
         llm_dedup2,
         llm_pipeline,
         llm_pipeline2,
+        llm_pipeline3,
         llm_quantize,
         llm_sampling,
         llm_similarity,
