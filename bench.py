@@ -74,15 +74,22 @@ def main() -> None:
     for spec in headline:
         materialize(spec.fn(spark, warm_dir))
 
-    # Best-of-3 per query: single-shot timings on this box show rare but
+    # Best-of-4 per query: single-shot timings on this box show rare but
     # large stalls (5-9 s on a ~2 s query, ~1 pass in 6 — host-level
-    # scheduling jitter invisible to /proc/stat steal).  The min of three
-    # interleaved steady-state passes is the stable estimator; two passes
-    # still had a measurable chance of both landing on a stall.
+    # scheduling jitter invisible to /proc/stat steal).  The min of the
+    # interleaved steady-state passes is the stable estimator.  Each pass
+    # ROTATES the query order (pass i starts i/n of the way through the
+    # list): contention windows on this host last tens of seconds, long
+    # enough to cover one whole pass, so a fixed order can land the SAME
+    # query inside the window on every pass (observed: a 2 s query
+    # recording 4.9 s as its min-of-3) — rotation decorrelates a query's
+    # position from wall-clock across passes, deterministically.
     cal_before = _host_calibration()
     timings: dict[str, float] = {}
-    for _ in range(3):
-        for spec in headline:
+    n_passes = 4
+    for p in range(n_passes):
+        off = (p * len(headline)) // n_passes
+        for spec in headline[off:] + headline[:off]:
             t0 = time.perf_counter()
             materialize(spec.fn(spark, SF_DIR))
             dt = round(time.perf_counter() - t0, 3)

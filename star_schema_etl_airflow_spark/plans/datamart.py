@@ -23,8 +23,9 @@ at the value level: (a) pre-aggregate lineitem to (order, category)
 grain first, after which COUNT(*) equals the distinct count (measured
 ~10% faster at sf0.1, and the pre-agg shrinks the orderkey shuffle at
 scale); (b) ``approx_count_distinct`` when exactness isn't required.
-The COUNT DISTINCT form is kept here as the reference-parity flagship
-(operator A3).
+Form (a) is now the production plan (see ``sales_summary``); the direct
+COUNT DISTINCT operator (A3) stays demonstrated by q16_supplier_cnt,
+the events queries, and ``operators/profile.py``.
 """
 
 from __future__ import annotations
@@ -47,7 +48,23 @@ RUN_DATE = "2001-09-01"
 
 
 def sales_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Daily sales by product category (sales_summary.sql:38-60 transposed)."""
+    """Daily sales by product category (sales_summary.sql:38-60 transposed).
+
+    Plan shape — the escape-hatch (a) form from the module docstring,
+    promoted after measurement: pre-aggregate to (order, category) grain
+    first (broadcast part join, one full-fact shuffle with map-side
+    combine, NO count-distinct Expand), then broadcast-join orders for
+    the date and re-aggregate the already-tiny grain.  COUNT(*) on that
+    grain IS COUNT(DISTINCT l_orderkey) per (date, category) because
+    each order has exactly one sale_date; money stays DECIMAL(18,2)
+    through BOTH aggregation stages (decimal addition is associative —
+    exact under any regrouping) and is cast to double only at the edge.
+    At 100 TB this halves the big shuffle (the mixed distinct/plain
+    aggregate otherwise plans an Expand that doubles every shuffled
+    row) and the second shuffle carries ~|orders|·|categories-per-order|
+    rows, not the fact stream.  The direct COUNT DISTINCT operator (A3)
+    remains demonstrated by q16/events/profile queries.
+    """
     lineitem = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"
     )
@@ -60,21 +77,29 @@ def sales_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_type").alias("product_category"),
     )
 
-    enriched = (
+    per_order_cat = (
         lineitem
-        .join(orders, lineitem.l_orderkey == orders.o_orderkey, "inner")
         .join(F.broadcast(part), lineitem.l_partkey == part.p_partkey, "inner")
+        .groupBy("l_orderkey", "product_category")
+        .agg(
+            # exact decimal partial — NOT sum_money (its trailing double
+            # cast would make the second-stage sum order-dependent)
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("__sales"),
+            F.sum("l_quantity").alias("__qty"),
+        )
     )
 
     # Group only on the minimal key (year/month/month_name are functions
     # of sale_date — deriving them AFTER the aggregate keeps the hash key
-    # and the count-distinct expand narrow; same result, cheaper shuffle).
+    # narrow; same result, cheaper shuffle).
     return (
-        enriched.groupBy("sale_date", "product_category")
+        per_order_cat
+        .join(orders, per_order_cat.l_orderkey == orders.o_orderkey, "inner")
+        .groupBy("sale_date", "product_category")
         .agg(
-            sum_money(F.col("l_extendedprice")).alias("total_sales"),
-            F.countDistinct("l_orderkey").alias("total_orders"),
-            F.sum("l_quantity").alias("total_quantity"),
+            F.sum("__sales").cast("double").alias("total_sales"),
+            F.count("*").alias("total_orders"),
+            F.sum("__qty").alias("total_quantity"),
         )
         .select(
             "sale_date",
