@@ -69,6 +69,7 @@ def _ensure_loaded() -> None:
         bm25,
         clustering_queries,
         core_queries,
+        dsir,
         events_queries,
         fixture_queries,
         fuzzy_join,
@@ -86,6 +87,7 @@ def _ensure_loaded() -> None:
         llm_text,
         multimodal_queries,
         operators_basic,
+        pq,
         pudf_queries,
         scan_pruning,
         sketches,

@@ -416,3 +416,31 @@ def test_fuzzy_qgram_join_is_equi_on_gram(spark):
     plan = _plan(fuzzy_edit_join_qgram(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan)
+
+
+def test_dsir_broadcasts_ratio_table_and_takes_ordered(spark):
+    """DSIR scoring must broadcast the fixed-width bucket table (the
+    corpus is never a join build side) and select top-K via TakeOrdered
+    (partial per-partition top-K), never a global sort or a
+    single-partition window over the corpus."""
+    from star_schema_etl_airflow_spark.plans.dsir import dsir_select
+
+    plan = _plan(dsir_select(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pq_adc_broadcasts_codebook_with_partial_window_limit(spark):
+    """PQ encode and ADC scoring broadcast the codebook / lookup tables
+    (both control-plane sized); the per-query top-k window must carry a
+    map-side Partial WindowGroupLimit like the exact top-k does."""
+    from star_schema_etl_airflow_spark.plans.pq import pq_adc_topk
+
+    plan = _plan(pq_adc_topk(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert any(
+        "WindowGroupLimit" in l and "Partial" in l
+        for l in plan.splitlines()
+    ), plan
