@@ -95,6 +95,7 @@ def _ensure_loaded() -> None:
         sql_queries,
         subquery_queries,
         text_classify,
+        unimax,
         timeseries,
         tpch_queries,
         tpch_queries2,

@@ -124,3 +124,48 @@ def test_pq_adc_distances_are_nonnegative_and_monotone(spark):
         rs = sorted(rs, key=lambda r: r.rank)
         dists = [r.adc_dist for r in rs]
         assert dists == sorted(dists)
+
+
+# ------------------------------------------------------------- UniMax
+
+
+def test_unimax_waterfill_invariants(spark):
+    from star_schema_etl_airflow_spark.plans.unimax import (
+        BUDGET_DEN,
+        BUDGET_NUM,
+        unimax_allocation,
+    )
+
+    rows = unimax_allocation(spark, SF_DIR).collect()
+    budget = sum(r.cap_docs for r in rows) * BUDGET_NUM // BUDGET_DEN
+    total = sum(r.alloc_docs for r in rows)
+    unfunded = [r for r in rows if not r.funded]
+    funded = [r for r in rows if r.funded]
+    # funded languages receive exactly their cap
+    assert all(r.alloc_docs == r.cap_docs for r in funded)
+    if unfunded:
+        level = {r.alloc_docs for r in unfunded}
+        assert len(level) == 1, "all unfunded languages share the water level"
+        lam = level.pop()
+        # the level floods every funded cap, never exceeds an unfunded cap
+        assert all(r.cap_docs <= lam for r in funded)
+        assert all(r.cap_docs > lam for r in unfunded)
+        # budget exhausted up to the integer-division remainder
+        assert total <= budget
+        assert budget - total < len(unfunded)
+    else:
+        assert total == sum(r.cap_docs for r in rows) <= budget
+
+
+def test_unimax_sample_matches_allocation_exactly(spark):
+    from star_schema_etl_airflow_spark.plans.unimax import (
+        unimax_allocation,
+        unimax_sample,
+    )
+
+    alloc = {r.lang: r.alloc_docs for r in
+             unimax_allocation(spark, SF_DIR).collect()}
+    got = {}
+    for r in unimax_sample(spark, SF_DIR).collect():
+        got[r.lang] = got.get(r.lang, 0) + 1
+    assert got == {k: v for k, v in alloc.items() if v > 0}
