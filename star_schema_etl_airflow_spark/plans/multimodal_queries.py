@@ -179,3 +179,133 @@ FROM documents
 
 register(QuerySpec("multimodal_decoded", multimodal_decoded,
                    MULTIMODAL_DECODED_ORACLE, tags=("LLM-multimodal",)))
+
+
+# ---------------------------------------------------------------------------
+# jpeg_decoded: differential coverage of the REAL baseline-JPEG decoder
+# (sources/jpeg.py).  Payloads are synthesized by an INDEPENDENT minimal
+# DC-only JPEG writer (below — its own bit writer and canonical-Huffman
+# assignment, not the production encoder): an 8×8 solid-gray image with an
+# all-ones quantization table, whose decode is EXACT by construction (the
+# only nonzero coefficient is the unquantized DC), so DuckDB can state the
+# expected pixels closed-form.  Any bug in the decoder's marker walk,
+# Huffman tables, bit unstuffing, EXTEND, dequantize, IDCT, or level shift
+# breaks the sum/max.
+#
+#   v(doc_id) = (doc_id * 7) % 256 ; decoded block must be 64 pixels == v
+# ---------------------------------------------------------------------------
+
+
+def _canonical_codes(bits, vals):
+    codes, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _raw_jpeg_encode_solid(v: int) -> bytes:
+    """Minimal baseline JPEG: one 8×8 grayscale block of value ``v``,
+    all-ones quant table (DC survives quantization exactly)."""
+    import struct
+
+    from star_schema_etl_airflow_spark.sources.jpeg import (
+        HT_AC_LUMA,
+        HT_DC_LUMA,
+    )
+
+    dc_codes = _canonical_codes(*HT_DC_LUMA)
+    ac_codes = _canonical_codes(*HT_AC_LUMA)
+    dc = 8 * (v - 128)                       # DC of a constant block
+    t = abs(dc).bit_length()
+    mag = dc if dc >= 0 else dc + (1 << t) - 1
+    stream = []
+    code, length = dc_codes[t]
+    stream.append((code, length))
+    if t:
+        stream.append((mag, t))
+    stream.append(ac_codes[0x00])            # EOB: every AC is zero
+    acc, nbits, body = 0, 0, bytearray()
+    for code, length in stream:
+        acc = (acc << length) | (code & ((1 << length) - 1))
+        nbits += length
+        while nbits >= 8:
+            nbits -= 8
+            b = (acc >> nbits) & 0xFF
+            body.append(b)
+            if b == 0xFF:
+                body.append(0x00)
+    if nbits:
+        pad = 8 - nbits
+        b = ((acc << pad) | ((1 << pad) - 1)) & 0xFF
+        body.append(b)
+        if b == 0xFF:
+            body.append(0x00)
+
+    def seg(marker, payload):
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, b"\x00" + b"\x01" * 64)
+    out += seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    out += seg(0xC4, bytes([0x00] + HT_DC_LUMA[0]) + bytes(HT_DC_LUMA[1]))
+    out += seg(0xC4, bytes([0x10] + HT_AC_LUMA[0]) + bytes(HT_AC_LUMA[1]))
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += body
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _jpeg_decoded_kernel(batches):
+    import pandas as pd
+
+    from star_schema_etl_airflow_spark.sources.jpeg import jpeg_decode
+
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            doc_id = int(doc_id)
+            v = (doc_id * 7) % 256
+            img = jpeg_decode(_raw_jpeg_encode_solid(v))
+            px = img["pixels"]
+            rows.append((
+                doc_id, img["width"], img["height"], img["channels"],
+                sum(px), max(px),
+            ))
+        yield pd.DataFrame(
+            rows,
+            columns=["media_id", "width", "height", "channels",
+                     "value_sum", "value_max"],
+        )
+
+
+def jpeg_decoded(spark, sf_dir):
+    from pyspark.sql import types as T
+
+    from star_schema_etl_airflow_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("value_sum", T.LongType()),
+        T.StructField("value_max", T.IntegerType()),
+    ])
+    return docs.mapInPandas(_jpeg_decoded_kernel, schema=schema)
+
+
+JPEG_DECODED_ORACLE = """
+SELECT doc_id AS media_id,
+       8 AS width, 8 AS height, 1 AS channels,
+       CAST(64 * ((doc_id * 7) % 256) AS BIGINT) AS value_sum,
+       CAST((doc_id * 7) % 256 AS INTEGER) AS value_max
+FROM documents
+"""
+
+register(QuerySpec("jpeg_decoded", jpeg_decoded, JPEG_DECODED_ORACLE,
+                   tags=("LLM-multimodal",)))

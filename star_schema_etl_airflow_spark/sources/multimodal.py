@@ -2,14 +2,17 @@
 metadata, processed by Arrow-batched ``mapInPandas`` — the pattern a
 training-data pipeline uses for image/audio/video columns at 100 TB.
 
-The container has no image/audio codecs, so the *decode* step is a
-clearly-marked stub: ``decode_media`` raises ``NotImplementedError`` for
-real decoding, and ``extract_features`` computes deterministic
+The container has no native codec libraries, so the decoders are
+implemented pure-Python from the specs: PNG (``_png_decode``), baseline
+JPEG (``sources/jpeg.py`` — Huffman + IDCT + 4:2:0 + restart markers),
+and WAV/PCM (``_wav_decode``).  Only MP3 and video remain
+``NotImplementedError`` stubs (they need ffmpeg — the explicit swap-in
+point at deployment).  ``extract_features`` computes deterministic
 byte-level features (size, md5, a fixed-stride byte sample) so the whole
 Spark-side pipeline — schema, Arrow batch shape, partitioning, UDF
-signature — is real and differentially testable (the md5/byte features
-are reproducible in the DuckDB oracle over the same synthesized
-payloads).
+signature — is differentially testable (the md5/byte features are
+reproducible in the DuckDB oracle over the same synthesized payloads);
+``multimodal_decoded`` differentially checks the real decode kernels.
 
 Scale design: payloads stay opaque binary end-to-end (no driver
 collect); ``mapInPandas`` streams Arrow record batches through Python
@@ -191,17 +194,32 @@ def _wav_decode(payload: bytes) -> dict:
         raise NotImplementedError(f"not a PCM WAV payload: {exc}") from exc
 
 
+JPEG_SIG = b"\xff\xd8"
+
+
 def decode_media(payload: bytes, media_type: str) -> dict:
     """Decode a media payload to a structured dict.
 
-    Real pure-Python decoders for the containers the stdlib can express:
-    PNG (chunk walk + inflate + unfilter, see :func:`_png_decode`) and
-    WAV/PCM (:func:`_wav_decode`).  Formats needing native codec
-    libraries (JPEG, MP3, any video) raise ``NotImplementedError`` — the
-    production swap-in point for PIL/ffmpeg, kept explicit rather than
+    Real pure-Python decoders: PNG (chunk walk + inflate + unfilter,
+    :func:`_png_decode`), baseline JPEG (Huffman + IDCT,
+    ``sources/jpeg.py``), and WAV/PCM (:func:`_wav_decode`).  Images
+    dispatch on the container signature.  Formats needing native codec
+    libraries (MP3, any video) raise ``NotImplementedError`` — the
+    production swap-in point for ffmpeg, kept explicit rather than
     faked."""
     if media_type == "image":
-        return _png_decode(payload)
+        if payload[:8] == PNG_SIG:
+            return _png_decode(payload)
+        if payload[:2] == JPEG_SIG:
+            from star_schema_etl_airflow_spark.sources.jpeg import (
+                jpeg_decode,
+            )
+
+            return jpeg_decode(payload)
+        raise NotImplementedError(
+            "unrecognized image container (PNG and baseline JPEG decoders "
+            "available; swap in PIL for the long tail at deployment)"
+        )
     if media_type == "audio":
         return _wav_decode(payload)
     raise NotImplementedError(
@@ -211,11 +229,12 @@ def decode_media(payload: bytes, media_type: str) -> dict:
 
 
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
-    """Nearest-neighbor PNG resize, decode → resample → re-encode — all
-    stdlib.  (Production swaps the resample kernel for PIL/OpenCV; the
-    pipeline contract — binary in, binary out, pure function usable
-    inside ``mapInPandas`` — is exactly this.)"""
-    img = _png_decode(payload)
+    """Nearest-neighbor image resize, decode → resample → re-encode in
+    the source container (PNG→PNG, JPEG→JPEG) — all pure Python.
+    (Production swaps the resample kernel for PIL/OpenCV; the pipeline
+    contract — binary in, binary out, pure function usable inside
+    ``mapInPandas`` — is exactly this.)"""
+    img = decode_media(payload, "image")
     sw, sh, ch = img["width"], img["height"], img["channels"]
     src = img["pixels"]
     out = bytearray(width * height * ch)
@@ -226,6 +245,10 @@ def resize_image(payload: bytes, width: int, height: int) -> bytes:
             si = (sy * sw + sx) * ch
             di = (y * width + x) * ch
             out[di:di + ch] = src[si:si + ch]
+    if payload[:2] == JPEG_SIG:
+        from star_schema_etl_airflow_spark.sources.jpeg import jpeg_encode
+
+        return jpeg_encode(bytes(out), width, height, ch)
     return _png_encode(bytes(out), width, height, img["color_type"])
 
 

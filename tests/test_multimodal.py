@@ -155,7 +155,11 @@ def test_resize_image_real():
 
 def test_undecodable_formats_stay_explicit():
     with pytest.raises(NotImplementedError):
-        decode_media(b"\xff\xd8\xff\xe0JFIF....", "image")  # JPEG
+        decode_media(b"GIF89a....", "image")  # GIF: no decoder
+    with pytest.raises(ValueError):
+        # JPEG is a REAL decoder now (sources/jpeg.py); a truncated
+        # stream is malformed data, not a missing codec
+        decode_media(b"\xff\xd8\xff\xe0JFIF....", "image")
     with pytest.raises(NotImplementedError):
         decode_media(b"\x00\x00\x00 ftypmp42....", "video")  # MP4
     with pytest.raises(NotImplementedError):
