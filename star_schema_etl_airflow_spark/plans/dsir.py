@@ -107,18 +107,11 @@ _GUMBEL_D = (
 )
 
 
-def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-``TOP_K`` candidate documents by Gumbel-perturbed DSIR weight.
-
-    Target sample: ``doc_id % TARGET_MOD == 0`` (stand-in for the small
-    in-domain seed set); every other document is a selection candidate.
-    """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    # the fixture is one parquet file → 1 scan partition; spread the
-    # (compute-heavy) hashing over every core.  At corpus scale the input
-    # arrives in many splits and this repartition is dropped.
-    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-
+def dsir_weights(docs: DataFrame) -> DataFrame:
+    """(doc_id, log_weight_micro) over ANY (doc_id, text) corpus — the
+    corpus-parametric DSIR scoring core shared by ``dsir_select`` and
+    the composed curation pipelines.  Target sample:
+    ``doc_id % TARGET_MOD == 0``; every other document is scored."""
     feats = (
         docs.select(
             "doc_id",
@@ -147,12 +140,26 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bucket", F.expr(_LR).alias("lr"))
     )
 
-    weights = (
+    return (
         feats.filter(~F.col("is_target"))
         .join(F.broadcast(lr), "bucket")
         .groupBy("doc_id")
         .agg(F.sum("lr").alias("log_weight_micro"))
     )
+
+
+def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``TOP_K`` candidate documents by Gumbel-perturbed DSIR weight.
+
+    Target sample: ``doc_id % TARGET_MOD == 0`` (stand-in for the small
+    in-domain seed set); every other document is a selection candidate.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # the fixture is one parquet file → 1 scan partition; spread the
+    # (compute-heavy) hashing over every core.  At corpus scale the input
+    # arrives in many splits and this repartition is dropped.
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    weights = dsir_weights(docs)
     keyed = weights.select(
         "doc_id",
         "log_weight_micro",
@@ -168,10 +175,13 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DSIR_ORACLE = f"""
-WITH toks AS (
+def dsir_weight_ctes(corpus: str = "documents") -> str:
+    """CTE chain computing ``w(doc_id, log_weight_micro)`` over any
+    ``(doc_id, text)`` relation — the oracle twin of
+    :func:`dsir_weights`, reused by the composed pipeline oracles."""
+    return f"""toks AS (
   SELECT doc_id, (doc_id % {TARGET_MOD} = 0) AS is_target, {_TOKS_D} AS t
-  FROM documents
+  FROM {corpus}
 ),
 feats AS (
   SELECT doc_id, is_target,
@@ -203,7 +213,11 @@ w AS (
   FROM fb JOIN lr USING (bucket)
   WHERE NOT fb.is_target
   GROUP BY fb.doc_id
-),
+)"""
+
+
+DSIR_ORACLE = f"""
+WITH {dsir_weight_ctes()},
 g AS (
   SELECT doc_id, log_weight_micro, {_GUMBEL_D} AS gumbel_micro FROM w
 ),

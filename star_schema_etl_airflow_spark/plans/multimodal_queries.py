@@ -309,3 +309,92 @@ FROM documents
 
 register(QuerySpec("jpeg_decoded", jpeg_decoded, JPEG_DECODED_ORACLE,
                    tags=("LLM-multimodal",)))
+
+
+# ---------------------------------------------------------------------------
+# gif_decoded: differential coverage of the REAL GIF decoder
+# (sources/gif.py).  Payloads are an 8×8 two-color checkerboard per
+# document, written by the independent 'uncompressed'-LZW writer; the
+# decoder's LZW/palette/interlace walk must recover the closed-form
+# pixels (odd doc_ids use the interlaced layout, so both row orders are
+# exercised under the oracle).  A checkerboard has exactly 32 pixels of
+# each color, so the expected sum/max are pure SQL over the palette
+# formulas:
+#
+#   c0 = ((d*5)%256, (d*11)%256, (d*17)%256)
+#   c1 = ((d*13)%256, (d*3)%256, (d*19)%256)
+# ---------------------------------------------------------------------------
+
+GIF_SIDE = 8
+
+
+def _gif_decoded_kernel(batches):
+    import pandas as pd
+
+    from star_schema_etl_airflow_spark.sources.gif import (
+        gif_decode,
+        gif_encode_indexed,
+    )
+
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            pal = bytes([
+                (d * 5) % 256, (d * 11) % 256, (d * 17) % 256,
+                (d * 13) % 256, (d * 3) % 256, (d * 19) % 256,
+            ])
+            idx = bytes(
+                (x + y) % 2
+                for y in range(GIF_SIDE) for x in range(GIF_SIDE)
+            )
+            payload = gif_encode_indexed(
+                idx, GIF_SIDE, GIF_SIDE, pal, interlace=bool(d % 2))
+            img = gif_decode(payload)
+            px = img["pixels"]
+            rows.append((
+                d, img["width"], img["height"], img["channels"],
+                sum(px), max(px),
+            ))
+        yield pd.DataFrame(
+            rows,
+            columns=["media_id", "width", "height", "channels",
+                     "value_sum", "value_max"],
+        )
+
+
+def gif_decoded(spark, sf_dir):
+    from pyspark.sql import types as T
+
+    from star_schema_etl_airflow_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("value_sum", T.LongType()),
+        T.StructField("value_max", T.IntegerType()),
+    ])
+    return docs.mapInPandas(_gif_decoded_kernel, schema=schema)
+
+
+_HALF = GIF_SIDE * GIF_SIDE // 2
+
+GIF_DECODED_ORACLE = f"""
+SELECT doc_id AS media_id,
+       {GIF_SIDE} AS width, {GIF_SIDE} AS height, 3 AS channels,
+       CAST({_HALF} * ((doc_id * 5) % 256 + (doc_id * 11) % 256
+                       + (doc_id * 17) % 256)
+          + {_HALF} * ((doc_id * 13) % 256 + (doc_id * 3) % 256
+                       + (doc_id * 19) % 256) AS BIGINT) AS value_sum,
+       CAST(GREATEST((doc_id * 5) % 256, (doc_id * 11) % 256,
+                     (doc_id * 17) % 256, (doc_id * 13) % 256,
+                     (doc_id * 3) % 256, (doc_id * 19) % 256)
+            AS INTEGER) AS value_max
+FROM documents
+"""
+
+register(QuerySpec("gif_decoded", gif_decoded, GIF_DECODED_ORACLE,
+                   tags=("LLM-multimodal",)))

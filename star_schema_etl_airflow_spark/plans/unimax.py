@@ -51,10 +51,10 @@ BUDGET_NUM, BUDGET_DEN = 2, 5   # B = floor(2/5 · corpus)
 SAMPLE_SEED = "unimax"
 
 
-def unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(lang, n_docs, cap_docs, funded, alloc_docs) — the water-filled
-    per-language budget."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+def waterfill_allocation(docs: DataFrame) -> DataFrame:
+    """(lang, n_docs, cap_docs, funded, alloc_docs) over ANY
+    (doc_id, lang) relation — the corpus-parametric water-filling core
+    shared by ``unimax_allocation`` and the composed pipelines."""
     counts = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
     caps = counts.withColumn("cap_docs", F.col("n_docs") * EPOCH_CAP)
 
@@ -104,31 +104,45 @@ def unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-UNIMAX_ALLOC_CTE = f"""
-counts AS (
-  SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+def unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, n_docs, cap_docs, funded, alloc_docs) — the water-filled
+    per-language budget over the documents table."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return waterfill_allocation(docs)
+
+
+def unimax_alloc_ctes(rel: str = "documents") -> str:
+    """CTE chain computing ``alloc(lang, …, alloc_docs)`` over any
+    ``(doc_id, lang)`` relation — the oracle twin of
+    :func:`waterfill_allocation`."""
+    return UNIMAX_ALLOC_CTE_TEMPLATE.format(rel=rel)
+
+
+UNIMAX_ALLOC_CTE_TEMPLATE = f"""
+um_counts AS (
+  SELECT lang, COUNT(*) AS n_docs FROM {{rel}} GROUP BY lang
 ),
-caps AS (
-  SELECT lang, n_docs, n_docs * {EPOCH_CAP} AS cap_docs FROM counts
+um_caps AS (
+  SELECT lang, n_docs, n_docs * {EPOCH_CAP} AS cap_docs FROM um_counts
 ),
-stats AS (
+um_stats AS (
   SELECT lang, n_docs, cap_docs,
          SUM(cap_docs) OVER (ORDER BY cap_docs, lang) - cap_docs AS prefix,
          ROW_NUMBER() OVER (ORDER BY cap_docs, lang) AS i
-  FROM caps
+  FROM um_caps
 ),
-tot AS (
+um_tot AS (
   SELECT COUNT(*) AS n_langs,
          (SUM(cap_docs) * {BUDGET_NUM}) // {BUDGET_DEN} AS budget
-  FROM caps
+  FROM um_caps
 ),
-flagged AS (
+um_flagged AS (
   SELECT s.*, t.n_langs, t.budget,
          (s.cap_docs * (t.n_langs - s.i + 1) + s.prefix) <= t.budget
            AS funded
-  FROM stats s, tot t
+  FROM um_stats s, um_tot t
 ),
-lam AS (
+um_lam AS (
   SELECT CASE WHEN MAX(n_langs) = SUM(CASE WHEN funded THEN 1 ELSE 0 END)
               THEN NULL
               ELSE (MAX(budget)
@@ -136,19 +150,19 @@ lam AS (
                    // (MAX(n_langs)
                        - SUM(CASE WHEN funded THEN 1 ELSE 0 END))
          END AS water_level
-  FROM flagged
+  FROM um_flagged
 ),
 alloc AS (
   SELECT f.lang, f.n_docs, f.cap_docs,
          CAST(f.funded AS INTEGER) AS funded,
          CASE WHEN f.funded THEN f.cap_docs ELSE l.water_level END
            AS alloc_docs
-  FROM flagged f, lam l
+  FROM um_flagged f, um_lam l
 )
 """
 
 UNIMAX_ALLOC_ORACLE = f"""
-WITH {UNIMAX_ALLOC_CTE}
+WITH {unimax_alloc_ctes()}
 SELECT * FROM alloc
 """
 
@@ -169,7 +183,7 @@ def unimax_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 UNIMAX_SAMPLE_ORACLE = f"""
-WITH {UNIMAX_ALLOC_CTE},
+WITH {unimax_alloc_ctes()},
 ranked AS (
   SELECT d.doc_id, d.lang,
          CAST(ROW_NUMBER() OVER (

@@ -81,6 +81,7 @@ def _ensure_loaded() -> None:
         llm_pipeline,
         llm_pipeline2,
         llm_pipeline3,
+        llm_pipeline4,
         llm_quantize,
         llm_sampling,
         llm_similarity,

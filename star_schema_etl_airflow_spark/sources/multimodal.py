@@ -195,6 +195,7 @@ def _wav_decode(payload: bytes) -> dict:
 
 
 JPEG_SIG = b"\xff\xd8"
+GIF_SIGS = (b"GIF87a", b"GIF89a")
 
 
 def decode_media(payload: bytes, media_type: str) -> dict:
@@ -216,9 +217,14 @@ def decode_media(payload: bytes, media_type: str) -> dict:
             )
 
             return jpeg_decode(payload)
+        if payload[:6] in GIF_SIGS:
+            from star_schema_etl_airflow_spark.sources.gif import gif_decode
+
+            return gif_decode(payload)
         raise NotImplementedError(
-            "unrecognized image container (PNG and baseline JPEG decoders "
-            "available; swap in PIL for the long tail at deployment)"
+            "unrecognized image container (PNG, baseline JPEG, and GIF "
+            "decoders available; swap in PIL for the long tail at "
+            "deployment)"
         )
     if media_type == "audio":
         return _wav_decode(payload)

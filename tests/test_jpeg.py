@@ -137,7 +137,7 @@ def test_decode_media_dispatches_on_signature():
     png = decode_media(_png_encode(img.tobytes(), 8, 8, 2), "image")
     assert png["pixels"] == img.tobytes()
     with pytest.raises(NotImplementedError):
-        decode_media(b"GIF89a....", "image")
+        decode_media(b"II*\x00....", "image")  # TIFF: no decoder
 
 
 def test_resize_image_roundtrips_jpeg_container():

@@ -155,7 +155,7 @@ def test_resize_image_real():
 
 def test_undecodable_formats_stay_explicit():
     with pytest.raises(NotImplementedError):
-        decode_media(b"GIF89a....", "image")  # GIF: no decoder
+        decode_media(b"II*\x00....", "image")  # TIFF: no decoder
     with pytest.raises(ValueError):
         # JPEG is a REAL decoder now (sources/jpeg.py); a truncated
         # stream is malformed data, not a missing codec
