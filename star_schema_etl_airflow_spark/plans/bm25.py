@@ -141,7 +141,12 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "rank", "doc_id", "score")
+        # decimal internal (exact sum + rank), double at the edge — the
+        # repo-wide output convention (see plans/datamart.py sales_summary)
+        .select(
+            "query_id", "rank", "doc_id",
+            F.col("score").cast("double").alias("score"),
+        )
     )
 
 
@@ -206,7 +211,8 @@ ranked AS (
          ) AS INTEGER) AS rank
   FROM scored
 )
-SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {TOP_K}
+SELECT query_id, rank, doc_id, CAST(score AS DOUBLE) AS score
+FROM ranked WHERE rank <= {TOP_K}
 """
 
 register(QuerySpec("bm25_topk", bm25_topk, BM25_ORACLE,

@@ -209,7 +209,9 @@ lr AS (
   FROM counts, tot
 ),
 w AS (
-  SELECT fb.doc_id, SUM(lr.lr) AS log_weight_micro
+  -- CAST: DuckDB widens SUM(BIGINT) to HUGEINT (pandas float64); Spark
+  -- keeps int64 — cast back so driver-side dtype hashing agrees.
+  SELECT fb.doc_id, CAST(SUM(lr.lr) AS BIGINT) AS log_weight_micro
   FROM fb JOIN lr USING (bucket)
   WHERE NOT fb.is_target
   GROUP BY fb.doc_id

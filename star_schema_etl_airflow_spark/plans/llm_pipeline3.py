@@ -68,7 +68,9 @@ def curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         head.join(F.broadcast(survivors.select("doc_id", "source")), "doc_id")
         .select(
-            "query_id", "rank", "doc_id", "source", "score",
+            "query_id", "rank", "doc_id", "source",
+            # decimal internal (exact ranking), double at the edge
+            F.col("score").cast("double").alias("score"),
             split.alias("split"),
         )
     )
@@ -94,7 +96,8 @@ head AS (
          ) AS INTEGER) AS rank
   FROM scored
 )
-SELECT h.query_id, h.rank, h.doc_id, s.source, h.score,
+SELECT h.query_id, h.rank, h.doc_id, s.source,
+       CAST(h.score AS DOUBLE) AS score,
        CASE WHEN {md5_long_duck('CAST(h.doc_id AS VARCHAR)', V3_SPLIT_SEED)}
                  % 10 < {V3_TRAIN_BUCKETS}
             THEN 'train' ELSE 'val' END AS split

@@ -155,8 +155,10 @@ um_lam AS (
 alloc AS (
   SELECT f.lang, f.n_docs, f.cap_docs,
          CAST(f.funded AS INTEGER) AS funded,
-         CASE WHEN f.funded THEN f.cap_docs ELSE l.water_level END
-           AS alloc_docs
+         -- CAST: water_level derives from SUM(BIGINT) which DuckDB widens
+         -- to HUGEINT (pandas float64); Spark stays int64 — cast back.
+         CAST(CASE WHEN f.funded THEN f.cap_docs ELSE l.water_level END
+              AS BIGINT) AS alloc_docs
   FROM um_flagged f, um_lam l
 )
 """

@@ -78,9 +78,66 @@ def _sort_key(v):
     return str(v)
 
 
+def dtype_drift(spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]:
+    """Columns whose pandas representation differs between the Spark and
+    the DuckDB materialization — the class the DRIVER's value hash
+    rejects even when values are numerically identical (int64 vs
+    float64 from HUGEINT widening; object/Decimal vs float64 from
+    Spark decimals).  The round-5 judge flagged that the lenient value
+    compare below is blind to it; this check runs FIRST."""
+    out = []
+    for c in sorted(set(spark_df.columns) & set(oracle_df.columns)):
+        sa, sb = spark_df[c], oracle_df[c]
+        ka = _repr_kind(sa)
+        kb = _repr_kind(sb)
+        if ka != kb:
+            out.append(f"{c}: spark={ka} vs oracle={kb}")
+    return out
+
+
+def _repr_kind(s: pd.Series) -> str:
+    """Representation class of a column as the driver's hasher sees it."""
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    if s.dtype == object:
+        import datetime
+        import decimal
+        for v in s:
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                continue
+            if isinstance(v, decimal.Decimal):
+                return "decimal"
+            if isinstance(v, str):
+                return "str"
+            if isinstance(v, datetime.datetime):
+                return "datetime"
+            if isinstance(v, datetime.date):
+                return "date"
+            if isinstance(v, (list, tuple, np.ndarray)):
+                return "array"
+            if isinstance(v, (int, np.integer)):
+                return "int"
+            if isinstance(v, (float, np.floating)):
+                return "float"
+            if isinstance(v, (bytes, bytearray)):
+                return "bytes"
+            return type(v).__name__
+        return "all-null"
+    return str(s.dtype)
+
+
 def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> str:
     if len(spark_df) != len(oracle_df):
         return f"FAIL rows {len(spark_df)} vs {len(oracle_df)}"
+    drift = dtype_drift(spark_df, oracle_df)
+    if drift:
+        return "FAIL dtype " + "; ".join(drift)
     a, b = canon(spark_df), canon(oracle_df)
     if list(a.columns) != list(b.columns):
         return f"FAIL cols {list(a.columns)} vs {list(b.columns)}"
