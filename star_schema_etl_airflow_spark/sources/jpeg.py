@@ -252,6 +252,9 @@ def _jpeg_decode(payload: bytes) -> dict:
     while pos + 4 <= n:
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad a marker
+        while pos + 1 < n and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         if marker == 0xD8 or (0xD0 <= marker <= 0xD7):
             pos += 2
@@ -304,6 +307,13 @@ def _jpeg_decode(payload: bytes) -> dict:
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
+            if ns < len(frame["comps"]):
+                # legal per T.81 (one SOS per component) but this decoder
+                # handles a single interleaved scan only — fail loudly
+                # rather than return the first component as grayscale
+                raise NotImplementedError(
+                    "non-interleaved multi-scan JPEG unsupported "
+                    f"(scan has {ns} of {len(frame['comps'])} components)")
             scan = []
             for i in range(ns):
                 cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]

@@ -255,7 +255,12 @@ def resize_image(payload: bytes, width: int, height: int) -> bytes:
         from star_schema_etl_airflow_spark.sources.jpeg import jpeg_encode
 
         return jpeg_encode(bytes(out), width, height, ch)
-    return _png_encode(bytes(out), width, height, img["color_type"])
+    # GIF decodes carry no PNG color_type — re-encode as PNG with the
+    # color_type implied by the channel count (1→gray, 3→RGB, 4→RGBA)
+    return _png_encode(
+        bytes(out), width, height,
+        img.get("color_type", {1: 0, 3: 2, 4: 6}[ch]),
+    )
 
 
 DECODED_SCHEMA = T.StructType([

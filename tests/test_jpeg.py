@@ -148,3 +148,36 @@ def test_resize_image_roundtrips_jpeg_container():
     assert small[:2] == b"\xff\xd8"
     dec = jpeg_decode(small)
     assert (dec["width"], dec["height"]) == (8, 8)
+
+
+def test_fill_bytes_before_markers_tolerated():
+    """T.81 B.1.1.2 allows any number of 0xFF fill bytes before a
+    marker; the walk must skip them, not misread a segment length."""
+    h, w = 16, 16
+    img = _gradient(h, w)
+    payload = jpeg_encode(img.tobytes(), w, h, 3, quality=90)
+    # insert fill bytes before the first DQT marker (FF DB)
+    i = payload.index(b"\xff\xdb")
+    padded = payload[:i] + b"\xff\xff\xff" + payload[i:]
+    ref = _decode_rgb(payload, h, w)
+    out = _decode_rgb(padded, h, w)
+    assert np.array_equal(ref, out)
+
+
+def test_non_interleaved_multi_scan_raises():
+    """A 3-component frame whose first SOS carries only one component
+    (legal non-interleaved baseline) must fail loudly, not silently
+    return the Y plane as grayscale."""
+    h, w = 16, 16
+    payload = bytearray(jpeg_encode(_gradient(h, w).tobytes(), w, h, 3))
+    i = payload.index(b"\xff\xda")
+    ns = payload[i + 4]
+    assert ns == 3
+    # rebuild the SOS header with only the first component
+    seglen = 2 + 1 + 2 * 1 + 3
+    sos = (b"\xff\xda" + seglen.to_bytes(2, "big") + b"\x01"
+           + bytes(payload[i + 5:i + 7])        # first comp spec
+           + bytes(payload[i + 11:i + 14]))     # ss, se, ah/al
+    patched = bytes(payload[:i]) + sos + bytes(payload[i + 14:])
+    with pytest.raises(NotImplementedError, match="non-interleaved"):
+        jpeg_decode(patched)

@@ -267,3 +267,21 @@ def test_audio_features_match_pure_python(spark):
     # the 440 Hz tone crosses zero far more often than the 50 Hz one
     assert got[1]["zero_crossings"] > got[2]["zero_crossings"]
     assert got[3]["decode_err"] is not None
+
+
+def test_resize_image_gif_reencodes_as_png():
+    """Regression (round-5 advice): resize of a GIF payload raised
+    KeyError('color_type') instead of resizing — the GIF decode dict
+    carries no PNG color_type, so the PNG re-encode must derive one
+    from the channel count."""
+    from star_schema_etl_airflow_spark.sources.gif import gif_encode_indexed
+    from star_schema_etl_airflow_spark.sources.multimodal import resize_image
+
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30])
+    idx = bytes([(x + y) % 4 for y in range(6) for x in range(8)])
+    payload = gif_encode_indexed(idx, 8, 6, pal)
+    small = resize_image(payload, 4, 3)
+    m = decode_media(small, "image")
+    assert (m["width"], m["height"], m["channels"]) == (4, 3, 3)
+    src = decode_media(payload, "image")
+    assert m["pixels"][:3] == src["pixels"][:3]

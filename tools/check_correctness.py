@@ -115,10 +115,11 @@ def _repr_kind(s: pd.Series) -> str:
                 return "decimal"
             if isinstance(v, str):
                 return "str"
-            if isinstance(v, datetime.datetime):
+            if isinstance(v, (datetime.datetime, datetime.date)):
+                # one kind: the driver canonicalizes date vs datetime
+                # (sales_summary: Spark DateType vs DuckDB DATE →
+                # datetime64 was hash-green in the r5 sample)
                 return "datetime"
-            if isinstance(v, datetime.date):
-                return "date"
             if isinstance(v, (list, tuple, np.ndarray)):
                 return "array"
             if isinstance(v, (int, np.integer)):
