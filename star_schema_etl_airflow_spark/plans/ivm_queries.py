@@ -148,15 +148,16 @@ def ivm_counting_returnflags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state.select(
         *keys,
         F.col("mult").alias("n_lines"),
-        F.col("vsum").cast("decimal(38,2)").alias("sum_qty"),
+        # decimal internal, double at the edge (driver dtype parity)
+        F.col("vsum").cast("decimal(38,2)").cast("double").alias("sum_qty"),
     )
 
 
 IVM_COUNTING_ORACLE = """
 SELECT l_returnflag, l_linestatus,
        COUNT(*) AS n_lines,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
-         AS sum_qty
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
+            AS DOUBLE) AS sum_qty
 FROM lineitem
 WHERE NOT (l_linenumber = 1 AND l_orderkey % 2 = 0)
 GROUP BY 1, 2

@@ -164,7 +164,8 @@ final AS (
   FROM tr
   WHERE tr.doc_id NOT IN (SELECT doc_id FROM contaminated)
 )
-SELECT split, COUNT(*) AS n_docs, SUM(tok_n) AS total_tokens,
+SELECT split, COUNT(*) AS n_docs,
+       CAST(SUM(tok_n) AS BIGINT) AS total_tokens,
        MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
 FROM final
 GROUP BY split

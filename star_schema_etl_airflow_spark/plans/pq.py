@@ -185,7 +185,7 @@ qtab AS (
   WHERE q.vec_id < {N_QUERIES}
 ),
 adc AS (
-  SELECT t.query_id, c.cand_id, SUM(t.qdist) AS adc_dist
+  SELECT t.query_id, c.cand_id, CAST(SUM(t.qdist) AS BIGINT) AS adc_dist
   FROM codes c JOIN qtab t ON t.m = c.m AND t.cid = c.code
   GROUP BY t.query_id, c.cand_id
 ),

@@ -340,7 +340,9 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.col("__total").cast("double") / F.col("__nparts")
             * F.lit(Q11_FACTOR)
         )
-        .select("l_partkey", "stock_value")
+        # decimal internal (exact sum + threshold), double at the edge
+        .select("l_partkey", F.col("stock_value").cast("double")
+                .alias("stock_value"))
     )
 
 
@@ -353,7 +355,7 @@ WITH v AS (
   GROUP BY l_partkey
 ),
 t AS (SELECT SUM(stock_value) AS total, COUNT(*) AS np FROM v)
-SELECT l_partkey, stock_value
+SELECT l_partkey, CAST(stock_value AS DOUBLE) AS stock_value
 FROM v, t
 WHERE CAST(stock_value AS DOUBLE) > CAST(total AS DOUBLE) / np * {Q11_FACTOR}
 """

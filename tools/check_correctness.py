@@ -86,11 +86,13 @@ def dtype_drift(spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]:
     Spark decimals).  The round-5 judge flagged that the lenient value
     compare below is blind to it; this check runs FIRST."""
     out = []
+    if len(spark_df) == 0:
+        return out
     for c in sorted(set(spark_df.columns) & set(oracle_df.columns)):
         sa, sb = spark_df[c], oracle_df[c]
         ka = _repr_kind(sa)
         kb = _repr_kind(sb)
-        if ka != kb:
+        if ka != kb and "all-null" not in (ka, kb):
             out.append(f"{c}: spark={ka} vs oracle={kb}")
     return out
 
