@@ -53,3 +53,47 @@ def test_bucketed_sorted_merge_ready(spark):
         assert t.count() == li.count()
     finally:
         spark.sql("DROP TABLE IF EXISTS b_li_sorted")
+
+
+def test_incremental_dedup_probe_corpus_never_shuffles(spark):
+    """SCALE.md's bucketed-at-rest claim for ``dedup_incremental``
+    (round-5 verdict task 7): with the corpus 8-byte hash index stored
+    as a table bucketed by content_hash, the daily batch's anti-join
+    probe plan carries NO Exchange on the corpus side — only the small
+    delta repartitions to the index's bucketing.  At 100 TB the corpus
+    index is the side that must never shuffle."""
+    from pyspark.sql import functions as F
+
+    from star_schema_etl_airflow_spark.functions.text import md5_long_spark
+    from star_schema_etl_airflow_spark.plans.llm_dedup2 import (
+        BATCH_RECRAWL_OFFSET,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    corpus_index = docs.select(
+        F.expr(md5_long_spark("text")).alias("content_hash")
+    )
+    write_bucketed(corpus_index, "b_corpus_hash_index", "content_hash",
+                   n_buckets=8)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        batch = docs.filter(F.col("doc_id") % 4 == 0).select(
+            (F.col("doc_id") + BATCH_RECRAWL_OFFSET).alias("doc_id"), "text"
+        )
+        hashed = batch.select(
+            "doc_id", F.expr(md5_long_spark("text")).alias("content_hash")
+        )
+        probe = hashed.join(
+            spark.table("b_corpus_hash_index"), "content_hash", "left_anti"
+        )
+        plan = _plan(probe)
+        # exactly one Exchange: the delta side matching the bucket spec;
+        # the bucketed corpus scan reads in place
+        assert plan.count("Exchange") == 1, plan
+        corpus_scan = plan[plan.index("b_corpus_hash_index"):]
+        assert "Bucketed: true" in corpus_scan, plan
+        # every recrawled copy exists in the corpus → anti join drops all
+        assert probe.count() == 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_corpus_hash_index")

@@ -36,7 +36,8 @@ sys.path.insert(0, "/root/repo")
 SWEEP = len(sys.argv) > 1 and sys.argv[1] == "--sweep"
 if SWEEP:
     SWEEP_DIRS = sys.argv[2:] or [
-        "/root/testdata/sf0.01", "/root/testdata/sf0.1"
+        "/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
     ]
     SF_DIR, ONLY = SWEEP_DIRS[0], set()
 else:
