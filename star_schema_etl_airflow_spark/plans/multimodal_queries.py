@@ -398,3 +398,102 @@ FROM documents
 
 register(QuerySpec("gif_decoded", gif_decoded, GIF_DECODED_ORACLE,
                    tags=("LLM-multimodal",)))
+
+
+# ---------------------------------------------------------------------------
+# video_frames: differential coverage of the REAL MJPEG/AVI video path
+# (sources/avi.py — container walk + per-frame baseline-JPEG decode).
+# Per sampled document a tiny MJPEG AVI is synthesized (solid-color
+# frames, closed-form structural parameters), decoded by the production
+# avi_decode, and each frame's structure plus a pixel-accuracy verdict
+# is emitted.  Structure (dims / frame count / fps / frame grid) is
+# closed-form, so DuckDB states it exactly; pixel accuracy collapses to
+# a boolean the oracle expects TRUE (JPEG-exactness itself is pinned by
+# tests/test_avi.py and the jpeg_decoded oracle).
+
+VID_W = 16
+VID_H = 8
+VID_DOC_MOD = 4          # sample every 4th doc: decode cost, not coverage
+VID_MAX_FRAMES = 5
+VID_PX_TOL = 3
+
+
+def _video_color(doc_id: int, i: int) -> tuple[int, int, int]:
+    return ((doc_id * 7 + 13 * i) % 256,
+            (doc_id * 11 + 29 * i) % 256,
+            (doc_id * 17 + 31 * i) % 256)
+
+
+def _video_kernel(batches):
+    import numpy as np
+    import pandas as pd
+
+    from star_schema_etl_airflow_spark.sources.avi import (
+        avi_decode,
+        avi_encode_mjpeg,
+    )
+
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            doc_id = int(doc_id)
+            if doc_id % VID_DOC_MOD != 0:
+                continue
+            n = 1 + doc_id % VID_MAX_FRAMES
+            fps = 10 + doc_id % 20
+            frames = [
+                np.full((VID_H, VID_W, 3), _video_color(doc_id, i),
+                        dtype=np.uint8).tobytes()
+                for i in range(n)
+            ]
+            dec = avi_decode(
+                avi_encode_mjpeg(frames, VID_W, VID_H, fps=fps, quality=90)
+            )
+            for i, fr in enumerate(dec["frames"]):
+                got = np.frombuffer(fr["pixels"], dtype=np.uint8) \
+                    .reshape(VID_H, VID_W, 3).astype(int)
+                want = np.array(_video_color(doc_id, i), dtype=int)
+                rows.append((
+                    doc_id, i, dec["width"], dec["height"],
+                    dec["n_frames"], dec["fps"],
+                    bool(np.abs(got - want).max() <= VID_PX_TOL),
+                ))
+        yield pd.DataFrame(rows, columns=[
+            "media_id", "frame_idx", "width", "height", "n_frames", "fps",
+            "px_ok",
+        ])
+
+
+def video_frames(spark, sf_dir):
+    from pyspark.sql import types as T
+
+    from star_schema_etl_airflow_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("fps", T.IntegerType()),
+        T.StructField("px_ok", T.BooleanType()),
+    ])
+    return docs.mapInPandas(_video_kernel, schema=schema)
+
+
+VIDEO_FRAMES_ORACLE = f"""
+SELECT doc_id AS media_id,
+       CAST(i AS INTEGER) AS frame_idx,
+       CAST({VID_W} AS INTEGER) AS width,
+       CAST({VID_H} AS INTEGER) AS height,
+       CAST(1 + doc_id % {VID_MAX_FRAMES} AS INTEGER) AS n_frames,
+       CAST(10 + doc_id % 20 AS INTEGER) AS fps,
+       TRUE AS px_ok
+FROM documents,
+     LATERAL unnest(range(0, 1 + doc_id % {VID_MAX_FRAMES})) AS t(i)
+WHERE doc_id % {VID_DOC_MOD} = 0
+"""
+
+register(QuerySpec("video_frames", video_frames, VIDEO_FRAMES_ORACLE,
+                   tags=("LLM-multimodal",)))

@@ -306,6 +306,13 @@ def _jpeg_decode(payload: bytes) -> dict:
         elif marker == 0xDA:                     # SOS
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
+            if not huff_dc and not huff_ac:
+                # MJPEG frames may omit DHT (OpenDML convention):
+                # install the Annex K.3 typical tables as players do
+                huff_dc[0] = _build_decode_table(*HT_DC_LUMA)
+                huff_dc[1] = _build_decode_table(*HT_DC_CHROMA)
+                huff_ac[0] = _build_decode_table(*HT_AC_LUMA)
+                huff_ac[1] = _build_decode_table(*HT_AC_CHROMA)
             ns = seg[0]
             if ns < len(frame["comps"]):
                 # legal per T.81 (one SOS per component) but this decoder

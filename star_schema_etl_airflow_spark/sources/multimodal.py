@@ -5,7 +5,9 @@ training-data pipeline uses for image/audio/video columns at 100 TB.
 The container has no native codec libraries, so the decoders are
 implemented pure-Python from the specs: PNG (``_png_decode``), baseline
 JPEG (``sources/jpeg.py`` — Huffman + IDCT + 4:2:0 + restart markers),
-and WAV/PCM (``_wav_decode``).  Only MP3 and video remain
+GIF (``sources/gif.py``), MJPEG/AVI video (``sources/avi.py`` — RIFF
+container walk + per-frame JPEG decode, real frame sampling), and
+WAV/PCM (``_wav_decode``).  Only MP3 and non-MJPEG video codecs remain
 ``NotImplementedError`` stubs (they need ffmpeg — the explicit swap-in
 point at deployment).  ``extract_features`` computes deterministic
 byte-level features (size, md5, a fixed-stride byte sample) so the whole
@@ -228,9 +230,25 @@ def decode_media(payload: bytes, media_type: str) -> dict:
         )
     if media_type == "audio":
         return _wav_decode(payload)
+    if media_type == "video":
+        from star_schema_etl_airflow_spark.sources.avi import (
+            avi_decode,
+            is_avi,
+        )
+
+        if is_avi(payload):
+            # metadata + container walk only: frame pixels decode on
+            # demand (frame_sample / avi_decode with explicit indices)
+            dec = avi_decode(payload, frame_indices=[])
+            dec["channels"] = 3
+            return dec
+        raise NotImplementedError(
+            "unrecognized video container (MJPEG/AVI decoder available; "
+            "swap in ffmpeg for other codecs at deployment)"
+        )
     raise NotImplementedError(
         f"no {media_type} codec in this environment "
-        "(video decode needs ffmpeg; swap in at deployment)"
+        "(MP3 decode needs ffmpeg; swap in at deployment)"
     )
 
 
@@ -316,17 +334,36 @@ FRAME_SCHEMA = T.StructType([
 def frame_sample(media: DataFrame, n_frames: int = 4) -> DataFrame:
     """Sample ``n_frames`` evenly spaced "frames" from each video payload.
 
-    Without a video codec the frames are deterministic byte slices (the
-    payload split into n equal chunks) — the *plumbing* (one input row →
-    n output rows through an Arrow-batched iterator, binary in/binary
-    out) is exactly what a real ffmpeg-backed sampler uses; only the
-    slicing lambda changes."""
+    MJPEG/AVI payloads yield REAL frames: the container walk picks
+    ``n_frames`` evenly spaced '00dc' chunks and emits each frame's
+    still-compressed JPEG bytes — no entropy decode, so a skipped frame
+    costs nothing (the property that matters when sampling 4 frames
+    from a 10k-frame clip at 100 TB).  Non-AVI payloads keep the
+    deterministic byte-slice stand-in (the ffmpeg swap-in point); the
+    plumbing — one input row → n output rows through an Arrow-batched
+    iterator, binary in/binary out — is identical either way."""
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from star_schema_etl_airflow_spark.sources.avi import (
+            avi_decode,
+            avi_frame_bytes,
+            is_avi,
+        )
+
         for pdf in batches:
             vids = pdf[pdf["media_type"] == "video"]
             out = []
             for media_id, payload in zip(vids["media_id"], vids["payload"]):
+                payload = bytes(payload)
+                if is_avi(payload):
+                    total = avi_decode(payload, frame_indices=[])["n_frames"]
+                    take = min(n_frames, total)
+                    for i in range(take):
+                        fi = (i * total) // take
+                        out.append(
+                            (media_id, i, avi_frame_bytes(payload, fi))
+                        )
+                    continue
                 step = max(1, len(payload) // n_frames)
                 for i in range(n_frames):
                     chunk = payload[i * step:(i + 1) * step]
