@@ -1,0 +1,151 @@
+"""Corpus-wide exact-substring deduplication (ExactSubstr).
+
+The method of Lee et al., "Deduplicating Training Data Makes Language
+Models Better" (ACL 2022): any token span that occurs more than once
+ANYWHERE in the corpus is excised from every occurrence but one —
+catching the boilerplate/quote/license duplication that document-level
+(hash, MinHash) dedup can't see.  The paper builds a suffix array; the
+Spark-native equivalent is a positional n-gram fingerprint join:
+
+1. every document explodes into position-indexed n-gram hashes
+   (one md5 pass per gram — ``positional_gram_hashes``);
+2. one corpus-wide shuffle groups by gram hash: occurrence count and
+   the lexicographically-first (doc_id, pos) occurrence per gram
+   (map-side partial aggregation — the shuffle carries per-partition
+   partials, not raw occurrences);
+3. non-canonical occurrences of repeated grams come from a shuffle
+   join of the raw positional grams against the (already-partitioned)
+   repeated-gram stats on the same key — the second and last
+   corpus-scale shuffle (the partial-agg payload of step 2 differs
+   from the raw relation, so Catalyst cannot reuse that exchange;
+   measured: 4 exchanges total, the last two on the small dup subset);
+4. per document, duplicate gram starts ≤ n apart chain into maximal
+   spans (islands-and-gaps window over (doc_id), the same merge as
+   ``operators/decontaminate.matched_spans``);
+5. ``excise_spans`` drops the spanned tokens with a higher-order
+   filter — map-only, no shuffle.
+
+Scale shape at 100 TB: two tokens-sized shuffles (grouped partials +
+raw-vs-stats join), comparable in volume to the two suffix-array
+passes the paper performs, both partitioned on the gram hash (uniform
+by construction — a million-occurrence boilerplate gram is ONE stats
+row, never a collected list, so no skew amplification).  Steps 4-5
+partition per document.  The span policy keeps the FIRST occurrence
+corpus-wide (deterministic under any partitioning; the paper removes
+all-but-one arbitrarily).
+
+Reference parity: extension operator — the reference ETL
+(ferdianmaulana/Star-Schema-ETL-Airflow) has no text dedup; this is
+part of the training-data-pipeline surface the build brief adds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from star_schema_etl_airflow_spark.operators.decontaminate import (
+    positional_gram_hashes,
+)
+
+SUBSTR_NGRAM = 8
+
+
+def duplicate_substring_spans(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = SUBSTR_NGRAM,
+) -> DataFrame:
+    """(doc_id, span_start, span_end, span_tokens): maximal token spans
+    duplicated elsewhere in the corpus, excluding each repeated gram's
+    canonical (first) occurrence.  ``[span_start, span_end)`` indexes
+    the document's token array."""
+    pos = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.expr(positional_gram_hashes(text_col, n))
+        ).alias("pos", "g"),
+    )
+    stats = (
+        pos.groupBy("g")
+        .agg(
+            F.count("*").alias("occ"),
+            F.min(F.struct("doc_id", "pos")).alias("first"),
+        )
+        .filter(F.col("occ") > 1)
+    )
+    dup_pos = (
+        pos.join(stats, "g")
+        .filter(
+            ~(
+                (F.col("doc_id") == F.col("first.doc_id"))
+                & (F.col("pos") == F.col("first.pos"))
+            )
+        )
+        .select("doc_id", "pos")
+        .distinct()
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    spans = (
+        dup_pos.withColumn(
+            "new_span",
+            (
+                F.coalesce(F.col("pos") - F.lag("pos").over(w), F.lit(n + 1))
+                > n
+            ).cast("long"),
+        )
+        .withColumn(
+            "span_id",
+            F.sum("new_span").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("doc_id", "span_id")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + n).alias("span_end"),
+        )
+    )
+    return spans.select(
+        "doc_id",
+        "span_start",
+        "span_end",
+        (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
+    )
+
+
+def excise_spans(
+    corpus: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_expr: str | None = None,
+) -> DataFrame:
+    """Remove the spanned tokens from each document: (doc_id,
+    clean_text, kept_tokens, dropped_tokens).  Documents with no spans
+    pass through unchanged (left join).  Map-only after the spans are
+    grouped per document — the token filter is a higher-order function
+    over the token array, no explode."""
+    from star_schema_etl_airflow_spark.functions.text import tokens_spark
+
+    toks = tokens_expr or tokens_spark(text_col)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    base = corpus.select(
+        F.col(id_col).alias("doc_id"), F.expr(toks).alias("__t")
+    ).join(per_doc, "doc_id", "left")
+    kept = (
+        "filter(transform(__t, (tok, i) -> struct(tok as tok, i as i)), "
+        "p -> __spans is null or not exists(__spans, "
+        "s -> s.span_start <= p.i and p.i < s.span_end))"
+    )
+    return base.select(
+        "doc_id",
+        F.expr(f"array_join(transform({kept}, p -> p.tok), ' ')")
+        .alias("clean_text"),
+        F.expr(f"size({kept})").cast("long").alias("kept_tokens"),
+        (F.size("__t") - F.expr(f"size({kept})")).cast("long")
+        .alias("dropped_tokens"),
+    )

@@ -1,0 +1,128 @@
+"""Registered queries for corpus-wide exact-substring dedup
+(operators/substring_dedup.py — the Lee et al. ExactSubstr method as a
+positional-gram fingerprint join).
+
+Runs over the dup-augmented corpus of ``plans/llm_dedup.py`` so the
+differential check sees real duplicated spans (every synthetic copy
+duplicates its base document's whole token sequence, and genuine
+boilerplate repeats inside the fixture text), not just empty output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from star_schema_etl_airflow_spark.functions.text import (
+    md5_long_duck,
+    tokens_duck,
+)
+from star_schema_etl_airflow_spark.functions.text import UHASH_M
+from star_schema_etl_airflow_spark.operators.substring_dedup import (
+    SUBSTR_NGRAM,
+    duplicate_substring_spans,
+    excise_spans,
+)
+from star_schema_etl_airflow_spark.plans.llm_dedup import (
+    CORPUS_DUCK,
+    build_corpus,
+)
+from star_schema_etl_airflow_spark.registry import QuerySpec, register
+
+_N = SUBSTR_NGRAM
+_TOKS_D = tokens_duck("text")
+# hashed positional grams — the SAME md5-mod quantity Spark compares, so
+# an (astronomically unlikely) hash collision affects both engines alike
+_GRAMS_D = (
+    f"CASE WHEN len({_TOKS_D}) < {_N} THEN [] "
+    f"ELSE list_transform(range(0, len({_TOKS_D}) - {_N} + 1), "
+    f"i -> ({md5_long_duck(f'array_to_string(({_TOKS_D})[i + 1 : i + {_N}], chr(32))')}) % {UHASH_M}) END"
+)
+
+
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return duplicate_substring_spans(build_corpus(spark, sf_dir), n=_N)
+
+
+_SPAN_CTES = f"""corpus AS ({CORPUS_DUCK}),
+pg AS (SELECT doc_id, {_GRAMS_D} AS gs FROM corpus),
+pgp AS (SELECT doc_id, gs, unnest(range(1, len(gs) + 1)) AS p FROM pg),
+pp AS (SELECT doc_id, gs[p] AS g, p - 1 AS pos FROM pgp),
+sstats AS (
+  SELECT g, COUNT(*) AS occ, MIN(doc_id) AS fdoc
+  FROM pp GROUP BY g HAVING COUNT(*) > 1
+),
+fpos AS (
+  SELECT p.g, MIN(p.pos) AS fp
+  FROM pp p JOIN sstats s ON p.g = s.g AND p.doc_id = s.fdoc
+  GROUP BY p.g
+),
+dup AS (
+  SELECT DISTINCT p.doc_id, p.pos
+  FROM pp p JOIN sstats s ON p.g = s.g JOIN fpos f ON p.g = f.g
+  WHERE NOT (p.doc_id = s.fdoc AND p.pos = f.fp)
+),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN COALESCE(
+                pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos),
+                {_N + 1}) > {_N}
+              THEN 1 ELSE 0 END AS new_span
+  FROM dup
+),
+sp AS (
+  SELECT doc_id, pos,
+         SUM(new_span) OVER (
+           PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING)
+           AS span_id
+  FROM isl
+),
+spans AS (
+  SELECT doc_id,
+         MIN(pos) AS span_start,
+         MAX(pos) + {_N} AS span_end,
+         MAX(pos) + {_N} - MIN(pos) AS span_tokens
+  FROM sp GROUP BY doc_id, span_id
+)"""
+
+DEDUP_SUBSTRING_SPANS_ORACLE = f"""
+WITH {_SPAN_CTES}
+SELECT doc_id, span_start, span_end, span_tokens FROM spans
+"""
+
+register(QuerySpec("dedup_substring_spans", dedup_substring_spans,
+                   DEDUP_SUBSTRING_SPANS_ORACLE, tags=("LLM-DEDUP",)))
+
+
+def dedup_substring_excised(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = build_corpus(spark, sf_dir)
+    return excise_spans(corpus, duplicate_substring_spans(corpus, n=_N))
+
+
+DEDUP_SUBSTRING_EXCISED_ORACLE = f"""
+WITH {_SPAN_CTES},
+per_doc AS (
+  SELECT doc_id,
+         list(struct_pack(s := span_start, e := span_end)) AS sps
+  FROM spans GROUP BY doc_id
+),
+toked AS (SELECT doc_id, {_TOKS_D} AS t FROM corpus),
+kept AS (
+  SELECT td.doc_id, td.t, COALESCE(pd.sps, []) AS sps,
+         list_filter(range(0, len(td.t)),
+                     i -> len(list_filter(COALESCE(pd.sps, []),
+                                          s -> s.s <= i AND i < s.e)) = 0)
+           AS ki
+  FROM toked td LEFT JOIN per_doc pd ON td.doc_id = pd.doc_id
+)
+SELECT doc_id,
+       -- COALESCE: a token-less document yields NULL from DuckDB's
+       -- array_to_string where Spark's array_join yields ''
+       COALESCE(array_to_string(list_transform(ki, i -> t[i + 1]), chr(32)),
+                '') AS clean_text,
+       CAST(len(ki) AS BIGINT) AS kept_tokens,
+       CAST(len(t) - len(ki) AS BIGINT) AS dropped_tokens
+FROM kept
+"""
+
+register(QuerySpec("dedup_substring_excised", dedup_substring_excised,
+                   DEDUP_SUBSTRING_EXCISED_ORACLE, tags=("LLM-DEDUP",)))

@@ -95,6 +95,7 @@ def _ensure_loaded() -> None:
         spark4_features,
         sql_queries,
         subquery_queries,
+        substring_queries,
         text_classify,
         unimax,
         timeseries,
