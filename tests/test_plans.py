@@ -444,3 +444,37 @@ def test_pq_adc_broadcasts_codebook_with_partial_window_limit(spark):
         "WindowGroupLimit" in l and "Partial" in l
         for l in plan.splitlines()
     ), plan
+
+
+def test_substring_dedup_two_corpus_shuffles_no_skew_collect(spark):
+    """ExactSubstr span mining must stay at two tokens-sized shuffles
+    (grouped gram partials + the raw-vs-stats equi-join) plus the two
+    dup-subset shuffles (distinct, per-doc window) — and must never
+    collect occurrences per gram (no collect_list in the aggregate: a
+    boilerplate gram with millions of occurrences stays ONE stats row)."""
+    from star_schema_etl_airflow_spark.plans.substring_queries import (
+        dedup_substring_spans,
+    )
+
+    plan = _plan(dedup_substring_spans(spark, SF_DIR))
+    assert plan.count("Exchange") <= 4, plan
+    assert "CartesianProduct" not in plan
+    assert "collect_list" not in plan
+    # the gram join is an equi-join on the hash, never nested-loop
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_substring_excise_is_map_only_after_span_group(spark):
+    """Span excision adds exactly two shuffles beyond span mining (the
+    per-doc span grouping and the corpus⋈spans join) and no explode —
+    the token filter is a higher-order function over the array."""
+    from star_schema_etl_airflow_spark.plans.substring_queries import (
+        dedup_substring_excised,
+    )
+
+    plan = _plan(dedup_substring_excised(spark, SF_DIR))
+    assert plan.count("Exchange") <= 7, plan
+    assert "CartesianProduct" not in plan
+    # excision itself must not re-explode the corpus: only the two
+    # posexplode Generates of span mining (one per pos-relation consumer)
+    assert plan.count("Generate") <= 2, plan
