@@ -75,6 +75,7 @@ def _ensure_loaded() -> None:
         fuzzy_join,
         governance_queries,
         ivm_queries,
+        jl_projection,
         llm_decontam,
         llm_dedup,
         llm_dedup2,
