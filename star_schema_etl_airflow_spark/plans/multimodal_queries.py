@@ -497,3 +497,92 @@ WHERE doc_id % {VID_DOC_MOD} = 0
 
 register(QuerySpec("video_frames", video_frames, VIDEO_FRAMES_ORACLE,
                    tags=("LLM-multimodal",)))
+
+
+# ---------------------------------------------------------------------------
+# image_patches: ViT-style patch extraction through the REAL PNG codec
+# (encode closed-form pixels → production _png_decode → patchify) with a
+# closed-form per-patch oracle.  One input row → (side/patch)² output
+# rows through Arrow-batched mapInPandas — the tensor-preparation step a
+# multimodal training pipeline runs after decode.
+
+PATCH_SIDE = 16      # square source image
+PATCH = 8            # → 2×2 grid of 8×8×3 patches
+
+
+def _patch_kernel(batches):
+    import pandas as pd
+
+    from star_schema_etl_airflow_spark.sources.multimodal import (
+        _png_decode,
+        _png_encode,
+        patchify,
+    )
+
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            doc_id = int(doc_id)
+            pixels = bytes(
+                (doc_id + 3 * x + 5 * y + 11 * c) % 256
+                for y in range(PATCH_SIDE)
+                for x in range(PATCH_SIDE)
+                for c in range(PNG_CHANNELS)
+            )
+            img = _png_decode(
+                _png_encode(pixels, PATCH_SIDE, PATCH_SIDE, 2)
+            )
+            for pr, pc, tile in patchify(
+                img["pixels"], img["width"], img["height"],
+                img["channels"], PATCH,
+            ):
+                rows.append((
+                    doc_id, pr, pc, len(tile), sum(tile), max(tile),
+                ))
+        yield pd.DataFrame(rows, columns=[
+            "media_id", "patch_row", "patch_col", "n_units", "value_sum",
+            "value_max",
+        ])
+
+
+def image_patches(spark, sf_dir):
+    from pyspark.sql import types as T
+
+    from star_schema_etl_airflow_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("patch_row", T.IntegerType()),
+        T.StructField("patch_col", T.IntegerType()),
+        T.StructField("n_units", T.LongType()),
+        T.StructField("value_sum", T.LongType()),
+        T.StructField("value_max", T.IntegerType()),
+    ])
+    return docs.mapInPandas(_patch_kernel, schema=schema)
+
+
+_PATCH_CELLS = PATCH * PATCH * PNG_CHANNELS
+
+IMAGE_PATCHES_ORACLE = f"""
+SELECT d.doc_id AS media_id,
+       CAST(pr AS INTEGER) AS patch_row,
+       CAST(pc AS INTEGER) AS patch_col,
+       CAST({_PATCH_CELLS} AS BIGINT) AS n_units,
+       CAST(list_sum(list_transform(range(0, {_PATCH_CELLS}),
+         i -> (d.doc_id
+               + 3 * (pc * {PATCH} + (i // {PNG_CHANNELS}) % {PATCH})
+               + 5 * (pr * {PATCH} + i // {PNG_CHANNELS * PATCH})
+               + 11 * (i % {PNG_CHANNELS})) % 256)) AS BIGINT) AS value_sum,
+       CAST(list_max(list_transform(range(0, {_PATCH_CELLS}),
+         i -> (d.doc_id
+               + 3 * (pc * {PATCH} + (i // {PNG_CHANNELS}) % {PATCH})
+               + 5 * (pr * {PATCH} + i // {PNG_CHANNELS * PATCH})
+               + 11 * (i % {PNG_CHANNELS})) % 256)) AS INTEGER) AS value_max
+FROM documents d,
+     LATERAL unnest(range(0, {PATCH_SIDE // PATCH})) AS tr(pr),
+     LATERAL unnest(range(0, {PATCH_SIDE // PATCH})) AS tc(pc)
+"""
+
+register(QuerySpec("image_patches", image_patches, IMAGE_PATCHES_ORACLE,
+                   tags=("LLM-multimodal",)))

@@ -485,3 +485,26 @@ def audio_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(kernel, schema=AUDIO_FEATURE_SCHEMA)
+
+
+def patchify(pixels: bytes, width: int, height: int, channels: int,
+             patch: int) -> list[tuple[int, int, bytes]]:
+    """Split a decoded image into non-overlapping ``patch``×``patch``
+    tiles (ViT-style): ``[(patch_row, patch_col, tile_bytes), ...]`` in
+    row-major order.  Partial tiles at the right/bottom edge are
+    DROPPED (the ViT convention is resize-to-multiple first; dropping
+    keeps the op exact and closed-form — the resize path is
+    :func:`resize_image`).  Pure function usable inside ``mapInPandas``
+    — per-payload cost, no shuffle."""
+    import numpy as np
+
+    a = np.frombuffer(pixels, dtype=np.uint8).reshape(
+        height, width, channels
+    )
+    out = []
+    for pr in range(height // patch):
+        for pc in range(width // patch):
+            tile = a[pr * patch:(pr + 1) * patch,
+                     pc * patch:(pc + 1) * patch, :]
+            out.append((pr, pc, np.ascontiguousarray(tile).tobytes()))
+    return out

@@ -285,3 +285,19 @@ def test_resize_image_gif_reencodes_as_png():
     assert (m["width"], m["height"], m["channels"]) == (4, 3, 3)
     src = decode_media(payload, "image")
     assert m["pixels"][:3] == src["pixels"][:3]
+
+
+def test_patchify_tiles_and_partial_edge_drop():
+    from star_schema_etl_airflow_spark.sources.multimodal import patchify
+
+    import numpy as np
+
+    a = np.arange(10 * 12 * 3, dtype=np.uint8).reshape(10, 12, 3)
+    tiles = patchify(a.tobytes(), 12, 10, 3, 4)
+    # 12//4 × 10//4 = 3 × 2 grid; the 2-row bottom remainder drops
+    assert [(r, c) for r, c, _ in tiles] == [
+        (0, 0), (0, 1), (0, 2), (1, 0), (1, 1), (1, 2)
+    ]
+    want = a[4:8, 8:12, :]
+    got = np.frombuffer(tiles[5][2], dtype=np.uint8).reshape(4, 4, 3)
+    assert np.array_equal(want, got)
