@@ -98,8 +98,10 @@ def dedup_substring_excised(spark: SparkSession, sf_dir: str) -> DataFrame:
     return excise_spans(corpus, duplicate_substring_spans(corpus, n=_N))
 
 
-DEDUP_SUBSTRING_EXCISED_ORACLE = f"""
-WITH {_SPAN_CTES},
+# CTE chain ending in excised(doc_id, clean_text, kept_tokens,
+# dropped_tokens) — reused by the registered oracle and the composed
+# curation pipeline v5 (plans/llm_pipeline5.py)
+EXCISED_CTES = f"""{_SPAN_CTES},
 per_doc AS (
   SELECT doc_id,
          list(struct_pack(s := span_start, e := span_end)) AS sps
@@ -113,15 +115,21 @@ kept AS (
                                           s -> s.s <= i AND i < s.e)) = 0)
            AS ki
   FROM toked td LEFT JOIN per_doc pd ON td.doc_id = pd.doc_id
-)
-SELECT doc_id,
-       -- COALESCE: a token-less document yields NULL from DuckDB's
-       -- array_to_string where Spark's array_join yields ''
-       COALESCE(array_to_string(list_transform(ki, i -> t[i + 1]), chr(32)),
-                '') AS clean_text,
-       CAST(len(ki) AS BIGINT) AS kept_tokens,
-       CAST(len(t) - len(ki) AS BIGINT) AS dropped_tokens
-FROM kept
+),
+excised AS (
+  SELECT doc_id,
+         -- COALESCE: a token-less document yields NULL from DuckDB's
+         -- array_to_string where Spark's array_join yields ''
+         COALESCE(array_to_string(list_transform(ki, i -> t[i + 1]),
+                                  chr(32)), '') AS clean_text,
+         CAST(len(ki) AS BIGINT) AS kept_tokens,
+         CAST(len(t) - len(ki) AS BIGINT) AS dropped_tokens
+  FROM kept
+)"""
+
+DEDUP_SUBSTRING_EXCISED_ORACLE = f"""
+WITH {EXCISED_CTES}
+SELECT * FROM excised
 """
 
 register(QuerySpec("dedup_substring_excised", dedup_substring_excised,

@@ -83,6 +83,7 @@ def _ensure_loaded() -> None:
         llm_pipeline2,
         llm_pipeline3,
         llm_pipeline4,
+        llm_pipeline5,
         llm_quantize,
         llm_sampling,
         llm_similarity,
