@@ -1,0 +1,155 @@
+"""Corpus-trained bigram language model + per-document perplexity
+scoring — the "perplexity filter" of CCNet / Wenzek et al. 2020
+(there a pretrained KenLM; here the closed-form equivalent: an
+add-one-smoothed bigram model trained on the corpus itself, so both
+engines can state every probability exactly).
+
+Exactness: the one transcendental (``ln``) is carried as
+``round(1e6·ln((c₂+1)/(c₁+V)))`` BIGINT — the same scaled-int contract
+as bm25/dsir/nb (`plans/bm25.py`), with the realized-value boundary
+margin pinned in ``tests/test_ln_boundary_margin.py``.  The per-doc
+average NLL divides two POSITIVE ints (micro-NLL sum / bigram count),
+where floor and truncate agree, so DuckDB's ``//`` and Spark's ``div``
+cannot disagree on negatives.
+
+Scale shape: training is one bigram-keyed shuffle with map-side
+partials (the model is realized-bigrams-sized, like NB's token grid);
+scoring joins the corpus bigrams back on the same key; the doc rollup
+groups on doc_id.  The gate is a map-side filter against a constant
+threshold — at production scale the threshold comes from the two-pass
+percentile sketch (``plans/llm_text.quality_gate_approx``), exactly as
+CCNet buckets by perplexity tercile.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from star_schema_etl_airflow_spark.functions.text import (
+    tokens_duck,
+    tokens_spark,
+)
+from star_schema_etl_airflow_spark.registry import QuerySpec, register
+from star_schema_etl_airflow_spark.sources.fixtures import load_table
+
+LM_SCALE = 1_000_000
+# keep docs whose avg NLL (micro-ln units) is below this: ~e^3.4 ≈ 30
+# perplexity — around the fixture median (3.39), so the gate keeps the
+# fluent ~half and the differential check sees a real split at every sf
+LM_GATE_MICRO = 3_400_000
+
+_TOKS_S = tokens_spark("text")
+_TOKS_D = tokens_duck("text")
+
+_BIGRAMS_S = (
+    f"case when size({_TOKS_S}) < 2 then array() else "
+    f"transform(sequence(0, size({_TOKS_S}) - 2), "
+    f"i -> struct(element_at({_TOKS_S}, i + 1) as w1, "
+    f"element_at({_TOKS_S}, i + 2) as w2)) end"
+)
+_BIGRAMS_D = (
+    f"CASE WHEN len({_TOKS_D}) < 2 THEN [] ELSE "
+    f"list_transform(range(1, len({_TOKS_D})), "
+    f"i -> struct_pack(w1 := ({_TOKS_D})[i], w2 := ({_TOKS_D})[i + 1])) END"
+)
+
+
+def _doc_bigrams(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id", F.explode(F.expr(_BIGRAMS_S)).alias("bg")
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+
+
+def ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_bigrams, nll_sum_micro, avg_nll_micro): add-one
+    bigram NLL of every document under the corpus-trained model."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bg = _doc_bigrams(docs)
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = (
+        docs.select(F.explode(F.expr(_TOKS_S)).alias("tok"))
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    model = (
+        c2.join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1", "w2",
+            F.round(
+                F.log(
+                    (F.col("c2") + 1).cast("double")
+                    / (F.col("c1") + F.col("v")).cast("double")
+                )
+                * F.lit(float(LM_SCALE)),
+                0,
+            ).cast("long").alias("lp_micro"),
+        )
+    )
+    scored = bg.join(model, ["w1", "w2"]).groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        (-F.sum("lp_micro")).alias("nll_sum_micro"),
+    )
+    return scored.select(
+        "doc_id", "n_bigrams", "nll_sum_micro",
+        # positive // positive: floor == trunc, both engines agree
+        F.expr("nll_sum_micro div n_bigrams").alias("avg_nll_micro"),
+    )
+
+
+_LM_CTES = f"""lm_bg AS (
+  SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2
+  FROM (SELECT doc_id, unnest({_BIGRAMS_D}) AS bg FROM documents)
+),
+lm_c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM lm_bg GROUP BY 1, 2),
+lm_c1 AS (SELECT w1, COUNT(*) AS c1 FROM lm_bg GROUP BY 1),
+lm_v AS (
+  SELECT COUNT(DISTINCT tok) AS v
+  FROM (SELECT unnest({_TOKS_D}) AS tok FROM documents)
+),
+lm_model AS (
+  SELECT c2.w1, c2.w2,
+         CAST(round({LM_SCALE}.0 * ln(
+           CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE)))
+           AS BIGINT) AS lp_micro
+  FROM lm_c2 c2 JOIN lm_c1 c1 ON c2.w1 = c1.w1 CROSS JOIN lm_v v
+),
+lm_scored AS (
+  SELECT b.doc_id,
+         COUNT(*) AS n_bigrams,
+         CAST(-SUM(m.lp_micro) AS BIGINT) AS nll_sum_micro
+  FROM lm_bg b JOIN lm_model m ON b.w1 = m.w1 AND b.w2 = m.w2
+  GROUP BY b.doc_id
+)"""
+
+NGRAM_LM_ORACLE = f"""
+WITH {_LM_CTES}
+SELECT doc_id, n_bigrams, nll_sum_micro,
+       nll_sum_micro // n_bigrams AS avg_nll_micro
+FROM lm_scored
+"""
+
+register(QuerySpec("ngram_lm_score", ngram_lm_score, NGRAM_LM_ORACLE,
+                   tags=("LLM-text",)))
+
+
+def perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents whose average NLL clears the fixed gate — the CCNet
+    keep-the-fluent-head filter, map-side once scores exist."""
+    return (
+        ngram_lm_score(spark, sf_dir)
+        .filter(F.col("avg_nll_micro") < LM_GATE_MICRO)
+        .select("doc_id", "avg_nll_micro")
+    )
+
+
+PERPLEXITY_GATE_ORACLE = f"""
+WITH {_LM_CTES}
+SELECT doc_id, nll_sum_micro // n_bigrams AS avg_nll_micro
+FROM lm_scored
+WHERE nll_sum_micro // n_bigrams < {LM_GATE_MICRO}
+"""
+
+register(QuerySpec("perplexity_gate", perplexity_gate,
+                   PERPLEXITY_GATE_ORACLE, tags=("LLM-text",)))

@@ -89,6 +89,7 @@ def _ensure_loaded() -> None:
         llm_similarity,
         llm_text,
         multimodal_queries,
+        ngram_lm,
         operators_basic,
         pq,
         pudf_queries,

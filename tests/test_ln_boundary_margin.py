@@ -170,3 +170,24 @@ def test_tfidf_idf_margin(con):
               HAVING COUNT(*) <= {tc_mod.DF_CAP}) d, nd
     """).fetchnumpy()
     _margin_ok(next(iter(idf.values())), "tfidf idf")
+
+
+def test_ngram_lm_logprob_margin(con):
+    """Bigram-LM log-probabilities (plans/ngram_lm.py) under the same
+    scaled-ln boundary contract."""
+    from star_schema_etl_airflow_spark.plans import ngram_lm as lm
+
+    vals = con.execute(f"""
+        WITH bg AS (
+          SELECT b.w1 AS w1, b.w2 AS w2
+          FROM (SELECT unnest({lm._BIGRAMS_D}) AS b FROM documents)
+        ),
+        c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+        c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+        v AS (SELECT COUNT(DISTINCT tok) AS v
+              FROM (SELECT unnest({_TOKS}) AS tok FROM documents))
+        SELECT {lm.LM_SCALE}.0 * ln(
+          CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE))
+        FROM c2 JOIN c1 ON c2.w1 = c1.w1 CROSS JOIN v
+    """).fetchnumpy()
+    _margin_ok(next(iter(vals.values())), "ngram-lm logprob")
