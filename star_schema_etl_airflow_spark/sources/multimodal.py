@@ -193,7 +193,27 @@ def _wav_decode(payload: bytes) -> dict:
                 "frames": frames,
             }
     except wave.Error as exc:
-        raise NotImplementedError(f"not a PCM WAV payload: {exc}") from exc
+        # stdlib wave is PCM-only; route compressed WAVE through the
+        # pure-Python IMA ADPCM decoder before declaring defeat
+        from star_schema_etl_airflow_spark.sources.adpcm import (
+            ima_adpcm_decode,
+        )
+
+        try:
+            dec = ima_adpcm_decode(payload)
+        except (ValueError, NotImplementedError):
+            raise NotImplementedError(
+                f"not a PCM or IMA-ADPCM WAV payload: {exc}") from exc
+        return {
+            "kind": "audio",
+            "sample_rate": dec["sample_rate"],
+            "n_channels": dec["n_channels"],
+            "sample_width": 2,
+            "n_frames": dec["n_frames"],
+            "frames": b"".join(
+                struct.pack("<h", s) for s in dec["samples"]
+            ),
+        }
 
 
 JPEG_SIG = b"\xff\xd8"
