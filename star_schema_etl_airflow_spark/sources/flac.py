@@ -1,0 +1,387 @@
+"""Pure-Python FLAC subset codec (lossless audio), per the public FLAC
+format specification (RFC 9639): fLaC marker + STREAMINFO, frames of
+CONSTANT / VERBATIM / FIXED-predictor subframes with Rice-coded
+residuals, CRC-8 frame headers and CRC-16 frames.
+
+Why FLAC here: unlike MPEG audio (whose filterbank windows are 512
+tabulated committee constants — not reproducible from closed form, so
+MP3/MP2 stay honest ffmpeg stubs), FLAC's entire math is closed-form:
+fixed polynomial predictors (the order-k difference operators), Rice
+(Golomb power-of-two) coding, and CRCs with published generators.
+That makes a spec-faithful subset implementable AND losslessly
+round-trippable — decode(encode(x)) == x exactly, the same test
+discipline as the PNG/GIF codecs.
+
+Subset bounds (explicit, never silent): 16-bit mono, one Rice
+partition per subframe, fixed predictors only on encode; decode
+additionally accepts CONSTANT and VERBATIM subframes and raises
+``NotImplementedError`` for LPC subframes, other bit depths, and
+stereo decorrelation modes.
+
+Scale shape: one payload per cell, decoded inside Arrow-batched
+``mapInPandas`` like every other codec (see ``decode_stats``) — no
+shuffle, per-payload cost.
+"""
+
+from __future__ import annotations
+
+import struct
+
+FLAC_MARKER = b"fLaC"
+_BLOCK = 4096
+_MAX_ORDER = 4
+
+# fixed-predictor residual: r[i] = sum of binomial-signed history taps
+_FIXED_COEFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+
+def _crc8(data: bytes) -> int:
+    """CRC-8, polynomial x^8+x^2+x+1 (0x07), init 0 — the FLAC frame
+    header CRC."""
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    """CRC-16, polynomial x^16+x^15+x^2+1 (0x8005), init 0 — the FLAC
+    whole-frame CRC."""
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 \
+                else (crc << 1) & 0xFFFF
+    return crc
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, bits: int) -> None:
+        self.acc = (self.acc << bits) | (value & ((1 << bits) - 1))
+        self.nbits += bits
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.buf.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def write_unary(self, q: int) -> None:
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)
+
+    def align(self) -> None:
+        if self.nbits:
+            self.write(0, 8 - self.nbits)
+
+    def bytes(self) -> bytes:
+        assert self.nbits == 0
+        return bytes(self.buf)
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.byte = pos
+        self.bit = 0
+
+    def read(self, bits: int) -> int:
+        v = 0
+        for _ in range(bits):
+            v = (v << 1) | ((self.data[self.byte] >> (7 - self.bit)) & 1)
+            self.bit += 1
+            if self.bit == 8:
+                self.bit = 0
+                self.byte += 1
+        return v
+
+    def read_unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+        return q
+
+    def align(self) -> None:
+        if self.bit:
+            self.bit = 0
+            self.byte += 1
+
+
+def _zigzag(v: int) -> int:
+    return (v << 1) if v >= 0 else ((-v << 1) - 1)
+
+
+def _unzigzag(u: int) -> int:
+    return (u >> 1) if (u & 1) == 0 else -((u + 1) >> 1)
+
+
+def _residuals(samples: list[int], order: int) -> list[int]:
+    coefs = _FIXED_COEFS[order]
+    return [
+        samples[i] - sum(c * samples[i - 1 - j] for j, c in enumerate(coefs))
+        for i in range(order, len(samples))
+    ]
+
+
+def _best_rice_k(res: list[int]) -> int:
+    if not res:
+        return 0
+    mean = sum(abs(r) for r in res) / len(res) + 1e-9
+    k = 0
+    while (1 << k) < mean and k < 14:
+        k += 1
+    return k
+
+
+# --- encoder ----------------------------------------------------------------
+
+
+def flac_encode(samples: list[int], rate: int) -> bytes:
+    """16-bit mono PCM → FLAC (subset: fixed predictors, one Rice
+    partition, blocksize 4096)."""
+    n = len(samples)
+    out = bytearray(FLAC_MARKER)
+    # STREAMINFO (34 bytes), marked last metadata block
+    si = _BitWriter()
+    si.write(_BLOCK, 16)            # min blocksize
+    si.write(_BLOCK, 16)            # max blocksize
+    si.write(0, 24)                 # min framesize (unknown)
+    si.write(0, 24)                 # max framesize (unknown)
+    si.write(rate, 20)
+    si.write(0, 3)                  # channels - 1 (mono)
+    si.write(15, 5)                 # bits per sample - 1 (16)
+    si.write(n, 36)
+    info = si.bytes() + b"\x00" * 16  # null MD5 (unset, legal)
+    out += bytes([0x80]) + len(info).to_bytes(3, "big") + info
+
+    for fi, start in enumerate(range(0, n, _BLOCK)):
+        block = samples[start:start + _BLOCK]
+        out += _encode_frame(block, fi, rate)
+    return bytes(out)
+
+
+def _utf8_frame_number(fi: int) -> bytes:
+    # FLAC reuses UTF-8 coding for frame numbers
+    if fi < 0x80:
+        return bytes([fi])
+    if fi < 0x800:
+        return bytes([0xC0 | (fi >> 6), 0x80 | (fi & 0x3F)])
+    return bytes([0xE0 | (fi >> 12), 0x80 | ((fi >> 6) & 0x3F),
+                  0x80 | (fi & 0x3F)])
+
+
+def _encode_frame(block: list[int], fi: int, rate: int) -> bytes:
+    hdr = _BitWriter()
+    hdr.write(0b11111111111110, 14)  # sync
+    hdr.write(0, 1)                  # reserved
+    hdr.write(0, 1)                  # fixed-blocksize stream
+    hdr.write(0b0111, 4)             # blocksize: 16-bit at end of header
+    hdr.write(0b0000, 4)             # sample rate: from STREAMINFO
+    hdr.write(0b0000, 4)             # channels: mono
+    hdr.write(0b100, 3)              # sample size: 16
+    hdr.write(0, 1)                  # reserved
+    head = hdr.bytes() + _utf8_frame_number(fi) \
+        + struct.pack(">H", len(block) - 1)
+    head += bytes([_crc8(head)])
+
+    body = _BitWriter()
+    # pick the cheapest fixed order by total absolute residual
+    order = min(
+        range(min(_MAX_ORDER, len(block) - 1) + 1),
+        key=lambda o: sum(abs(r) for r in _residuals(block, o)),
+    )
+    res = _residuals(block, order)
+    body.write(0, 1)                       # subframe: zero pad bit
+    body.write(0b001000 | order, 6)        # FIXED, order
+    body.write(0, 1)                       # no wasted bits
+    for s in block[:order]:                # warm-up samples, verbatim
+        body.write(s & 0xFFFF, 16)
+    k = _best_rice_k(res)
+    body.write(0b00, 2)                    # residual method: RICE (4-bit k)
+    body.write(0, 4)                       # partition order 0
+    body.write(k, 4)
+    for r in res:
+        u = _zigzag(r)
+        body.write_unary(u >> k)
+        if k:
+            body.write(u & ((1 << k) - 1), k)
+    body.align()
+    frame = head + body.bytes()
+    return frame + struct.pack(">H", _crc16(frame))
+
+
+# --- decoder ----------------------------------------------------------------
+
+
+def flac_decode(payload: bytes) -> dict:
+    """FLAC → ``{"kind": "audio", "sample_rate", "n_channels",
+    "n_frames", "samples"}``.  Subset decoder: 16-bit mono,
+    CONSTANT/VERBATIM/FIXED subframes, Rice partitions of any order;
+    LPC subframes raise ``NotImplementedError``."""
+    if payload[:4] != FLAC_MARKER:
+        raise NotImplementedError("not a FLAC payload (missing fLaC)")
+    pos = 4
+    rate = n_total = None
+    while True:
+        hdr = payload[pos]
+        last, btype = hdr & 0x80, hdr & 0x7F
+        size = int.from_bytes(payload[pos + 1:pos + 4], "big")
+        if btype == 0:  # STREAMINFO
+            r = _BitReader(payload, pos + 4)
+            r.read(16); r.read(16); r.read(24); r.read(24)
+            rate = r.read(20)
+            channels = r.read(3) + 1
+            bps = r.read(5) + 1
+            n_total = r.read(36)
+            if channels != 1 or bps != 16:
+                raise NotImplementedError(
+                    f"FLAC subset decoder: 16-bit mono only "
+                    f"(channels={channels}, bps={bps})")
+        pos += 4 + size
+        if last:
+            break
+    if rate is None:
+        raise ValueError("FLAC missing STREAMINFO")
+
+    samples: list[int] = []
+    while pos < len(payload) and len(samples) < n_total:
+        block, pos = _decode_frame(payload, pos)
+        samples.extend(block)
+    return {
+        "kind": "audio",
+        "sample_rate": rate,
+        "n_channels": 1,
+        "n_frames": len(samples),
+        "samples": samples[:n_total],
+    }
+
+
+def _decode_frame(payload: bytes, pos: int) -> tuple[list[int], int]:
+    r = _BitReader(payload, pos)
+    if r.read(14) != 0b11111111111110:
+        raise ValueError(f"FLAC frame sync lost at byte {pos}")
+    r.read(1)                       # reserved
+    r.read(1)                       # blocking strategy
+    bs_code = r.read(4)
+    sr_code = r.read(4)
+    ch_code = r.read(4)
+    bps_code = r.read(3)
+    r.read(1)
+    if ch_code != 0:
+        raise NotImplementedError("FLAC subset decoder: mono frames only")
+    if bps_code not in (0b100, 0b000):
+        raise NotImplementedError("FLAC subset decoder: 16-bit only")
+    # frame number: UTF-8 coded
+    first = r.read(8)
+    extra = 0
+    if first >= 0xF0:
+        extra = 3
+    elif first >= 0xE0:
+        extra = 2
+    elif first >= 0xC0:
+        extra = 1
+    for _ in range(extra):
+        r.read(8)
+    if bs_code == 0b0110:
+        blocksize = r.read(8) + 1
+    elif bs_code == 0b0111:
+        blocksize = r.read(16) + 1
+    elif bs_code == 0b0001:
+        blocksize = 192
+    elif 0b0010 <= bs_code <= 0b0101:
+        blocksize = 576 << (bs_code - 2)
+    elif bs_code >= 0b1000:
+        blocksize = 256 << (bs_code - 8)
+    else:
+        raise ValueError(f"reserved blocksize code {bs_code}")
+    if sr_code == 0b1100:
+        r.read(8)
+    elif sr_code in (0b1101, 0b1110):
+        r.read(16)
+    r.read(8)                       # header CRC-8 (verified below)
+    hdr_len = r.byte - pos
+    if _crc8(payload[pos:pos + hdr_len - 1]) != payload[pos + hdr_len - 1]:
+        raise ValueError("FLAC frame header CRC-8 mismatch")
+
+    # one mono subframe
+    if r.read(1) != 0:
+        raise ValueError("FLAC subframe pad bit set")
+    sf_type = r.read(6)
+    wasted = 0
+    if r.read(1):
+        wasted = 1 + r.read_unary()
+    bps = 16 - wasted
+    if sf_type == 0b000000:                         # CONSTANT
+        v = _sign_extend(r.read(bps), bps) << wasted
+        block = [v] * blocksize
+    elif sf_type == 0b000001:                       # VERBATIM
+        block = [(_sign_extend(r.read(bps), bps)) << wasted
+                 for _ in range(blocksize)]
+    elif 0b001000 <= sf_type <= 0b001100:           # FIXED 0..4
+        order = sf_type & 0x07
+        warm = [_sign_extend(r.read(bps), bps) for _ in range(order)]
+        res = _read_rice_residual(r, blocksize, order)
+        block = list(warm)
+        coefs = _FIXED_COEFS[order]
+        for i in range(order, blocksize):
+            pred = sum(c * block[i - 1 - j] for j, c in enumerate(coefs))
+            block.append(pred + res[i - order])
+        if wasted:
+            block = [s << wasted for s in block]
+    elif sf_type >= 0b100000:
+        raise NotImplementedError(
+            "FLAC subset decoder: LPC subframes unsupported "
+            "(fixed predictors only)")
+    else:
+        raise ValueError(f"reserved subframe type {sf_type:#08b}")
+
+    r.align()
+    frame_end = r.byte
+    (crc,) = struct.unpack(">H", payload[frame_end:frame_end + 2])
+    if _crc16(payload[pos:frame_end]) != crc:
+        raise ValueError("FLAC frame CRC-16 mismatch")
+    return block, frame_end + 2
+
+
+def _read_rice_residual(r: _BitReader, blocksize: int,
+                        order: int) -> list[int]:
+    method = r.read(2)
+    if method not in (0, 1):
+        raise ValueError(f"reserved residual method {method}")
+    kbits = 4 if method == 0 else 5
+    escape = (1 << kbits) - 1
+    part_order = r.read(4)
+    nparts = 1 << part_order
+    out: list[int] = []
+    for p in range(nparts):
+        count = (blocksize >> part_order) - (order if p == 0 else 0)
+        k = r.read(kbits)
+        if k == escape:
+            bits = r.read(5)
+            out.extend(_sign_extend(r.read(bits), bits) if bits else 0
+                       for _ in range(count))
+        else:
+            for _ in range(count):
+                u = (r.read_unary() << k) | (r.read(k) if k else 0)
+                out.append(_unzigzag(u))
+    return out
+
+
+def _sign_extend(v: int, bits: int) -> int:
+    if bits and v & (1 << (bits - 1)):
+        return v - (1 << bits)
+    return v

@@ -249,6 +249,22 @@ def decode_media(payload: bytes, media_type: str) -> dict:
             "deployment)"
         )
     if media_type == "audio":
+        if payload[:4] == b"fLaC":
+            from star_schema_etl_airflow_spark.sources.flac import (
+                flac_decode,
+            )
+
+            dec = flac_decode(payload)
+            return {
+                "kind": "audio",
+                "sample_rate": dec["sample_rate"],
+                "n_channels": dec["n_channels"],
+                "sample_width": 2,
+                "n_frames": dec["n_frames"],
+                "frames": b"".join(
+                    struct.pack("<h", s) for s in dec["samples"]
+                ),
+            }
         return _wav_decode(payload)
     if media_type == "video":
         from star_schema_etl_airflow_spark.sources.avi import (
