@@ -586,3 +586,71 @@ FROM documents d,
 
 register(QuerySpec("image_patches", image_patches, IMAGE_PATCHES_ORACLE,
                    tags=("LLM-multimodal",)))
+
+
+# ---------------------------------------------------------------------------
+# flac_decoded: differential coverage of the REAL FLAC codec.  Because
+# FLAC is LOSSLESS, the decoded samples equal the closed-form synthetic
+# signal exactly, so the oracle states the decoded sums in pure SQL —
+# the full encode→decode chain (fixed predictors, Rice coding, CRCs)
+# sits between the formula and the asserted values.
+
+def _flac_kernel(batches):
+    import pandas as pd
+
+    from star_schema_etl_airflow_spark.sources.flac import (
+        flac_decode,
+        flac_encode,
+    )
+
+    for pdf in batches:
+        rows = []
+        for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+            doc_id, n_chars = int(doc_id), int(n_chars)
+            n = min(max(n_chars, 1), MAX_WAV_SAMPLES)
+            samples = [
+                ((doc_id * 31 + i * 7) % 4096) - 2048 for i in range(n)
+            ]
+            dec = flac_decode(flac_encode(samples, WAV_RATE))
+            vals = dec["samples"]
+            rows.append((
+                doc_id, len(vals), sum(vals),
+                max(abs(v) for v in vals), dec["sample_rate"],
+            ))
+        yield pd.DataFrame(rows, columns=[
+            "media_id", "n_units", "value_sum", "value_max", "rate",
+        ])
+
+
+def flac_decoded(spark, sf_dir):
+    from pyspark.sql import types as T
+
+    from star_schema_etl_airflow_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_units", T.LongType()),
+        T.StructField("value_sum", T.LongType()),
+        T.StructField("value_max", T.IntegerType()),
+        T.StructField("rate", T.IntegerType()),
+    ])
+    return docs.mapInPandas(_flac_kernel, schema=schema)
+
+
+FLAC_DECODED_ORACLE = f"""
+SELECT doc_id AS media_id,
+       LEAST(GREATEST(n_chars, 1), {MAX_WAV_SAMPLES}) AS n_units,
+       CAST(list_sum(list_transform(
+         range(0, CAST(LEAST(GREATEST(n_chars, 1), {MAX_WAV_SAMPLES}) AS BIGINT)),
+         i -> ((doc_id * 31 + i * 7) % 4096) - 2048)) AS BIGINT) AS value_sum,
+       CAST(list_max(list_transform(
+         range(0, CAST(LEAST(GREATEST(n_chars, 1), {MAX_WAV_SAMPLES}) AS BIGINT)),
+         i -> abs(((doc_id * 31 + i * 7) % 4096) - 2048))) AS INTEGER)
+         AS value_max,
+       {WAV_RATE} AS rate
+FROM documents
+"""
+
+register(QuerySpec("flac_decoded", flac_decoded, FLAC_DECODED_ORACLE,
+                   tags=("LLM-multimodal",)))
