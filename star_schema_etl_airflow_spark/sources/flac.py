@@ -13,10 +13,11 @@ round-trippable — decode(encode(x)) == x exactly, the same test
 discipline as the PNG/GIF codecs.
 
 Subset bounds (explicit, never silent): 16-bit mono, one Rice
-partition per subframe, fixed predictors only on encode; decode
-additionally accepts CONSTANT and VERBATIM subframes and raises
-``NotImplementedError`` for LPC subframes, other bit depths, and
-stereo decorrelation modes.
+partition per subframe and fixed predictors only on ENCODE; DECODE
+accepts the full mono/16-bit frame surface — CONSTANT, VERBATIM,
+FIXED 0-4, and quantized-LPC subframes (any order/precision/shift)
+with multi-partition Rice residuals — and raises
+``NotImplementedError`` for other bit depths and stereo modes.
 
 Scale shape: one payload per cell, decoded inside Arrow-batched
 ``mapInPandas`` like every other codec (see ``decode_stats``) — no
@@ -342,10 +343,25 @@ def _decode_frame(payload: bytes, pos: int) -> tuple[list[int], int]:
             block.append(pred + res[i - order])
         if wasted:
             block = [s << wasted for s in block]
-    elif sf_type >= 0b100000:
-        raise NotImplementedError(
-            "FLAC subset decoder: LPC subframes unsupported "
-            "(fixed predictors only)")
+    elif sf_type >= 0b100000:                       # LPC, order 1..32
+        order = (sf_type & 0x1F) + 1
+        warm = [_sign_extend(r.read(bps), bps) for _ in range(order)]
+        precision = r.read(4) + 1
+        if precision == 16:
+            raise ValueError("invalid LPC coefficient precision code 1111")
+        shift = _sign_extend(r.read(5), 5)
+        if shift < 0:
+            raise ValueError("negative LPC shift is forbidden")
+        coefs = [_sign_extend(r.read(precision), precision)
+                 for _ in range(order)]
+        res = _read_rice_residual(r, blocksize, order)
+        block = list(warm)
+        for i in range(order, blocksize):
+            pred = sum(c * block[i - 1 - j]
+                       for j, c in enumerate(coefs)) >> shift
+            block.append(pred + res[i - order])
+        if wasted:
+            block = [s << wasted for s in block]
     else:
         raise ValueError(f"reserved subframe type {sf_type:#08b}")
 
