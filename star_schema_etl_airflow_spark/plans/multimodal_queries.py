@@ -654,3 +654,81 @@ FROM documents
 
 register(QuerySpec("flac_decoded", flac_decoded, FLAC_DECODED_ORACLE,
                    tags=("LLM-multimodal",)))
+
+
+# ---------------------------------------------------------------------------
+# adpcm_decoded: differential coverage of the lossy IMA ADPCM codec.
+# Exact oracle surface: sample count, rate, and the BLOCK-ANCHOR sum —
+# each 505-sample block's first sample travels verbatim in the block
+# header, so those decoded values equal the closed-form signal exactly
+# even though everything between them is 4-bit lossy.  The lossy
+# envelope itself collapses to a pinned boolean: on this signal family
+# (slope +7 with one ±4096 wrap every ~586 samples) at most 7 samples
+# per document deviate by >512 (the post-wrap step-adaptation recovery,
+# measured across all SFs), asserted with 4x headroom.
+
+ADPCM_RATE = 8000
+ADPCM_MAX_SAMPLES = 1300      # spans 3 blocks of 505
+ADPCM_BLOCK = 505
+ADPCM_BIG_ERR = 512
+ADPCM_BIG_ERR_BOUND = 30
+
+
+def _adpcm_kernel(batches):
+    import pandas as pd
+
+    from star_schema_etl_airflow_spark.sources.adpcm import (
+        ima_adpcm_decode,
+        ima_adpcm_encode,
+    )
+
+    for pdf in batches:
+        rows = []
+        for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+            doc_id, n_chars = int(doc_id), int(n_chars)
+            n = min(max(n_chars, 1), ADPCM_MAX_SAMPLES)
+            s = [((doc_id * 31 + i * 7) % 4096) - 2048 for i in range(n)]
+            dec = ima_adpcm_decode(ima_adpcm_encode(s, ADPCM_RATE))
+            d = dec["samples"]
+            anchors = sum(d[k] for k in range(0, n, ADPCM_BLOCK))
+            nbig = sum(1 for a, b in zip(s, d) if abs(a - b) > ADPCM_BIG_ERR)
+            rows.append((
+                doc_id, len(d), dec["sample_rate"], anchors,
+                bool(nbig <= ADPCM_BIG_ERR_BOUND),
+            ))
+        yield pd.DataFrame(rows, columns=[
+            "media_id", "n_units", "rate", "anchor_sum", "envelope_ok",
+        ])
+
+
+def adpcm_decoded(spark, sf_dir):
+    from pyspark.sql import types as T
+
+    from star_schema_etl_airflow_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_units", T.LongType()),
+        T.StructField("rate", T.IntegerType()),
+        T.StructField("anchor_sum", T.LongType()),
+        T.StructField("envelope_ok", T.BooleanType()),
+    ])
+    return docs.mapInPandas(_adpcm_kernel, schema=schema)
+
+
+ADPCM_DECODED_ORACLE = f"""
+SELECT doc_id AS media_id,
+       LEAST(GREATEST(n_chars, 1), {ADPCM_MAX_SAMPLES}) AS n_units,
+       {ADPCM_RATE} AS rate,
+       CAST(list_sum(list_transform(
+         range(0, (LEAST(GREATEST(n_chars, 1), {ADPCM_MAX_SAMPLES})
+                   + {ADPCM_BLOCK} - 1) // {ADPCM_BLOCK}),
+         k -> ((doc_id * 31 + k * {ADPCM_BLOCK} * 7) % 4096) - 2048))
+         AS BIGINT) AS anchor_sum,
+       TRUE AS envelope_ok
+FROM documents
+"""
+
+register(QuerySpec("adpcm_decoded", adpcm_decoded, ADPCM_DECODED_ORACLE,
+                   tags=("LLM-multimodal",)))
