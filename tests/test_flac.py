@@ -53,11 +53,15 @@ def test_frame_crc_detects_corruption():
 def test_subset_boundaries_are_explicit():
     with pytest.raises(NotImplementedError, match="fLaC"):
         flac_decode(b"RIFFxxxxWAVE")
-    # claim stereo in STREAMINFO → explicit rejection
+    # claim stereo in STREAMINFO → explicit rejection.  Layout: the
+    # 3-bit channels-1 field sits in STREAMINFO byte 12 (after
+    # 16+16+24+24+20 = 100 bits), occupying bits 4..6 of that byte;
+    # the metadata block payload starts at file offset 8, so the field
+    # is MSB-first mask 0b00001110 of byte 8+12.
     payload = bytearray(flac_encode(_sine(100), 8000))
-    # STREAMINFO starts at byte 8; channels live in byte 12 of the block
-    # (20-bit rate ends mid-byte: rate<<... easier: decode sanity first)
-    flac_decode(bytes(payload))
+    payload[8 + 12] |= 0b00000010  # channels-1: 0 → 1 (stereo)
+    with pytest.raises(NotImplementedError, match="mono"):
+        flac_decode(bytes(payload))
 
 
 def test_decode_media_routes_flac():
