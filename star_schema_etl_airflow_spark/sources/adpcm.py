@@ -114,7 +114,17 @@ def ima_adpcm_encode(samples: list[int], rate: int,
 def ima_adpcm_decode(payload: bytes) -> dict:
     """IMA-ADPCM WAV → ``{"kind": "audio", "sample_rate", "n_channels",
     "n_frames", "samples": [int16, ...]}`` (mono only — the synthesized
-    pipeline shape; stereo interleaving raises explicitly)."""
+    pipeline shape; stereo interleaving raises explicitly).  Truncated
+    or corrupt payloads raise ``ValueError``, never a bare
+    ``struct.error``/``IndexError`` (the decode_err row contract)."""
+    try:
+        return _ima_adpcm_decode(payload)
+    except (IndexError, struct.error) as exc:
+        raise ValueError(
+            f"truncated or corrupt ADPCM payload: {exc}") from exc
+
+
+def _ima_adpcm_decode(payload: bytes) -> dict:
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos, end = 12, 8 + struct.unpack("<I", payload[4:8])[0]

@@ -230,9 +230,20 @@ def _encode_frame(block: list[int], fi: int, rate: int) -> bytes:
 
 def flac_decode(payload: bytes) -> dict:
     """FLAC → ``{"kind": "audio", "sample_rate", "n_channels",
-    "n_frames", "samples"}``.  Subset decoder: 16-bit mono,
-    CONSTANT/VERBATIM/FIXED subframes, Rice partitions of any order;
-    LPC subframes raise ``NotImplementedError``."""
+    "n_frames", "samples"}``.  Subset decoder: 16-bit mono —
+    CONSTANT, VERBATIM, FIXED 0-4, and quantized-LPC subframes (any
+    order/precision/shift) with multi-partition Rice residuals.
+    Other bit depths / stereo raise
+    ``NotImplementedError``; truncated or corrupt payloads raise
+    ``ValueError`` (the decode_err row contract — a low-level
+    ``IndexError``/``struct.error`` must never escape into a job)."""
+    try:
+        return _flac_decode(payload)
+    except (IndexError, struct.error) as exc:
+        raise ValueError(f"truncated or corrupt FLAC payload: {exc}") from exc
+
+
+def _flac_decode(payload: bytes) -> dict:
     if payload[:4] != FLAC_MARKER:
         raise NotImplementedError("not a FLAC payload (missing fLaC)")
     pos = 4

@@ -192,8 +192,9 @@ def _wav_decode(payload: bytes) -> dict:
                 "n_frames": w.getnframes(),
                 "frames": frames,
             }
-    except wave.Error as exc:
-        # stdlib wave is PCM-only; route compressed WAVE through the
+    except (wave.Error, EOFError) as exc:
+        # stdlib wave is PCM-only (and raises bare EOFError on payloads
+        # truncated mid-header); route compressed WAVE through the
         # pure-Python IMA ADPCM decoder before declaring defeat
         from star_schema_etl_airflow_spark.sources.adpcm import (
             ima_adpcm_decode,
@@ -392,14 +393,25 @@ def frame_sample(media: DataFrame, n_frames: int = 4) -> DataFrame:
             for media_id, payload in zip(vids["media_id"], vids["payload"]):
                 payload = bytes(payload)
                 if is_avi(payload):
-                    total = avi_decode(payload, frame_indices=[])["n_frames"]
-                    take = min(n_frames, total)
-                    for i in range(take):
-                        fi = (i * total) // take
-                        out.append(
-                            (media_id, i, avi_frame_bytes(payload, fi))
+                    # a truncated container can pass is_avi yet fail the
+                    # chunk walk; one corrupt clip must not kill the
+                    # sampling job — fall through to the byte-slice
+                    # stand-in instead (FRAME_SCHEMA has no error column)
+                    try:
+                        total = avi_decode(
+                            payload, frame_indices=[])["n_frames"]
+                        take = min(n_frames, total)
+                        frames = [
+                            avi_frame_bytes(payload, (i * total) // take)
+                            for i in range(take)
+                        ]
+                    except (ValueError, NotImplementedError):
+                        frames = None
+                    if frames is not None:
+                        out.extend(
+                            (media_id, i, fb) for i, fb in enumerate(frames)
                         )
-                    continue
+                        continue
                 step = max(1, len(payload) // n_frames)
                 for i in range(n_frames):
                     chunk = payload[i * step:(i + 1) * step]

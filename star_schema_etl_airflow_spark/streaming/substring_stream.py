@@ -19,8 +19,10 @@ Design notes (same architecture as ``streaming/dedup_stream.py``):
   incremental semantic.
 - Idempotence across redelivery: a replayed batch's content re-probes
   the (now-updated) index, so its spans excise fully and the min-id
-  canonical rule keeps appends deterministic; exactly-once of the
-  append itself comes from the streaming checkpoint.
+  canonical rule keeps appends deterministic; documents shorter than
+  n tokens carry zero grams, so they are additionally guarded by a
+  doc_id anti-join against the corpus; exactly-once of the append
+  itself comes from the streaming checkpoint.
 """
 
 from __future__ import annotations
@@ -143,6 +145,17 @@ def run_substring_stream(
         # to nothing — so replays append nothing, keeping the corpus
         # idempotent across delivery faults
         cleaned = cleaned.filter(F.col("kept_tokens") > 0)
+        # gram-based replay protection has a hole: a document shorter
+        # than n tokens carries ZERO grams, so a redelivered batch
+        # re-probes nothing and would append it twice.  Close it with a
+        # doc_id anti-join against the corpus — a column-pruned scan of
+        # one long column (bucketed by doc_id at rest, so the probe
+        # co-locates), same at-rest probe shape as the gram index below.
+        if _target_exists(corpus_path, spark):
+            cleaned = cleaned.join(
+                spark.read.parquet(corpus_path).select("doc_id"),
+                "doc_id", "left_anti",
+            )
         cleaned.write.mode("append").parquet(corpus_path)
         new_grams = cleaned.select(
             F.explode(

@@ -71,3 +71,38 @@ def test_unsupported_stays_explicit():
         ima_adpcm_decode(bytes(payload))
     with pytest.raises(ValueError, match="multiple of 8"):
         ima_adpcm_encode(_sine(100), 8000, samples_per_block=10)
+
+
+def test_truncated_payload_is_valueerror_not_structerror():
+    """ADVICE r6: corrupt ADPCM payloads must raise ValueError (the
+    decode_err row contract), never a bare struct.error/IndexError."""
+    import math
+    import pytest
+
+    from star_schema_etl_airflow_spark.sources.adpcm import (
+        ima_adpcm_decode,
+        ima_adpcm_encode,
+    )
+
+    samples = [int(8000 * math.sin(i / 10)) for i in range(1000)]
+    good = ima_adpcm_encode(samples, 8000)
+    # cut inside the fmt chunk: struct.unpack of fmt[:16] underflows
+    with pytest.raises((ValueError, NotImplementedError)):
+        ima_adpcm_decode(good[:24])
+    with pytest.raises((ValueError, NotImplementedError)):
+        ima_adpcm_decode(good[:40])
+
+
+def test_wav_route_truncated_header_is_contract_error():
+    """A WAV truncated mid-header makes stdlib wave raise bare EOFError;
+    _wav_decode must convert it to the NotImplementedError/ValueError
+    contract so decode_stats records an error row."""
+    import struct
+
+    import pytest
+
+    from star_schema_etl_airflow_spark.sources.multimodal import decode_media
+
+    truncated = b"RIFF" + struct.pack("<I", 100) + b"WAVE" + b"fmt "
+    with pytest.raises((NotImplementedError, ValueError)):
+        decode_media(truncated, "audio")

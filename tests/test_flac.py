@@ -154,3 +154,18 @@ def test_lpc_high_order_and_rice_partitions():
     payload = _lpc_frame(samples, order=8, precision=10, shift=6,
                          coefs=[63, -21, 14, -9, 5, -3, 2, -1])
     assert flac_decode(payload)["samples"] == samples
+
+
+def test_truncated_payload_is_valueerror_not_indexerror():
+    """The decode_err row contract (ADVICE r6): corrupt/truncated
+    payloads must surface as ValueError — decode_stats only catches
+    (NotImplementedError, ValueError), so a bare IndexError would fail
+    the whole 100 TB job instead of becoming an error row."""
+    good = flac_encode(_sine(5000), 8000)
+    # truncate mid-frame (well past STREAMINFO, inside frame 0's body)
+    for cut in (60, len(good) // 2, len(good) - 3):
+        with pytest.raises((ValueError, NotImplementedError)):
+            flac_decode(good[:cut])
+    # truncated metadata header (payload ends inside the block walk)
+    with pytest.raises((ValueError, NotImplementedError)):
+        flac_decode(b"fLaC\x80")

@@ -301,3 +301,25 @@ def test_patchify_tiles_and_partial_edge_drop():
     want = a[4:8, 8:12, :]
     got = np.frombuffer(tiles[5][2], dtype=np.uint8).reshape(4, 4, 3)
     assert np.array_equal(want, got)
+
+
+def test_frame_sample_corrupt_avi_falls_back(spark):
+    """ADVICE r6: a payload that passes is_avi but fails the container
+    walk must not kill the sampling job — it falls back to the
+    byte-slice stand-in (FRAME_SCHEMA has no error column to absorb a
+    raise)."""
+    import struct
+
+    from star_schema_etl_airflow_spark.sources.multimodal import frame_sample
+
+    corrupt = (b"RIFF" + struct.pack("<I", 2000) + b"AVI "
+               + b"\x00" * 400)  # is_avi passes; walk finds no movi
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(corrupt))],
+        "media_id long, media_type string, payload binary",
+    )
+    rows = frame_sample(media, n_frames=4).collect()
+    assert len(rows) == 4                       # byte-slice stand-in rows
+    got = b"".join(bytes(r.frame) for r in sorted(
+        rows, key=lambda r: r.frame_idx))
+    assert corrupt.startswith(got) and len(got) > 0

@@ -113,3 +113,32 @@ def test_redelivered_batch_excises_to_nothing(spark, tmp_path):
         F.col("kept_tokens") > 0
     )
     assert surv.count() == 0
+
+
+def test_short_doc_replay_does_not_duplicate(spark, tmp_path):
+    """ADVICE r6: a document shorter than n tokens carries zero grams,
+    so gram-probing alone cannot protect a redelivered batch — the
+    doc_id anti-join must keep the corpus duplicate-free."""
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    rows = [(10, "tiny doc"), (11, _words("z", 8))]   # 2 tokens < n=4
+    staging = str(tmp_path / "stage_short")
+    spark.createDataFrame(rows, SRC_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(staging)
+    part = next(f for f in os.listdir(staging)
+                if f.startswith("part-") and f.endswith(".parquet"))
+    import shutil
+
+    # deliver the SAME file twice (two distinct micro-batches)
+    shutil.copy(os.path.join(staging, part),
+                os.path.join(landing, "batch_0.parquet"))
+    shutil.copy(os.path.join(staging, part),
+                os.path.join(landing, "batch_0_redelivered.parquet"))
+
+    final = run_substring_stream(
+        spark, landing, str(tmp_path / "corpus"),
+        str(tmp_path / "grams"), SRC_SCHEMA, n=N,
+    )
+    got = [(r["doc_id"], r["clean_text"]) for r in final.collect()]
+    assert sorted(got) == [(10, "tiny doc"), (11, _words("z", 8))]
