@@ -12,13 +12,27 @@ average NLL divides two POSITIVE ints (micro-NLL sum / bigram count),
 where floor and truncate agree, so DuckDB's ``//`` and Spark's ``div``
 cannot disagree on negatives.
 
-Scale shape: training is one bigram-keyed shuffle with map-side
-partials (the model is realized-bigrams-sized, like NB's token grid);
-scoring joins the corpus bigrams back on the same key; the doc rollup
-groups on doc_id.  The gate is a map-side filter against a constant
-threshold — at production scale the threshold comes from the two-pass
-percentile sketch (``plans/llm_text.quality_gate_approx``), exactly as
-CCNet buckets by perplexity tercile.
+Scale shape — ONE corpus scan, not four (the round-6 plan paid the
+tokenize+explode 4×; see VERDICT r6 "What's wrong" #1):
+
+- The corpus is tokenized ONCE into a persisted bigram relation
+  (``plans/bm25.py`` persists its ``tf`` the same way; default
+  MEMORY_AND_DISK, so at 100 TB the tail spills instead of OOMing and
+  a spilled read is still far cheaper than re-tokenizing the corpus).
+- Each document contributes its bigrams PLUS one sentinel row carrying
+  the final token as ``w1`` with NULL ``w2``.  Every token of every
+  document therefore appears exactly once as a ``w1`` (tokens 0..n-2
+  as bigram heads, token n-1 as the sentinel), so the vocabulary size
+  V = countDistinct(w1) over the SAME relation — no second tokenize
+  pass, and provably the same V as a token explode.
+- ``c1`` (bigram-head counts) is derived as the w2-marginal of ``c2``:
+  ``c1(w1) = Σ_w2 c2(w1, w2)`` — an identity, so no third pass.
+- Scoring joins the persisted bigrams back to the model on the same
+  (w1, w2) key; the doc rollup groups on doc_id.  The gate is a
+  map-side filter against a constant threshold — at production scale
+  the threshold comes from the two-pass percentile sketch
+  (``plans/llm_text.quality_gate_approx``), exactly as CCNet buckets
+  by perplexity tercile.
 """
 
 from __future__ import annotations
@@ -55,23 +69,58 @@ _BIGRAMS_D = (
 )
 
 
-def _doc_bigrams(docs: DataFrame) -> DataFrame:
+# bigrams + ONE sentinel row per non-empty doc: the final token as w1
+# with NULL w2.  Tokens 0..n-2 head a bigram; token n-1 heads only the
+# sentinel — so distinct(w1) over this relation IS the full vocabulary,
+# and filtering w2 IS NOT NULL recovers exactly the bigram set.
+#
+# Built with zip_with over two slices, NOT transform+element_at: an
+# element_at(split(text), i) inside a lambda re-splits the text per
+# element (O(n²) per document — measured 8 s to materialize 270k rows
+# at sf0.1), while slice/zip_with evaluate the token array O(n).
+_SENTINEL = (
+    f"array(named_struct('w1', element_at({_TOKS_S}, -1), "
+    f"'w2', cast(null as string)))"
+)
+_BIGRAMS_SENTINEL_S = (
+    f"case when size({_TOKS_S}) < 1 then array() "
+    f"when size({_TOKS_S}) < 2 then {_SENTINEL} "
+    f"else concat("
+    f"zip_with(slice({_TOKS_S}, 1, size({_TOKS_S}) - 1), "
+    f"slice({_TOKS_S}, 2, size({_TOKS_S}) - 1), "
+    f"(a, b) -> named_struct('w1', a, 'w2', b)), "
+    f"{_SENTINEL}) end"
+)
+
+
+def _doc_bigrams_with_sentinel(docs: DataFrame) -> DataFrame:
     return docs.select(
-        "doc_id", F.explode(F.expr(_BIGRAMS_S)).alias("bg")
+        "doc_id", F.explode(F.expr(_BIGRAMS_SENTINEL_S)).alias("bg")
     ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
 
 
 def ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n_bigrams, nll_sum_micro, avg_nll_micro): add-one
-    bigram NLL of every document under the corpus-trained model."""
+    bigram NLL of every document under the corpus-trained model.
+
+    One corpus scan: the sentinel-extended bigram relation is persisted
+    and feeds c2 (→ c1 as its w2-marginal), V, and the scoring join —
+    see the module docstring for the identity arguments."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    bg = _doc_bigrams(docs)
+    # the fixture is one parquet file → 1 scan partition, serializing
+    # the (compute-heavy) tokenize+explode; spread it over every core
+    # first (llm_dedup/dsir precedent).  At corpus scale the input
+    # arrives in many splits and this repartition is dropped.
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    # tokenize+explode once; both the training aggregates and the
+    # scoring join read the cache (bm25's persisted-tf precedent)
+    bg_all = _doc_bigrams_with_sentinel(docs).persist()
+    bg = bg_all.filter(F.col("w2").isNotNull())
     c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
-    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
-    vocab = (
-        docs.select(F.explode(F.expr(_TOKS_S)).alias("tok"))
-        .agg(F.countDistinct("tok").alias("v"))
-    )
+    # c1(w1) = Σ_w2 c2(w1, w2): the marginal identity — no corpus touch
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    # every token appears exactly once as a w1 (incl. the sentinel row)
+    vocab = bg_all.agg(F.countDistinct("w1").alias("v"))
     model = (
         c2.join(c1, "w1")
         .crossJoin(F.broadcast(vocab))

@@ -72,6 +72,45 @@ EXTRA = [
 ]
 
 
+def runtime_parquet_scans(plan: str) -> int:
+    """Parquet scans that actually execute, counting each persisted
+    subtree ONCE: the printed tree re-inlines an ``InMemoryRelation``'s
+    child plan at every consumer, but at runtime the cache materializes
+    a single time — so a naive ``count("Scan parquet")`` over-states
+    cached plans (this is exactly how the r6 ngram_lm 4-scan plan and
+    its 1-scan fix would print the same without this dedup)."""
+    lines = plan.splitlines()
+    outside = 0
+    caches: dict[str, int] = {}
+    i = 0
+    while i < len(lines):
+        line = lines[i]
+        ind = re.match(r"^[\s:+\-]*", line).end()
+        if "InMemoryRelation" in line:
+            j = i + 1
+            sub: list[str] = []
+            while j < len(lines):
+                ind2 = re.match(r"^[\s:+\-]*", lines[j]).end()
+                if ind2 <= ind:
+                    break
+                # normalize away the tree-drawing prefix (depth-varying)
+                # and expression ids so the same cache keys equal
+                sub.append(re.sub(
+                    r"#\d+", "#",
+                    re.sub(r"^[\s:+\-]+", "", lines[j]),
+                ))
+                j += 1
+            caches["\n".join(sub)] = sum(
+                1 for l in sub if "Scan parquet" in l
+            )
+            i = j
+            continue
+        if "Scan parquet" in line:
+            outside += 1
+        i += 1
+    return outside + sum(caches.values())
+
+
 def summarize(plan: str) -> str:
     shuffles = len(re.findall(
         r"Exchange (?:hashpartitioning|rangepartitioning|SinglePartition)", plan
@@ -85,9 +124,10 @@ def summarize(plan: str) -> str:
         if n:
             joins[j] = n
     pushed = len(re.findall(r"PushedFilters: \[[^\]]", plan))
+    runtime = runtime_parquet_scans(plan)
     # executed plans tag whole-stage-codegen spans as "*(n) Operator"
     codegen = len(set(re.findall(r"\*\((\d+)\)", plan)))
-    parts = [f"{shuffles} shuffle(s)"]
+    parts = [f"{shuffles} shuffle(s)", f"{runtime} runtime parquet scan(s)"]
     if joins:
         parts.append(", ".join(f"{k}×{v}" for k, v in sorted(joins.items())))
     if pushed:
