@@ -595,6 +595,9 @@ register(QuerySpec("image_patches", image_patches, IMAGE_PATCHES_ORACLE,
 # the full encode→decode chain (fixed predictors, Rice coding, CRCs)
 # sits between the formula and the asserted values.
 
+_STEREO_MODES = ["independent", "left_side", "right_side", "mid_side"]
+
+
 def _flac_kernel(batches):
     import pandas as pd
 
@@ -608,17 +611,34 @@ def _flac_kernel(batches):
         for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
             doc_id, n_chars = int(doc_id), int(n_chars)
             n = min(max(n_chars, 1), MAX_WAV_SAMPLES)
-            samples = [
+            left = [
                 ((doc_id * 31 + i * 7) % 4096) - 2048 for i in range(n)
             ]
-            dec = flac_decode(flac_encode(samples, WAV_RATE))
+            dec = flac_decode(flac_encode(left, WAV_RATE))
             vals = dec["samples"]
             rows.append((
-                doc_id, len(vals), sum(vals),
+                doc_id, "mono", len(vals), sum(vals),
                 max(abs(v) for v in vals), dec["sample_rate"],
             ))
+            # stereo row family: an independent right channel, layout
+            # cycling through all four RFC 9639 channel assignments by
+            # doc_id — losslessness makes the oracle layout-blind, so
+            # every layout is differentially proven at every sf
+            mode = _STEREO_MODES[doc_id % 4]
+            right = [
+                ((doc_id * 17 + i * 5) % 4096) - 2048 for i in range(n)
+            ]
+            inter = [v for pair in zip(left, right) for v in pair]
+            dec2 = flac_decode(flac_encode(
+                inter, WAV_RATE, channels=2, stereo_mode=mode))
+            vals2 = dec2["samples"]
+            assert dec2["n_channels"] == 2
+            rows.append((
+                doc_id, "stereo_" + mode, len(vals2), sum(vals2),
+                max(abs(v) for v in vals2), dec2["sample_rate"],
+            ))
         yield pd.DataFrame(rows, columns=[
-            "media_id", "n_units", "value_sum", "value_max", "rate",
+            "media_id", "mode", "n_units", "value_sum", "value_max", "rate",
         ])
 
 
@@ -630,6 +650,7 @@ def flac_decoded(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     schema = T.StructType([
         T.StructField("media_id", T.LongType()),
+        T.StructField("mode", T.StringType()),
         T.StructField("n_units", T.LongType()),
         T.StructField("value_sum", T.LongType()),
         T.StructField("value_max", T.IntegerType()),
@@ -638,16 +659,32 @@ def flac_decoded(spark, sf_dir):
     return docs.mapInPandas(_flac_kernel, schema=schema)
 
 
+_FLAC_N = f"CAST(LEAST(GREATEST(n_chars, 1), {MAX_WAV_SAMPLES}) AS BIGINT)"
+_FLAC_L = "((doc_id * 31 + i * 7) % 4096) - 2048"
+_FLAC_R = "((doc_id * 17 + i * 5) % 4096) - 2048"
+
 FLAC_DECODED_ORACLE = f"""
 SELECT doc_id AS media_id,
-       LEAST(GREATEST(n_chars, 1), {MAX_WAV_SAMPLES}) AS n_units,
-       CAST(list_sum(list_transform(
-         range(0, CAST(LEAST(GREATEST(n_chars, 1), {MAX_WAV_SAMPLES}) AS BIGINT)),
-         i -> ((doc_id * 31 + i * 7) % 4096) - 2048)) AS BIGINT) AS value_sum,
-       CAST(list_max(list_transform(
-         range(0, CAST(LEAST(GREATEST(n_chars, 1), {MAX_WAV_SAMPLES}) AS BIGINT)),
-         i -> abs(((doc_id * 31 + i * 7) % 4096) - 2048))) AS INTEGER)
-         AS value_max,
+       'mono' AS mode,
+       {_FLAC_N} AS n_units,
+       CAST(list_sum(list_transform(range(0, {_FLAC_N}),
+         i -> {_FLAC_L})) AS BIGINT) AS value_sum,
+       CAST(list_max(list_transform(range(0, {_FLAC_N}),
+         i -> abs({_FLAC_L}))) AS INTEGER) AS value_max,
+       {WAV_RATE} AS rate
+FROM documents
+UNION ALL
+SELECT doc_id AS media_id,
+       'stereo_' || (['independent', 'left_side', 'right_side',
+                      'mid_side'])[(doc_id % 4) + 1] AS mode,
+       2 * {_FLAC_N} AS n_units,
+       CAST(list_sum(list_transform(range(0, {_FLAC_N}), i -> {_FLAC_L}))
+          + list_sum(list_transform(range(0, {_FLAC_N}), i -> {_FLAC_R}))
+          AS BIGINT) AS value_sum,
+       CAST(GREATEST(
+         list_max(list_transform(range(0, {_FLAC_N}), i -> abs({_FLAC_L}))),
+         list_max(list_transform(range(0, {_FLAC_N}), i -> abs({_FLAC_R})))
+       ) AS INTEGER) AS value_max,
        {WAV_RATE} AS rate
 FROM documents
 """

@@ -12,12 +12,14 @@ That makes a spec-faithful subset implementable AND losslessly
 round-trippable — decode(encode(x)) == x exactly, the same test
 discipline as the PNG/GIF codecs.
 
-Subset bounds (explicit, never silent): 16-bit mono, one Rice
-partition per subframe and fixed predictors only on ENCODE; DECODE
-accepts the full mono/16-bit frame surface — CONSTANT, VERBATIM,
-FIXED 0-4, and quantized-LPC subframes (any order/precision/shift)
-with multi-partition Rice residuals — and raises
-``NotImplementedError`` for other bit depths and stereo modes.
+Subset bounds (explicit, never silent): 16-bit mono/stereo, one Rice
+partition per subframe and fixed predictors only on ENCODE (stereo in
+any of the four channel layouts — independent, left/side, right/side,
+mid/side — all exactly invertible in integers); DECODE accepts the
+full mono/stereo 16-bit frame surface — CONSTANT, VERBATIM, FIXED
+0-4, and quantized-LPC subframes (any order/precision/shift) with
+multi-partition Rice residuals, side channels at 17 bits — and raises
+``NotImplementedError`` for other bit depths and channel counts.
 
 Scale shape: one payload per cell, decoded inside Arrow-batched
 ``mapInPandas`` like every other codec (see ``decode_stats``) — no
@@ -151,10 +153,34 @@ def _best_rice_k(res: list[int]) -> int:
 # --- encoder ----------------------------------------------------------------
 
 
-def flac_encode(samples: list[int], rate: int) -> bytes:
-    """16-bit mono PCM → FLAC (subset: fixed predictors, one Rice
-    partition, blocksize 4096)."""
-    n = len(samples)
+# frame-header channel-assignment codes (RFC 9639 §9.1.3): in stereo
+# decorrelation modes the SIDE channel (the L−R difference) carries one
+# extra bit; in right/side the side channel is stored FIRST.
+_STEREO_CODES = {
+    "independent": 0b0001,
+    "left_side": 0b1000,
+    "right_side": 0b1001,
+    "mid_side": 0b1010,
+}
+
+
+def flac_encode(samples: list[int], rate: int, channels: int = 1,
+                stereo_mode: str = "left_side") -> bytes:
+    """16-bit PCM → FLAC (subset: fixed predictors, one Rice partition,
+    blocksize 4096).  ``channels=2`` takes interleaved L R L R samples
+    and encodes every frame in ``stereo_mode`` — one of "independent",
+    "left_side", "right_side", "mid_side" (RFC 9639 §9.1.3); the three
+    decorrelated modes are exactly invertible in integers, so stereo
+    round-trips stay lossless."""
+    if channels not in (1, 2):
+        raise ValueError(f"flac_encode supports 1 or 2 channels, "
+                         f"got {channels}")
+    if channels == 2 and stereo_mode not in _STEREO_CODES:
+        raise ValueError(f"unknown stereo_mode {stereo_mode!r}")
+    if len(samples) % channels:
+        raise ValueError("interleaved sample count not divisible by "
+                         "channel count")
+    n = len(samples) // channels
     out = bytearray(FLAC_MARKER)
     # STREAMINFO (34 bytes), marked last metadata block
     si = _BitWriter()
@@ -163,15 +189,15 @@ def flac_encode(samples: list[int], rate: int) -> bytes:
     si.write(0, 24)                 # min framesize (unknown)
     si.write(0, 24)                 # max framesize (unknown)
     si.write(rate, 20)
-    si.write(0, 3)                  # channels - 1 (mono)
+    si.write(channels - 1, 3)
     si.write(15, 5)                 # bits per sample - 1 (16)
-    si.write(n, 36)
+    si.write(n, 36)                 # inter-channel sample count
     info = si.bytes() + b"\x00" * 16  # null MD5 (unset, legal)
     out += bytes([0x80]) + len(info).to_bytes(3, "big") + info
 
     for fi, start in enumerate(range(0, n, _BLOCK)):
-        block = samples[start:start + _BLOCK]
-        out += _encode_frame(block, fi, rate)
+        block = samples[start * channels:(start + _BLOCK) * channels]
+        out += _encode_frame(block, fi, rate, channels, stereo_mode)
     return bytes(out)
 
 
@@ -185,32 +211,39 @@ def _utf8_frame_number(fi: int) -> bytes:
                   0x80 | (fi & 0x3F)])
 
 
-def _encode_frame(block: list[int], fi: int, rate: int) -> bytes:
-    hdr = _BitWriter()
-    hdr.write(0b11111111111110, 14)  # sync
-    hdr.write(0, 1)                  # reserved
-    hdr.write(0, 1)                  # fixed-blocksize stream
-    hdr.write(0b0111, 4)             # blocksize: 16-bit at end of header
-    hdr.write(0b0000, 4)             # sample rate: from STREAMINFO
-    hdr.write(0b0000, 4)             # channels: mono
-    hdr.write(0b100, 3)              # sample size: 16
-    hdr.write(0, 1)                  # reserved
-    head = hdr.bytes() + _utf8_frame_number(fi) \
-        + struct.pack(">H", len(block) - 1)
-    head += bytes([_crc8(head)])
+def _stored_channels(block: list[int], channels: int,
+                     stereo_mode: str) -> list[tuple[list[int], int]]:
+    """The (samples, bits-per-sample) per stored subframe.  Stereo
+    decorrelation per RFC 9639 §9.1.3: side = L − R needs 17 bits;
+    mid = (L + R) >> 1 floors, and the lost low bit is recovered from
+    side's parity on decode (L + R and L − R share parity)."""
+    if channels == 1:
+        return [(block, 16)]
+    left, right = block[0::2], block[1::2]
+    if stereo_mode == "independent":
+        return [(left, 16), (right, 16)]
+    side = [l - r for l, r in zip(left, right)]
+    if stereo_mode == "left_side":
+        return [(left, 16), (side, 17)]
+    if stereo_mode == "right_side":
+        return [(side, 17), (right, 16)]   # side channel stored first
+    mid = [(l + r) >> 1 for l, r in zip(left, right)]
+    return [(mid, 16), (side, 17)]
 
-    body = _BitWriter()
+
+def _write_subframe(body: "_BitWriter", chan: list[int], bps: int) -> None:
     # pick the cheapest fixed order by total absolute residual
     order = min(
-        range(min(_MAX_ORDER, len(block) - 1) + 1),
-        key=lambda o: sum(abs(r) for r in _residuals(block, o)),
+        range(min(_MAX_ORDER, len(chan) - 1) + 1),
+        key=lambda o: sum(abs(r) for r in _residuals(chan, o)),
     )
-    res = _residuals(block, order)
+    res = _residuals(chan, order)
+    mask = (1 << bps) - 1
     body.write(0, 1)                       # subframe: zero pad bit
     body.write(0b001000 | order, 6)        # FIXED, order
     body.write(0, 1)                       # no wasted bits
-    for s in block[:order]:                # warm-up samples, verbatim
-        body.write(s & 0xFFFF, 16)
+    for s in chan[:order]:                 # warm-up samples, verbatim
+        body.write(s & mask, bps)
     k = _best_rice_k(res)
     body.write(0b00, 2)                    # residual method: RICE (4-bit k)
     body.write(0, 4)                       # partition order 0
@@ -220,6 +253,28 @@ def _encode_frame(block: list[int], fi: int, rate: int) -> bytes:
         body.write_unary(u >> k)
         if k:
             body.write(u & ((1 << k) - 1), k)
+
+
+def _encode_frame(block: list[int], fi: int, rate: int,
+                  channels: int = 1,
+                  stereo_mode: str = "left_side") -> bytes:
+    blocksize = len(block) // channels
+    hdr = _BitWriter()
+    hdr.write(0b11111111111110, 14)  # sync
+    hdr.write(0, 1)                  # reserved
+    hdr.write(0, 1)                  # fixed-blocksize stream
+    hdr.write(0b0111, 4)             # blocksize: 16-bit at end of header
+    hdr.write(0b0000, 4)             # sample rate: from STREAMINFO
+    hdr.write(0 if channels == 1 else _STEREO_CODES[stereo_mode], 4)
+    hdr.write(0b100, 3)              # sample size: 16
+    hdr.write(0, 1)                  # reserved
+    head = hdr.bytes() + _utf8_frame_number(fi) \
+        + struct.pack(">H", blocksize - 1)
+    head += bytes([_crc8(head)])
+
+    body = _BitWriter()
+    for chan, bps in _stored_channels(block, channels, stereo_mode):
+        _write_subframe(body, chan, bps)
     body.align()
     frame = head + body.bytes()
     return frame + struct.pack(">H", _crc16(frame))
@@ -230,11 +285,13 @@ def _encode_frame(block: list[int], fi: int, rate: int) -> bytes:
 
 def flac_decode(payload: bytes) -> dict:
     """FLAC → ``{"kind": "audio", "sample_rate", "n_channels",
-    "n_frames", "samples"}``.  Subset decoder: 16-bit mono —
-    CONSTANT, VERBATIM, FIXED 0-4, and quantized-LPC subframes (any
-    order/precision/shift) with multi-partition Rice residuals.
-    Other bit depths / stereo raise
-    ``NotImplementedError``; truncated or corrupt payloads raise
+    "n_frames", "samples"}`` (stereo interleaved L R L R, n_frames
+    per-channel).  Subset decoder: 16-bit mono/stereo — CONSTANT,
+    VERBATIM, FIXED 0-4, and quantized-LPC subframes (any
+    order/precision/shift) with multi-partition Rice residuals, and
+    the four stereo layouts (independent, left/side, right/side,
+    mid/side, RFC 9639 §9.1.3).  Other bit depths / channel counts
+    raise ``NotImplementedError``; truncated or corrupt payloads raise
     ``ValueError`` (the decode_err row contract — a low-level
     ``IndexError``/``struct.error`` must never escape into a job)."""
     try:
@@ -259,9 +316,9 @@ def _flac_decode(payload: bytes) -> dict:
             channels = r.read(3) + 1
             bps = r.read(5) + 1
             n_total = r.read(36)
-            if channels != 1 or bps != 16:
+            if channels not in (1, 2) or bps != 16:
                 raise NotImplementedError(
-                    f"FLAC subset decoder: 16-bit mono only "
+                    f"FLAC subset decoder: 16-bit mono/stereo only "
                     f"(channels={channels}, bps={bps})")
         pos += 4 + size
         if last:
@@ -269,16 +326,20 @@ def _flac_decode(payload: bytes) -> dict:
     if rate is None:
         raise ValueError("FLAC missing STREAMINFO")
 
+    # interleaved output (L R L R for stereo — the WAV convention the
+    # decode_media frames contract already uses); n_total counts
+    # inter-channel samples
     samples: list[int] = []
-    while pos < len(payload) and len(samples) < n_total:
+    while pos < len(payload) and len(samples) < n_total * channels:
         block, pos = _decode_frame(payload, pos)
         samples.extend(block)
+    samples = samples[:n_total * channels]
     return {
         "kind": "audio",
         "sample_rate": rate,
-        "n_channels": 1,
-        "n_frames": len(samples),
-        "samples": samples[:n_total],
+        "n_channels": channels,
+        "n_frames": len(samples) // channels,
+        "samples": samples,
     }
 
 
@@ -293,8 +354,22 @@ def _decode_frame(payload: bytes, pos: int) -> tuple[list[int], int]:
     ch_code = r.read(4)
     bps_code = r.read(3)
     r.read(1)
-    if ch_code != 0:
-        raise NotImplementedError("FLAC subset decoder: mono frames only")
+    # channel assignment → stored-subframe bit widths (the side channel
+    # of a decorrelated pair carries one extra bit, RFC 9639 §9.1.3)
+    if ch_code == 0b0000:
+        layout, widths = "mono", (16,)
+    elif ch_code == 0b0001:
+        layout, widths = "independent", (16, 16)
+    elif ch_code == 0b1000:
+        layout, widths = "left_side", (16, 17)
+    elif ch_code == 0b1001:
+        layout, widths = "right_side", (17, 16)
+    elif ch_code == 0b1010:
+        layout, widths = "mid_side", (16, 17)
+    else:
+        raise NotImplementedError(
+            f"FLAC subset decoder: mono/stereo frames only "
+            f"(channel code {ch_code:#06b})")
     if bps_code not in (0b100, 0b000):
         raise NotImplementedError("FLAC subset decoder: 16-bit only")
     # frame number: UTF-8 coded
@@ -329,14 +404,46 @@ def _decode_frame(payload: bytes, pos: int) -> tuple[list[int], int]:
     if _crc8(payload[pos:pos + hdr_len - 1]) != payload[pos + hdr_len - 1]:
         raise ValueError("FLAC frame header CRC-8 mismatch")
 
-    # one mono subframe
+    chans = [_decode_subframe(r, blocksize, w) for w in widths]
+
+    r.align()
+    frame_end = r.byte
+    (crc,) = struct.unpack(">H", payload[frame_end:frame_end + 2])
+    if _crc16(payload[pos:frame_end]) != crc:
+        raise ValueError("FLAC frame CRC-16 mismatch")
+
+    # undo inter-channel decorrelation and interleave (RFC 9639 §9.1.3)
+    if layout == "mono":
+        block = chans[0]
+    else:
+        if layout == "independent":
+            left, right = chans
+        elif layout == "left_side":
+            left = chans[0]
+            right = [l - s for l, s in zip(chans[0], chans[1])]
+        elif layout == "right_side":
+            right = chans[1]
+            left = [r_ + s for s, r_ in zip(chans[0], chans[1])]
+        else:  # mid_side: mid floored (L+R)>>1; parity restored from
+            # side, since L+R and L−R are congruent mod 2
+            left, right = [], []
+            for m, s in zip(chans[0], chans[1]):
+                m2 = (m << 1) | (s & 1)
+                left.append((m2 + s) >> 1)
+                right.append((m2 - s) >> 1)
+        block = [v for pair in zip(left, right) for v in pair]
+    return block, frame_end + 2
+
+
+def _decode_subframe(r: "_BitReader", blocksize: int,
+                     base_bps: int) -> list[int]:
     if r.read(1) != 0:
         raise ValueError("FLAC subframe pad bit set")
     sf_type = r.read(6)
     wasted = 0
     if r.read(1):
         wasted = 1 + r.read_unary()
-    bps = 16 - wasted
+    bps = base_bps - wasted
     if sf_type == 0b000000:                         # CONSTANT
         v = _sign_extend(r.read(bps), bps) << wasted
         block = [v] * blocksize
@@ -375,13 +482,7 @@ def _decode_frame(payload: bytes, pos: int) -> tuple[list[int], int]:
             block = [s << wasted for s in block]
     else:
         raise ValueError(f"reserved subframe type {sf_type:#08b}")
-
-    r.align()
-    frame_end = r.byte
-    (crc,) = struct.unpack(">H", payload[frame_end:frame_end + 2])
-    if _crc16(payload[pos:frame_end]) != crc:
-        raise ValueError("FLAC frame CRC-16 mismatch")
-    return block, frame_end + 2
+    return block
 
 
 def _read_rice_residual(r: _BitReader, blocksize: int,

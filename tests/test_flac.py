@@ -53,14 +53,15 @@ def test_frame_crc_detects_corruption():
 def test_subset_boundaries_are_explicit():
     with pytest.raises(NotImplementedError, match="fLaC"):
         flac_decode(b"RIFFxxxxWAVE")
-    # claim stereo in STREAMINFO → explicit rejection.  Layout: the
-    # 3-bit channels-1 field sits in STREAMINFO byte 12 (after
-    # 16+16+24+24+20 = 100 bits), occupying bits 4..6 of that byte;
-    # the metadata block payload starts at file offset 8, so the field
-    # is MSB-first mask 0b00001110 of byte 8+12.
+    # claim 4 channels in STREAMINFO → explicit rejection (stereo is
+    # decoded since round 7; >2 channels stays an explicit boundary).
+    # Layout: the 3-bit channels-1 field sits in STREAMINFO byte 12
+    # (after 16+16+24+24+20 = 100 bits), occupying bits 4..6 of that
+    # byte; the metadata block payload starts at file offset 8, so the
+    # field is MSB-first mask 0b00001110 of byte 8+12.
     payload = bytearray(flac_encode(_sine(100), 8000))
-    payload[8 + 12] |= 0b00000010  # channels-1: 0 → 1 (stereo)
-    with pytest.raises(NotImplementedError, match="mono"):
+    payload[8 + 12] |= 0b00000110  # channels-1: 0 → 3 (4 channels)
+    with pytest.raises(NotImplementedError, match="mono/stereo"):
         flac_decode(bytes(payload))
 
 
@@ -169,3 +170,76 @@ def test_truncated_payload_is_valueerror_not_indexerror():
     # truncated metadata header (payload ends inside the block walk)
     with pytest.raises((ValueError, NotImplementedError)):
         flac_decode(b"fLaC\x80")
+
+
+def _stereo_signal(n, amp=11000):
+    """Interleaved L R with genuinely different channels (L a sine, R a
+    phase-shifted lower sine plus noise) so decorrelation is exercised
+    with non-trivial side values."""
+    out = []
+    for i in range(n):
+        l = int(amp * math.sin(2 * math.pi * 440.0 * i / 8000))
+        r = int(0.6 * amp * math.sin(2 * math.pi * 330.0 * i / 8000 + 0.7)
+                + (((i * 2654435761) % 97) - 48))
+        out += [l, r]
+    return out
+
+
+@pytest.mark.parametrize(
+    "mode", ["independent", "left_side", "right_side", "mid_side"])
+def test_stereo_roundtrip_exact_all_layouts(mode):
+    """Stereo encode→decode is LOSSLESS in every channel layout —
+    the three decorrelated modes are exactly invertible in integers
+    (side = L−R at 17 bits; mid's floored low bit recovered from
+    side's parity)."""
+    samples = _stereo_signal(5000)   # spans 2 frames of 4096
+    payload = flac_encode(samples, 8000, channels=2, stereo_mode=mode)
+    dec = flac_decode(payload)
+    assert dec["n_channels"] == 2
+    assert dec["n_frames"] == 5000
+    assert dec["samples"] == samples
+
+
+@pytest.mark.parametrize(
+    "mode", ["left_side", "right_side", "mid_side"])
+def test_stereo_extreme_values_roundtrip(mode):
+    """Full-scale anti-correlated channels: side = L−R spans the full
+    17-bit range (±65535) — the widened side-channel width must hold."""
+    samples = []
+    for i in range(1000):
+        v = 32767 if i % 2 == 0 else -32768
+        samples += [v, -v if v != -32768 else 32767]
+    payload = flac_encode(samples, 44100, channels=2, stereo_mode=mode)
+    assert flac_decode(payload)["samples"] == samples
+
+
+def test_stereo_decode_media_contract():
+    """decode_media surfaces stereo FLAC with the WAV interleaving
+    convention: n_channels=2, n_frames per-channel, frames little-
+    endian int16 interleaved L R."""
+    from star_schema_etl_airflow_spark.sources.multimodal import decode_media
+
+    samples = _stereo_signal(64)
+    m = decode_media(
+        flac_encode(samples, 8000, channels=2, stereo_mode="mid_side"),
+        "audio")
+    assert (m["sample_rate"], m["n_channels"], m["n_frames"]) == (8000, 2, 64)
+    got = [struct.unpack("<h", m["frames"][2 * i:2 * i + 2])[0]
+           for i in range(128)]
+    assert got == samples
+
+
+def test_stereo_compresses_correlated_signal():
+    """A mostly-mono signal (R ≈ L) must compress better in a
+    decorrelated layout than as independent channels — the reason the
+    stereo modes exist."""
+    samples = []
+    for i in range(4000):
+        l = int(12000 * math.sin(2 * math.pi * 440.0 * i / 8000))
+        samples += [l, l + (i % 3) - 1]    # R = L ± 1
+    ind = flac_encode(samples, 8000, channels=2,
+                      stereo_mode="independent")
+    ls = flac_encode(samples, 8000, channels=2, stereo_mode="left_side")
+    assert len(ls) < len(ind)
+    assert flac_decode(ls)["samples"] == samples
+    assert flac_decode(ind)["samples"] == samples
