@@ -694,6 +694,94 @@ register(QuerySpec("flac_decoded", flac_decoded, FLAC_DECODED_ORACLE,
 
 
 # ---------------------------------------------------------------------------
+# mp3_probed: differential coverage of the MPEG-1 frame walker
+# (sources/mp3.py).  Each document synthesizes a CBR Layer III stream
+# (frame count / bitrate / rate / channel mode all closed-form in
+# doc_id), the walker probes it, and DuckDB re-derives every field from
+# the same formulas — the ISO framing arithmetic (frame lengths, sample
+# counts, integer duration) sits between the two.
+
+_MP3_KBPS = [32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+_MP3_RATES = [44100, 48000, 32000]
+_MP3_MAX_FRAMES = 40
+
+
+def _mp3_kernel(batches):
+    import pandas as pd
+
+    from star_schema_etl_airflow_spark.sources.mp3 import (
+        mp3_frame,
+        mp3_probe,
+    )
+
+    for pdf in batches:
+        rows = []
+        for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+            doc_id, n_chars = int(doc_id), int(n_chars)
+            fc = (n_chars % _MP3_MAX_FRAMES) + 1
+            kbps = _MP3_KBPS[doc_id % len(_MP3_KBPS)]
+            rate = _MP3_RATES[doc_id % len(_MP3_RATES)]
+            mono = doc_id % 2 == 1
+            stream = b"".join(
+                mp3_frame(3, kbps, rate, mono=mono) for _ in range(fc)
+            )
+            m = mp3_probe(stream)
+            rows.append((
+                doc_id, m["frame_count"], m["n_frames"],
+                m["sample_rate"], m["n_channels"],
+                m["duration_micros"], m["bitrate_kbps_avg"],
+                len(stream),
+            ))
+        yield pd.DataFrame(rows, columns=[
+            "media_id", "frame_count", "n_samples", "rate",
+            "n_channels", "duration_micros", "kbps", "n_bytes",
+        ])
+
+
+def mp3_probed(spark, sf_dir):
+    from pyspark.sql import types as T
+
+    from star_schema_etl_airflow_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_count", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("duration_micros", T.LongType()),
+        T.StructField("kbps", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+    ])
+    return docs.mapInPandas(_mp3_kernel, schema=schema)
+
+
+_MP3_KBPS_SQL = "[" + ", ".join(str(k) for k in _MP3_KBPS) + "]"
+_MP3_RATES_SQL = "[" + ", ".join(str(r) for r in _MP3_RATES) + "]"
+
+MP3_PROBED_ORACLE = f"""
+SELECT doc_id AS media_id,
+       (n_chars % {_MP3_MAX_FRAMES}) + 1 AS frame_count,
+       ((n_chars % {_MP3_MAX_FRAMES}) + 1) * 1152 AS n_samples,
+       CAST(({_MP3_RATES_SQL})[(doc_id % 3) + 1] AS INTEGER) AS rate,
+       CAST(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 2 END AS INTEGER)
+         AS n_channels,
+       ((n_chars % {_MP3_MAX_FRAMES}) + 1) * 1152 * 1000000
+         // ({_MP3_RATES_SQL})[(doc_id % 3) + 1] AS duration_micros,
+       ({_MP3_KBPS_SQL})[(doc_id % {len(_MP3_KBPS)}) + 1] AS kbps,
+       -- frame length: 144·bitrate/rate bytes (no padding emitted)
+       ((n_chars % {_MP3_MAX_FRAMES}) + 1)
+         * (144 * ({_MP3_KBPS_SQL})[(doc_id % {len(_MP3_KBPS)}) + 1] * 1000
+            // ({_MP3_RATES_SQL})[(doc_id % 3) + 1]) AS n_bytes
+FROM documents
+"""
+
+register(QuerySpec("mp3_probed", mp3_probed, MP3_PROBED_ORACLE,
+                   tags=("LLM-multimodal",)))
+
+
+# ---------------------------------------------------------------------------
 # adpcm_decoded: differential coverage of the lossy IMA ADPCM codec.
 # Exact oracle surface: sample count, rate, and the BLOCK-ANCHOR sum —
 # each 505-sample block's first sample travels verbatim in the block

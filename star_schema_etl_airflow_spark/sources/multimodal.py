@@ -7,9 +7,11 @@ implemented pure-Python from the specs: PNG (``_png_decode``), baseline
 JPEG (``sources/jpeg.py`` — Huffman + IDCT + 4:2:0 + restart markers),
 GIF (``sources/gif.py``), MJPEG/AVI video (``sources/avi.py`` — RIFF
 container walk + per-frame JPEG decode, real frame sampling), and
-WAV/PCM (``_wav_decode``).  Only MP3 and non-MJPEG video codecs remain
+WAV/PCM (``_wav_decode``), plus the MPEG-1/MP3 frame walker
+(``sources/mp3.py`` — rate/channels/duration metadata without PCM).
+Only MP3 PCM synthesis and non-MJPEG video codecs remain
 ``NotImplementedError`` stubs (they need ffmpeg — the explicit swap-in
-point at deployment).  ``extract_features`` computes deterministic
+point at deployment; rationale in ``sources/mp3.py`` and ``SCALE.md``).  ``extract_features`` computes deterministic
 byte-level features (size, md5, a fixed-stride byte sample) so the whole
 Spark-side pipeline — schema, Arrow batch shape, partitioning, UDF
 signature — is differentially testable (the md5/byte features are
@@ -226,11 +228,12 @@ def decode_media(payload: bytes, media_type: str) -> dict:
 
     Real pure-Python decoders: PNG (chunk walk + inflate + unfilter,
     :func:`_png_decode`), baseline JPEG (Huffman + IDCT,
-    ``sources/jpeg.py``), and WAV/PCM (:func:`_wav_decode`).  Images
-    dispatch on the container signature.  Formats needing native codec
-    libraries (MP3, any video) raise ``NotImplementedError`` — the
-    production swap-in point for ffmpeg, kept explicit rather than
-    faked."""
+    ``sources/jpeg.py``), WAV/PCM (:func:`_wav_decode`), and the
+    MPEG-1/MP3 frame walker (metadata without PCM,
+    ``sources/mp3.py``).  Images dispatch on the container signature.
+    Formats needing native codec libraries (MP3 PCM synthesis,
+    non-MJPEG video) raise ``NotImplementedError`` — the production
+    swap-in point for ffmpeg, kept explicit rather than faked."""
     if media_type == "image":
         if payload[:8] == PNG_SIG:
             return _png_decode(payload)
@@ -250,6 +253,18 @@ def decode_media(payload: bytes, media_type: str) -> dict:
             "deployment)"
         )
     if media_type == "audio":
+        from star_schema_etl_airflow_spark.sources.mp3 import (
+            is_mp3,
+            mp3_probe,
+        )
+
+        if is_mp3(payload):
+            # metadata-only: the MPEG-1 frame walk yields rate /
+            # channels / exact duration without PCM synthesis (the
+            # synthesis window is tabulated, not closed-form — see
+            # sources/mp3.py; production swaps in ffmpeg HERE for the
+            # samples themselves)
+            return mp3_probe(payload)
         if payload[:4] == b"fLaC":
             from star_schema_etl_airflow_spark.sources.flac import (
                 flac_decode,
@@ -285,7 +300,9 @@ def decode_media(payload: bytes, media_type: str) -> dict:
         )
     raise NotImplementedError(
         f"no {media_type} codec in this environment "
-        "(MP3 decode needs ffmpeg; swap in at deployment)"
+        "(MP3 framing/metadata is real — sources/mp3.py — but PCM "
+        "synthesis and the non-MPEG-1 long tail need ffmpeg; swap in "
+        "at deployment)"
     )
 
 

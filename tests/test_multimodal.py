@@ -162,8 +162,10 @@ def test_undecodable_formats_stay_explicit():
         decode_media(b"\xff\xd8\xff\xe0JFIF....", "image")
     with pytest.raises(NotImplementedError):
         decode_media(b"\x00\x00\x00 ftypmp42....", "video")  # MP4
-    with pytest.raises(NotImplementedError):
-        decode_media(b"ID3\x04\x00....", "audio")  # MP3
+    with pytest.raises(ValueError):
+        # MP3 framing is a REAL walker now (sources/mp3.py); a
+        # truncated ID3 tag is malformed data, not a missing codec
+        decode_media(b"ID3\x04\x00....", "audio")
 
 
 def test_decode_stats_over_spark(spark):
