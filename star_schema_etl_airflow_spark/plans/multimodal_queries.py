@@ -500,19 +500,40 @@ register(QuerySpec("video_frames", video_frames, VIDEO_FRAMES_ORACLE,
 
 
 # ---------------------------------------------------------------------------
-# image_patches: ViT-style patch extraction through the REAL PNG codec
-# (encode closed-form pixels → production _png_decode → patchify) with a
-# closed-form per-patch oracle.  One input row → (side/patch)² output
-# rows through Arrow-batched mapInPandas — the tensor-preparation step a
-# multimodal training pipeline runs after decode.
+# image_patches: ViT-style patch extraction through BOTH real image
+# codecs.  PNG family: encode closed-form pixels → production
+# _png_decode → patchify, with exact per-patch sums (lossless).  JPEG
+# family (round-7 verdict task): the same plumbing over the LOSSY codec
+# — a smooth wrap-free pixel field so quantization error is bounded,
+# with a per-patch deviation envelope computed FROM the decoder's
+# output (the adpcm_decoded block-anchor discipline: measured worst
+# deviation 2 at quality 90, pinned at 8 = 4× headroom).  One input row
+# → 2·(side/patch)² output rows through Arrow-batched mapInPandas — the
+# tensor-preparation step a multimodal training pipeline runs after
+# decode.
 
 PATCH_SIDE = 16      # square source image
-PATCH = 8            # → 2×2 grid of 8×8×3 patches
+PATCH = 8            # → 2×2 grid of 8×8×3 patches, JPEG-MCU aligned
+JPEG_PX_TOL = 8      # measured max |dev| = 2 at q90 on the smooth field
+
+
+def _patch_field_png(doc_id, x, y, c):
+    return (doc_id + 3 * x + 5 * y + 11 * c) % 256
+
+
+def _patch_field_jpeg(doc_id, x, y, c):
+    # smooth and wrap-free: max = 127 + 30 + 45 + 14 < 256, so no mod
+    # cliffs for the DCT to ring on
+    return min(255, (doc_id % 128) + 2 * x + 3 * y + 7 * c)
 
 
 def _patch_kernel(batches):
     import pandas as pd
 
+    from star_schema_etl_airflow_spark.sources.jpeg import (
+        jpeg_decode,
+        jpeg_encode,
+    )
     from star_schema_etl_airflow_spark.sources.multimodal import (
         _png_decode,
         _png_encode,
@@ -523,25 +544,61 @@ def _patch_kernel(batches):
         rows = []
         for doc_id in pdf["doc_id"]:
             doc_id = int(doc_id)
-            pixels = bytes(
-                (doc_id + 3 * x + 5 * y + 11 * c) % 256
+            png_px = bytes(
+                _patch_field_png(doc_id, x, y, c)
                 for y in range(PATCH_SIDE)
                 for x in range(PATCH_SIDE)
                 for c in range(PNG_CHANNELS)
             )
             img = _png_decode(
-                _png_encode(pixels, PATCH_SIDE, PATCH_SIDE, 2)
+                _png_encode(png_px, PATCH_SIDE, PATCH_SIDE, 2)
             )
             for pr, pc, tile in patchify(
                 img["pixels"], img["width"], img["height"],
                 img["channels"], PATCH,
             ):
+                # losslessness makes the deviation identically zero;
+                # still computed from the decode so px_ok flows through
+                # the codec, never asserted a priori
+                dev = max(
+                    abs(t - _patch_field_png(
+                        doc_id, pc * PATCH + (i // PNG_CHANNELS) % PATCH,
+                        pr * PATCH + i // (PNG_CHANNELS * PATCH),
+                        i % PNG_CHANNELS))
+                    for i, t in enumerate(tile)
+                )
                 rows.append((
-                    doc_id, pr, pc, len(tile), sum(tile), max(tile),
+                    doc_id, "png", pr, pc, len(tile), sum(tile),
+                    max(tile), bool(dev == 0),
+                ))
+
+            jpg_px = bytes(
+                _patch_field_jpeg(doc_id, x, y, c)
+                for y in range(PATCH_SIDE)
+                for x in range(PATCH_SIDE)
+                for c in range(PNG_CHANNELS)
+            )
+            jimg = jpeg_decode(jpeg_encode(
+                jpg_px, PATCH_SIDE, PATCH_SIDE, PNG_CHANNELS, quality=90
+            ))
+            for pr, pc, tile in patchify(
+                jimg["pixels"], jimg["width"], jimg["height"],
+                jimg["channels"], PATCH,
+            ):
+                dev = max(
+                    abs(t - _patch_field_jpeg(
+                        doc_id, pc * PATCH + (i // PNG_CHANNELS) % PATCH,
+                        pr * PATCH + i // (PNG_CHANNELS * PATCH),
+                        i % PNG_CHANNELS))
+                    for i, t in enumerate(tile)
+                )
+                rows.append((
+                    doc_id, "jpeg", pr, pc, len(tile), None, None,
+                    bool(dev <= JPEG_PX_TOL),
                 ))
         yield pd.DataFrame(rows, columns=[
-            "media_id", "patch_row", "patch_col", "n_units", "value_sum",
-            "value_max",
+            "media_id", "codec", "patch_row", "patch_col", "n_units",
+            "value_sum", "value_max", "px_ok",
         ])
 
 
@@ -553,11 +610,13 @@ def image_patches(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     schema = T.StructType([
         T.StructField("media_id", T.LongType()),
+        T.StructField("codec", T.StringType()),
         T.StructField("patch_row", T.IntegerType()),
         T.StructField("patch_col", T.IntegerType()),
         T.StructField("n_units", T.LongType()),
         T.StructField("value_sum", T.LongType()),
         T.StructField("value_max", T.IntegerType()),
+        T.StructField("px_ok", T.BooleanType()),
     ])
     return docs.mapInPandas(_patch_kernel, schema=schema)
 
@@ -566,6 +625,7 @@ _PATCH_CELLS = PATCH * PATCH * PNG_CHANNELS
 
 IMAGE_PATCHES_ORACLE = f"""
 SELECT d.doc_id AS media_id,
+       'png' AS codec,
        CAST(pr AS INTEGER) AS patch_row,
        CAST(pc AS INTEGER) AS patch_col,
        CAST({_PATCH_CELLS} AS BIGINT) AS n_units,
@@ -578,7 +638,20 @@ SELECT d.doc_id AS media_id,
          i -> (d.doc_id
                + 3 * (pc * {PATCH} + (i // {PNG_CHANNELS}) % {PATCH})
                + 5 * (pr * {PATCH} + i // {PNG_CHANNELS * PATCH})
-               + 11 * (i % {PNG_CHANNELS})) % 256)) AS INTEGER) AS value_max
+               + 11 * (i % {PNG_CHANNELS})) % 256)) AS INTEGER) AS value_max,
+       TRUE AS px_ok
+FROM documents d,
+     LATERAL unnest(range(0, {PATCH_SIDE // PATCH})) AS tr(pr),
+     LATERAL unnest(range(0, {PATCH_SIDE // PATCH})) AS tc(pc)
+UNION ALL
+SELECT d.doc_id AS media_id,
+       'jpeg' AS codec,
+       CAST(pr AS INTEGER) AS patch_row,
+       CAST(pc AS INTEGER) AS patch_col,
+       CAST({_PATCH_CELLS} AS BIGINT) AS n_units,
+       CAST(NULL AS BIGINT) AS value_sum,
+       CAST(NULL AS INTEGER) AS value_max,
+       TRUE AS px_ok
 FROM documents d,
      LATERAL unnest(range(0, {PATCH_SIDE // PATCH})) AS tr(pr),
      LATERAL unnest(range(0, {PATCH_SIDE // PATCH})) AS tc(pc)
