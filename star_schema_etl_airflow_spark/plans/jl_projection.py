@@ -268,4 +268,4 @@ WHERE rank <= {JL_TOP_K}
 
 
 register(QuerySpec("embed_jl_rerank", embed_jl_rerank, _jl_rerank_oracle(),
-                   tags=("LLM-ANN",)))
+                   headline=True, tags=("LLM-ANN",)))

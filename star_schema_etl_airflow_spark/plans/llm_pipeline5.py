@@ -141,4 +141,4 @@ GROUP BY d.lang
 
 
 register(QuerySpec("curation_pipeline_v5", curation_pipeline_v5,
-                   _v5_oracle(), tags=("LLM-PIPELINE",)))
+                   _v5_oracle(), headline=True, tags=("LLM-PIPELINE",)))

@@ -496,7 +496,7 @@ WHERE doc_id % {VID_DOC_MOD} = 0
 """
 
 register(QuerySpec("video_frames", video_frames, VIDEO_FRAMES_ORACLE,
-                   tags=("LLM-multimodal",)))
+                   headline=True, tags=("LLM-multimodal",)))
 
 
 # ---------------------------------------------------------------------------

@@ -180,7 +180,7 @@ FROM lm_scored
 """
 
 register(QuerySpec("ngram_lm_score", ngram_lm_score, NGRAM_LM_ORACLE,
-                   tags=("LLM-text",)))
+                   headline=True, tags=("LLM-text",)))
 
 
 def perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -134,7 +134,8 @@ SELECT * FROM excised
 """
 
 register(QuerySpec("dedup_substring_excised", dedup_substring_excised,
-                   DEDUP_SUBSTRING_EXCISED_ORACLE, tags=("LLM-DEDUP",)))
+                   DEDUP_SUBSTRING_EXCISED_ORACLE, headline=True,
+                   tags=("LLM-DEDUP",)))
 
 
 # --- incremental: batch spans vs the at-rest corpus gram index --------------

@@ -53,6 +53,14 @@ def drift(base: dict, new: dict, base_name: str, new_name: str) -> int:
         )
     bad = 0
     shared = set(base["queries"]) & set(new["queries"])
+    added = set(new["queries"]) - set(base["queries"])
+    removed = set(base["queries"]) - set(new["queries"])
+    for q in sorted(added):
+        print(f"new  {q}: {new['queries'][q]:.3f} "
+              "(baseline established this round)")
+    for q in sorted(removed):
+        print(f"gone {q}: was {base['queries'][q]:.3f} "
+              "(dropped from headline set — explain in BENCH_HISTORY.md)")
     for q in sorted(shared):
         b, n = base["queries"][q], new["queries"][q]
         rel = (n - b) / b
@@ -66,12 +74,22 @@ def drift(base: dict, new: dict, base_name: str, new_name: str) -> int:
         elif rel < -THRESHOLD:
             print(f"note {q}: {b:.3f} -> {n:.3f} ({rel:+.0%}) "
                   "large improvement — record the plan change")
-    bt, nt = base["value"], new["value"]
+    if added or removed:
+        # the headline SET changed: raw totals are incomparable, so the
+        # total gate runs over the shared queries only (per-query gates
+        # above still cover everything shared; new queries establish
+        # their baseline this round)
+        bt = sum(base["queries"][q] for q in shared)
+        nt = sum(new["queries"][q] for q in shared)
+        label = f"shared_total ({len(shared)} queries)"
+    else:
+        bt, nt = base["value"], new["value"]
+        label = "headline_total"
     relt = (nt - bt) / bt
     tag = "FAIL" if relt > 0.15 else "ok  "
     if relt > 0.15:
         bad += 1
-    print(f"{tag} headline_total: {bt:.3f} -> {nt:.3f} ({relt:+.0%})")
+    print(f"{tag} {label}: {bt:.3f} -> {nt:.3f} ({relt:+.0%})")
     return bad
 
 
