@@ -49,7 +49,11 @@ V5_BASE_MOD = 1_000_000  # synthetic dup ids map to base via % 1e6
 
 
 def curation_pipeline_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus = build_corpus(spark, sf_dir)
+    # the corpus feeds span mining (×2) and the excision join (×1);
+    # persist the fixture-amplifier derivation once (see
+    # plans/substring_queries.dedup_substring_spans for the rationale
+    # and the production disposition)
+    corpus = build_corpus(spark, sf_dir).persist()
     # 1) corpus-wide exact-substring excision
     excised = excise_spans(corpus, duplicate_substring_spans(corpus))
     # 2) gate: drop documents hollowed out by the excision

@@ -62,6 +62,19 @@ PNG_WIDTH = 16
 PNG_CHANNELS = 3
 
 
+def _spread(docs):
+    """The fixture is one parquet file → 1 scan partition, which would
+    serialize the (compute-heavy) pure-Python codec kernels below onto
+    a single core; spread the rows first (llm_dedup/dsir/ngram_lm
+    precedent).  At corpus scale the input arrives in many splits and
+    this repartition is dropped — the kernels are embarrassingly
+    parallel either way."""
+    spark = docs.sparkSession
+    return docs.repartition(
+        spark.sparkContext.defaultParallelism, "doc_id")
+
+
+
 def _raw_wav_encode(samples: list[int], rate: int) -> bytes:
     """Minimal RIFF/WAVE writer via struct only — deliberately NOT the
     stdlib ``wave`` module, so encode and decode are independent
@@ -141,7 +154,7 @@ def multimodal_decoded(spark, sf_dir):
         T.StructField("value_max", T.IntegerType()),
         T.StructField("rate", T.IntegerType()),
     ])
-    return docs.mapInPandas(_decoded_kernel, schema=schema)
+    return _spread(docs).mapInPandas(_decoded_kernel, schema=schema)
 
 
 MULTIMODAL_DECODED_ORACLE = f"""
@@ -296,7 +309,7 @@ def jpeg_decoded(spark, sf_dir):
         T.StructField("value_sum", T.LongType()),
         T.StructField("value_max", T.IntegerType()),
     ])
-    return docs.mapInPandas(_jpeg_decoded_kernel, schema=schema)
+    return _spread(docs).mapInPandas(_jpeg_decoded_kernel, schema=schema)
 
 
 JPEG_DECODED_ORACLE = """
@@ -377,7 +390,7 @@ def gif_decoded(spark, sf_dir):
         T.StructField("value_sum", T.LongType()),
         T.StructField("value_max", T.IntegerType()),
     ])
-    return docs.mapInPandas(_gif_decoded_kernel, schema=schema)
+    return _spread(docs).mapInPandas(_gif_decoded_kernel, schema=schema)
 
 
 _HALF = GIF_SIDE * GIF_SIDE // 2
@@ -479,7 +492,7 @@ def video_frames(spark, sf_dir):
         T.StructField("fps", T.IntegerType()),
         T.StructField("px_ok", T.BooleanType()),
     ])
-    return docs.mapInPandas(_video_kernel, schema=schema)
+    return _spread(docs).mapInPandas(_video_kernel, schema=schema)
 
 
 VIDEO_FRAMES_ORACLE = f"""
@@ -618,7 +631,7 @@ def image_patches(spark, sf_dir):
         T.StructField("value_max", T.IntegerType()),
         T.StructField("px_ok", T.BooleanType()),
     ])
-    return docs.mapInPandas(_patch_kernel, schema=schema)
+    return _spread(docs).mapInPandas(_patch_kernel, schema=schema)
 
 
 _PATCH_CELLS = PATCH * PATCH * PNG_CHANNELS
@@ -729,7 +742,7 @@ def flac_decoded(spark, sf_dir):
         T.StructField("value_max", T.IntegerType()),
         T.StructField("rate", T.IntegerType()),
     ])
-    return docs.mapInPandas(_flac_kernel, schema=schema)
+    return _spread(docs).mapInPandas(_flac_kernel, schema=schema)
 
 
 _FLAC_N = f"CAST(LEAST(GREATEST(n_chars, 1), {MAX_WAV_SAMPLES}) AS BIGINT)"
@@ -827,7 +840,7 @@ def mp3_probed(spark, sf_dir):
         T.StructField("kbps", T.LongType()),
         T.StructField("n_bytes", T.LongType()),
     ])
-    return docs.mapInPandas(_mp3_kernel, schema=schema)
+    return _spread(docs).mapInPandas(_mp3_kernel, schema=schema)
 
 
 _MP3_KBPS_SQL = "[" + ", ".join(str(k) for k in _MP3_KBPS) + "]"
@@ -912,7 +925,7 @@ def adpcm_decoded(spark, sf_dir):
         T.StructField("anchor_sum", T.LongType()),
         T.StructField("envelope_ok", T.BooleanType()),
     ])
-    return docs.mapInPandas(_adpcm_kernel, schema=schema)
+    return _spread(docs).mapInPandas(_adpcm_kernel, schema=schema)
 
 
 ADPCM_DECODED_ORACLE = f"""

@@ -41,7 +41,13 @@ _GRAMS_D = (
 
 
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return duplicate_substring_spans(build_corpus(spark, sf_dir), n=_N)
+    # span mining reads the corpus twice (the documented paper-parity
+    # trade); persist the FIXTURE AMPLIFIER output so its 3-branch
+    # union + regexp mutation run once, not per pass.  In production
+    # the corpus is an at-rest table and this persist is dropped — the
+    # two passes themselves are the design, not the re-derivation.
+    return duplicate_substring_spans(
+        build_corpus(spark, sf_dir).persist(), n=_N)
 
 
 _SPAN_CTES = f"""corpus AS ({CORPUS_DUCK}),
@@ -95,7 +101,9 @@ register(QuerySpec("dedup_substring_spans", dedup_substring_spans,
 
 
 def dedup_substring_excised(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus = build_corpus(spark, sf_dir)
+    # three corpus passes (spans ×2 + the excision join); one persisted
+    # amplifier derivation — see dedup_substring_spans
+    corpus = build_corpus(spark, sf_dir).persist()
     return excise_spans(corpus, duplicate_substring_spans(corpus, n=_N))
 
 
