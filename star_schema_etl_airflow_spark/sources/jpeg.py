@@ -235,8 +235,15 @@ def jpeg_decode(payload: bytes) -> dict:
     ``NotImplementedError``."""
     try:
         return _jpeg_decode(payload)
-    except (IndexError, struct.error) as exc:
-        raise ValueError(f"malformed JPEG stream: {exc}") from exc
+    except (IndexError, struct.error, KeyError, OverflowError,
+            StopIteration, ZeroDivisionError) as exc:
+        # found by fuzzing valid streams with random corruption: a
+        # flipped table id leaks KeyError, a corrupted length field
+        # leaks OverflowError, an exhausted entropy segment leaks
+        # StopIteration — all must become the ValueError row contract
+        raise ValueError(
+            f"malformed JPEG stream: {type(exc).__name__}: {exc}"
+        ) from exc
 
 
 def _jpeg_decode(payload: bytes) -> dict:

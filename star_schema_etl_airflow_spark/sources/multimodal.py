@@ -96,7 +96,17 @@ def _png_decode(payload: bytes) -> dict:
     scanline unfilter per the spec's five filter types.  Supports 8-bit
     depth, color types gray/RGB/gray-alpha/RGBA, no interlace — the
     shapes a training pipeline normalizes to anyway; everything else
-    raises ``NotImplementedError`` so the gap is explicit, not silent."""
+    raises ``NotImplementedError`` so the gap is explicit, not silent.
+    Truncated or corrupt payloads raise ``ValueError`` (the decode_err
+    row contract — found by fuzzing: a short chunk header leaked
+    ``struct.error`` and a corrupt IDAT leaked ``zlib.error``)."""
+    try:
+        return _png_decode_impl(payload)
+    except (struct.error, IndexError, zlib.error) as exc:
+        raise ValueError(f"malformed PNG stream: {exc}") from exc
+
+
+def _png_decode_impl(payload: bytes) -> dict:
     if payload[:8] != PNG_SIG:
         raise NotImplementedError("not a PNG payload")
     pos, width = 8, None
@@ -194,10 +204,13 @@ def _wav_decode(payload: bytes) -> dict:
                 "n_frames": w.getnframes(),
                 "frames": frames,
             }
-    except (wave.Error, EOFError) as exc:
+    except (wave.Error, EOFError, RuntimeError) as exc:
         # stdlib wave is PCM-only (and raises bare EOFError on payloads
-        # truncated mid-header); route compressed WAVE through the
-        # pure-Python IMA ADPCM decoder before declaring defeat
+        # truncated mid-header, and a bare RuntimeError from
+        # Chunk.skip() when a corrupt chunk length seeks past the
+        # stream — both found by fuzzing); route compressed WAVE
+        # through the pure-Python IMA ADPCM decoder before declaring
+        # defeat
         from star_schema_etl_airflow_spark.sources.adpcm import (
             ima_adpcm_decode,
         )

@@ -325,3 +325,68 @@ def test_frame_sample_corrupt_avi_falls_back(spark):
     got = b"".join(bytes(r.frame) for r in sorted(
         rows, key=lambda r: r.frame_idx))
     assert corrupt.startswith(got) and len(got) > 0
+
+
+def test_decode_error_contract_under_fuzzing():
+    """Every codec must map corrupt input to the decode_err contract
+    (ValueError/NotImplementedError) — never a bare struct.error /
+    KeyError / OverflowError / StopIteration / RuntimeError, which
+    would escape decode_stats' except clause and fail the whole job.
+    Deterministic fuzz: 250 random truncate/flip/splice corruptions of
+    one valid payload per container (seed pinned; this run found and
+    pinned 5 distinct leak classes across PNG/JPEG/WAV)."""
+    import math
+    import random
+
+    from star_schema_etl_airflow_spark.sources.adpcm import ima_adpcm_encode
+    from star_schema_etl_airflow_spark.sources.avi import avi_encode_mjpeg
+    from star_schema_etl_airflow_spark.sources.flac import flac_encode
+    from star_schema_etl_airflow_spark.sources.gif import gif_encode_indexed
+    from star_schema_etl_airflow_spark.sources.jpeg import jpeg_encode
+    from star_schema_etl_airflow_spark.sources.mp3 import mp3_frame
+    from star_schema_etl_airflow_spark.sources.multimodal import (
+        _png_encode,
+        decode_media,
+    )
+
+    sine = [int(8000 * math.sin(i / 9)) for i in range(600)]
+    px = bytes((3 * i) % 256 for i in range(16 * 16 * 3))
+    idx = bytes(i % 4 for i in range(16 * 16))
+    pal = bytes([0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0, 255])
+    payloads = {
+        "flac": (flac_encode(sine, 8000), "audio"),
+        "flac-stereo": (flac_encode(
+            [v for p in zip(sine, sine) for v in p], 8000, channels=2),
+            "audio"),
+        "adpcm": (ima_adpcm_encode(sine, 8000), "audio"),
+        "png": (_png_encode(px, 16, 16, 2), "image"),
+        "jpeg": (jpeg_encode(px, 16, 16, 3), "image"),
+        "gif": (gif_encode_indexed(idx, 16, 16, pal), "image"),
+        "avi": (avi_encode_mjpeg([px] * 3, 16, 16, fps=10, quality=90),
+                "video"),
+        "mp3": (b"".join(mp3_frame(3, 128, 44100) for _ in range(3)),
+                "audio"),
+    }
+    rng = random.Random(7)
+    leaks = []
+    for name, (pl, mt) in payloads.items():
+        for trial in range(250):
+            b = bytearray(pl)
+            op = rng.randrange(3)
+            if op == 0:
+                b = b[:rng.randrange(len(b))]
+            elif op == 1:
+                for _ in range(rng.randrange(1, 6)):
+                    b[rng.randrange(len(b))] = rng.randrange(256)
+            else:
+                i = rng.randrange(len(b))
+                b = (b[:i]
+                     + bytes(rng.randrange(256) for _ in range(8))
+                     + b[i:])
+            try:
+                decode_media(bytes(b), mt)
+            except (ValueError, NotImplementedError):
+                pass
+            except Exception as exc:  # noqa: BLE001 — the assertion
+                leaks.append((name, trial, type(exc).__name__))
+    assert not leaks, leaks[:10]
