@@ -111,6 +111,7 @@ def _png_decode_impl(payload: bytes) -> dict:
         raise NotImplementedError("not a PNG payload")
     pos, width = 8, None
     idat = bytearray()
+    plte = None
     while pos + 8 <= len(payload):
         (length,), ctype = struct.unpack(">I", payload[pos:pos + 4]), \
             payload[pos + 4:pos + 8]
@@ -122,12 +123,23 @@ def _png_decode_impl(payload: bytes) -> dict:
         if ctype == b"IHDR":
             width, height, bit_depth, color_type, _comp, _filt, interlace = \
                 struct.unpack(">IIBBBBB", data)
-            if bit_depth != 8 or color_type not in _PNG_CHANNELS or interlace:
+            if bit_depth != 8 or interlace or (
+                color_type not in _PNG_CHANNELS and color_type != 3
+            ):
                 raise NotImplementedError(
                     f"PNG bit_depth={bit_depth} color_type={color_type} "
                     f"interlace={interlace} not supported by the pure-Python "
-                    "decoder (8-bit gray/RGB/GA/RGBA, non-interlaced only)"
+                    "decoder (8-bit gray/RGB/GA/RGBA/palette, "
+                    "non-interlaced only)"
                 )
+        elif ctype == b"PLTE":
+            if length % 3:
+                raise ValueError("PNG PLTE length not a multiple of 3")
+            plte = data
+        elif ctype == b"tRNS":
+            raise NotImplementedError(
+                "PNG tRNS (palette transparency) not supported by the "
+                "pure-Python decoder")
         elif ctype == b"IDAT":
             idat.extend(data)
         elif ctype == b"IEND":
@@ -135,7 +147,11 @@ def _png_decode_impl(payload: bytes) -> dict:
         pos += 12 + length
     if width is None:
         raise ValueError("PNG missing IHDR")
-    channels = _PNG_CHANNELS[color_type]
+    # indexed-color rows carry one palette index per pixel; the filter
+    # pass runs at 1 byte/px, then indices map through PLTE to RGB
+    channels = 1 if color_type == 3 else _PNG_CHANNELS[color_type]
+    if color_type == 3 and plte is None:
+        raise ValueError("PNG indexed-color image missing PLTE")
     stride = width * channels
     raw = zlib.decompress(bytes(idat))
     if len(raw) != (stride + 1) * height:
@@ -161,6 +177,14 @@ def _png_decode_impl(payload: bytes) -> dict:
                 raise ValueError(f"PNG filter type {f} invalid")
         out.extend(line)
         prev = line
+    if color_type == 3:
+        n_entries = len(plte) // 3
+        if any(i >= n_entries for i in out):
+            raise ValueError("PNG palette index out of range")
+        out = bytearray(
+            b for i in out for b in plte[3 * i:3 * i + 3]
+        )
+        channels = 3
     return {
         "kind": "image", "width": width, "height": height,
         "channels": channels, "color_type": color_type,
@@ -340,12 +364,13 @@ def resize_image(payload: bytes, width: int, height: int) -> bytes:
         from star_schema_etl_airflow_spark.sources.jpeg import jpeg_encode
 
         return jpeg_encode(bytes(out), width, height, ch)
-    # GIF decodes carry no PNG color_type — re-encode as PNG with the
-    # color_type implied by the channel count (1→gray, 3→RGB, 4→RGBA)
-    return _png_encode(
-        bytes(out), width, height,
-        img.get("color_type", {1: 0, 3: 2, 4: 6}[ch]),
-    )
+    # GIF decodes carry no PNG color_type, and indexed PNGs (type 3)
+    # decode to plain RGB — re-encode with the color_type implied by
+    # the channel count (1→gray, 3→RGB, 4→RGBA) in both cases
+    ct = img.get("color_type")
+    if ct is None or ct == 3:
+        ct = {1: 0, 3: 2, 4: 6}[ch]
+    return _png_encode(bytes(out), width, height, ct)
 
 
 DECODED_SCHEMA = T.StructType([

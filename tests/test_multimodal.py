@@ -390,3 +390,88 @@ def test_decode_error_contract_under_fuzzing():
             except Exception as exc:  # noqa: BLE001 — the assertion
                 leaks.append((name, trial, type(exc).__name__))
     assert not leaks, leaks[:10]
+
+
+def _make_palette_png(width, height, palette, indices):
+    """Independent indexed-color PNG writer (test-only): IHDR color
+    type 3 + PLTE + filter-0 index rows — the encoder half the
+    production decoder deliberately lacks."""
+    import struct
+    import zlib
+
+    from star_schema_etl_airflow_spark.sources.multimodal import PNG_SIG
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    raw = bytearray()
+    for y in range(height):
+        raw.append(0)
+        raw.extend(indices[y * width:(y + 1) * width])
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 3, 0, 0, 0)
+    return (PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"PLTE", palette)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def test_png_palette_decode():
+    """Indexed-color (type 3) PNGs decode through PLTE to RGB — the
+    most common shape for icons/diagrams in a real crawl."""
+    palette = bytes([10, 20, 30, 200, 0, 0, 0, 200, 0, 0, 0, 200])
+    w, h = 5, 3
+    indices = bytes((x + y) % 4 for y in range(h) for x in range(w))
+    m = decode_media(_make_palette_png(w, h, palette, indices), "image")
+    assert (m["width"], m["height"], m["channels"]) == (w, h, 3)
+    want = bytes(
+        b for i in indices for b in palette[3 * i:3 * i + 3]
+    )
+    assert m["pixels"] == want
+
+
+def test_png_palette_boundaries():
+    import pytest
+
+    palette = bytes([1, 2, 3, 4, 5, 6])       # 2 entries
+    # index 7 out of range → ValueError, not garbage pixels
+    bad = _make_palette_png(2, 1, palette, bytes([0, 7]))
+    with pytest.raises(ValueError, match="palette index"):
+        decode_media(bad, "image")
+    # missing PLTE → ValueError
+    import re
+    import struct
+    import zlib
+
+    from star_schema_etl_airflow_spark.sources.multimodal import PNG_SIG
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    raw = b"\x00\x00\x01"
+    no_plte = (PNG_SIG
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0))
+               + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_media(no_plte, "image")
+    # tRNS stays an explicit boundary
+    trns = (PNG_SIG
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0))
+            + chunk(b"PLTE", palette) + chunk(b"tRNS", b"\x80")
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError, match="tRNS"):
+        decode_media(trns, "image")
+
+
+def test_png_palette_resize_roundtrip():
+    """resize_image over an indexed PNG: decodes via PLTE, resamples,
+    re-encodes as plain RGB (palette is decode-only)."""
+    from star_schema_etl_airflow_spark.sources.multimodal import resize_image
+
+    palette = bytes([0, 0, 0, 255, 255, 255] + [0] * 6)
+    indices = bytes((x ^ y) & 1 for y in range(8) for x in range(8))
+    payload = _make_palette_png(8, 8, palette, indices)
+    small = decode_media(resize_image(payload, 4, 4), "image")
+    assert (small["width"], small["height"], small["channels"]) == (4, 4, 3)
+    # nearest-neighbor keeps the checkerboard's top-left black pixel
+    assert small["pixels"][:3] == bytes([0, 0, 0])
