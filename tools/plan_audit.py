@@ -72,13 +72,15 @@ EXTRA = [
 ]
 
 
-def runtime_parquet_scans(plan: str) -> int:
-    """Parquet scans that actually execute, counting each persisted
-    subtree ONCE: the printed tree re-inlines an ``InMemoryRelation``'s
-    child plan at every consumer, but at runtime the cache materializes
-    a single time — so a naive ``count("Scan parquet")`` over-states
-    cached plans (this is exactly how the r6 ngram_lm 4-scan plan and
-    its 1-scan fix would print the same without this dedup)."""
+def runtime_count(plan: str, needle: str) -> int:
+    """Occurrences of ``needle`` that actually execute, counting each
+    persisted subtree ONCE: the printed tree re-inlines an
+    ``InMemoryRelation``'s child plan at every consumer, but at runtime
+    the cache materializes a single time — so a naive
+    ``plan.count(needle)`` over-states cached plans (this is exactly how
+    the r6 ngram_lm 4-scan plan and its 1-scan fix would print the same
+    without this dedup, and how the r7 substring-dedup persist inflated
+    the raw Exchange pins without adding a runtime shuffle)."""
     lines = plan.splitlines()
     outside = 0
     caches: dict[str, int] = {}
@@ -101,14 +103,26 @@ def runtime_parquet_scans(plan: str) -> int:
                 ))
                 j += 1
             caches["\n".join(sub)] = sum(
-                1 for l in sub if "Scan parquet" in l
+                1 for l in sub if needle in l
             )
             i = j
             continue
-        if "Scan parquet" in line:
+        if needle in line:
             outside += 1
         i += 1
     return outside + sum(caches.values())
+
+
+def runtime_parquet_scans(plan: str) -> int:
+    """Cache-deduped count of parquet scans that execute at runtime."""
+    return runtime_count(plan, "Scan parquet")
+
+
+def runtime_exchanges(plan: str) -> int:
+    """Cache-deduped count of Exchange (shuffle) operators that execute
+    at runtime — use this, not ``plan.count("Exchange")``, for shuffle
+    pins on plans containing ``.persist()`` boundaries."""
+    return runtime_count(plan, "Exchange")
 
 
 def summarize(plan: str) -> str:
