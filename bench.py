@@ -84,7 +84,7 @@ def main() -> None:
     # query inside the window on every pass (observed: a 2 s query
     # recording 4.9 s as its min-of-3) — rotation decorrelates a query's
     # position from wall-clock across passes, deterministically.
-    cal_before = _host_calibration()
+    cal = [_host_calibration()]
     timings: dict[str, float] = {}
     n_passes = 4
     for p in range(n_passes):
@@ -95,6 +95,11 @@ def main() -> None:
             dt = round(time.perf_counter() - t0, 3)
             if spec.name not in timings or dt < timings[spec.name]:
                 timings[spec.name] = dt
+        # one sample per pass: contention windows on this host last tens
+        # of seconds (≈ one pass), so edge-only samples can miss a
+        # mid-run window entirely — tools/bench_drift.py normalizes
+        # cross-round comparisons by the mean of these.
+        cal.append(_host_calibration())
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -103,10 +108,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": _sf_from_dir(SF_DIR),
-        # before/after pair: observed host speed varies 0.6-1.5s on this
-        # fixed workload across minutes, which dominates round-to-round
-        # bench deltas — read totals against these.
-        "host_pyloop_sec": [cal_before, _host_calibration()],
+        # one sample before the run + one after each pass: observed
+        # host speed varies 0.6-1.5s on this fixed workload across
+        # minutes, which dominates round-to-round bench deltas —
+        # tools/bench_drift.py normalizes by the mean of these.
+        "host_pyloop_sec": cal,
     }))
 
 
