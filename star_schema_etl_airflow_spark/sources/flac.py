@@ -331,7 +331,7 @@ def _flac_decode(payload: bytes) -> dict:
     # inter-channel samples
     samples: list[int] = []
     while pos < len(payload) and len(samples) < n_total * channels:
-        block, pos = _decode_frame(payload, pos)
+        block, pos = _decode_frame(payload, pos, channels)
         samples.extend(block)
     samples = samples[:n_total * channels]
     return {
@@ -343,7 +343,8 @@ def _flac_decode(payload: bytes) -> dict:
     }
 
 
-def _decode_frame(payload: bytes, pos: int) -> tuple[list[int], int]:
+def _decode_frame(payload: bytes, pos: int,
+                  si_channels: int | None = None) -> tuple[list[int], int]:
     r = _BitReader(payload, pos)
     if r.read(14) != 0b11111111111110:
         raise ValueError(f"FLAC frame sync lost at byte {pos}")
@@ -370,6 +371,12 @@ def _decode_frame(payload: bytes, pos: int) -> tuple[list[int], int]:
         raise NotImplementedError(
             f"FLAC subset decoder: mono/stereo frames only "
             f"(channel code {ch_code:#06b})")
+    if si_channels is not None and len(widths) != si_channels:
+        # a mono frame inside a stereo-declared stream (or vice versa)
+        # would silently miscount n_frames and break the interleaving
+        raise ValueError(
+            f"FLAC frame at byte {pos} has {len(widths)} channel(s) "
+            f"({layout}) but STREAMINFO declares {si_channels}")
     if bps_code not in (0b100, 0b000):
         raise NotImplementedError("FLAC subset decoder: 16-bit only")
     # frame number: UTF-8 coded

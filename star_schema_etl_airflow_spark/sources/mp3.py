@@ -126,6 +126,12 @@ def _probe(payload: bytes) -> dict:
             flen = (12 * kbps * 1000 // hz + pad) * 4
         else:
             flen = 144 * kbps * 1000 // hz + pad
+        if pos + flen > len(payload):
+            # header present but the declared frame body runs past the
+            # payload end — the docstring's truncation contract
+            raise ValueError(
+                f"truncated final MP3 frame at byte {pos}: declared "
+                f"{flen} bytes, {len(payload) - pos} remain")
         kbps_sum += kbps
         frames += 1
         pos += flen

@@ -137,9 +137,14 @@ def _png_decode_impl(payload: bytes) -> dict:
                 raise ValueError("PNG PLTE length not a multiple of 3")
             plte = data
         elif ctype == b"tRNS":
-            raise NotImplementedError(
-                "PNG tRNS (palette transparency) not supported by the "
-                "pure-Python decoder")
+            # tRNS changes decoded pixel output only for indexed color
+            # (type 3: per-palette-entry alpha); on gray/RGB it is
+            # ignorable single-color transparency metadata, skipped like
+            # any other ancillary chunk
+            if color_type == 3:
+                raise NotImplementedError(
+                    "PNG tRNS (palette transparency) not supported by "
+                    "the pure-Python decoder")
         elif ctype == b"IDAT":
             idat.extend(data)
         elif ctype == b"IEND":

@@ -243,3 +243,21 @@ def test_stereo_compresses_correlated_signal():
     assert len(ls) < len(ind)
     assert flac_decode(ls)["samples"] == samples
     assert flac_decode(ind)["samples"] == samples
+
+
+def test_frame_channel_layout_must_match_streaminfo():
+    """ADVICE r7: a mono frame inside a stereo-declared stream (header
+    splice below) silently miscounted n_frames/interleaving before —
+    the decoder now cross-checks each frame's channel assignment
+    against STREAMINFO and raises."""
+    mono = flac_encode([i % 100 for i in range(256)], 44100, channels=1)
+    stereo = flac_encode([i % 100 for i in range(512)], 44100, channels=2)
+    # fLaC magic (4) + metadata block header (4) + STREAMINFO (34) = 42:
+    # stereo-declared header over the mono stream's frames
+    spliced = stereo[:42] + mono[42:]
+    with pytest.raises(ValueError, match="STREAMINFO declares 2"):
+        flac_decode(spliced)
+    # and the reverse: mono-declared header over stereo frames
+    spliced = mono[:42] + stereo[42:]
+    with pytest.raises(ValueError, match="STREAMINFO declares 1"):
+        flac_decode(spliced)

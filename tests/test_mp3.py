@@ -112,3 +112,15 @@ def test_decode_stats_reports_mp3_rows(spark):
     row = decode_stats(media).collect()[0]
     assert row.decoded and row.sample_rate == 44100 \
         and row.n_frames == 4 * 1152 and row.decode_err is None
+
+
+def test_truncated_final_frame_raises():
+    """ADVICE r7: a final frame whose declared length runs past the
+    payload end must raise (the docstring's truncation contract), not
+    count as a whole frame and overstate duration."""
+    ok = mp3_frame(3, 128, 44100)
+    with pytest.raises(ValueError, match="truncated final MP3 frame"):
+        mp3_probe(ok + ok[:-10])
+    # a lone truncated frame likewise
+    with pytest.raises(ValueError, match="truncated final MP3 frame"):
+        mp3_probe(ok[:-1])

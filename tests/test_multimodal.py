@@ -475,3 +475,40 @@ def test_png_palette_resize_roundtrip():
     assert (small["width"], small["height"], small["channels"]) == (4, 4, 3)
     # nearest-neighbor keeps the checkerboard's top-left black pixel
     assert small["pixels"][:3] == bytes([0, 0, 0])
+
+
+def test_png_trns_ignored_on_truecolor_raises_on_palette():
+    """ADVICE r7: tRNS is ignorable single-color transparency metadata
+    on gray/RGB (skip it, like any ancillary chunk); only on indexed
+    color (type 3) does it change pixel output, where the pure-Python
+    decoder declares its subset boundary."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from star_schema_etl_airflow_spark.sources.multimodal import _png_encode
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    def splice_trns(png, data):
+        i = png.index(b"IDAT") - 4
+        return png[:i] + chunk(b"tRNS", data) + png[i:]
+
+    pixels = bytes(range(30))
+    rgb = splice_trns(_png_encode(pixels, 5, 2, 2),
+                      struct.pack(">HHH", 1, 2, 3))
+    m = decode_media(rgb, "image")
+    assert (m["width"], m["height"], m["pixels"]) == (5, 2, pixels)
+
+    gray = splice_trns(_png_encode(bytes(range(10)), 5, 2, 0),
+                       struct.pack(">H", 1))
+    assert decode_media(gray, "image")["pixels"] == bytes(range(10))
+
+    palette = bytes([10, 20, 30, 200, 0, 0])
+    indexed = splice_trns(
+        _make_palette_png(2, 1, palette, bytes([0, 1])), bytes([128]))
+    with pytest.raises(NotImplementedError, match="tRNS"):
+        decode_media(indexed, "image")
