@@ -35,6 +35,7 @@ from star_schema_etl_airflow_spark.functions.text import (
     shingles_spark,
     tokens_spark,
 )
+from star_schema_etl_airflow_spark.functions.caching import persist_once
 
 
 DECONTAM_NGRAM = 8  # long grams are near-unique — see overlap_pairs
@@ -72,9 +73,9 @@ def overlap_pairs(
     g = f"array_distinct({shingle_hashes_spark(shingles_spark('__t', n))})"
     # the eval gram index is tiny and feeds two broadcasts (grams, sizes)
     # — persist it so each broadcast build doesn't recompute the lineage
-    ev = eval_df.select(
+    ev = persist_once(eval_df.select(
         F.col(id_col).alias("eval_id"), F.expr(toks).alias("__t")
-    ).select("eval_id", F.expr(g).alias("__h")).persist()
+    ).select("eval_id", F.expr(g).alias("__h")))
     ev_sizes = ev.select("eval_id", F.size("__h").alias("n_eval_grams"))
     ev_grams = ev.select("eval_id", F.explode("__h").alias("g"))
     tr_grams = train_df.select(

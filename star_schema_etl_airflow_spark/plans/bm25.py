@@ -45,6 +45,7 @@ from star_schema_etl_airflow_spark.functions.text import (
 )
 from star_schema_etl_airflow_spark.registry import QuerySpec, register
 from star_schema_etl_airflow_spark.sources.fixtures import load_table
+from star_schema_etl_airflow_spark.functions.caching import persist_once
 
 _TOKS_S = tokens_spark("text")
 _TOKS_D = tokens_duck("text")
@@ -73,7 +74,7 @@ def bm25_scores(
     toks = docs.select("doc_id", F.explode(F.expr(_TOKS_S)).alias("term"))
     # tf feeds both df-counting and scoring; persist the (doc,term)-sized
     # partial instead of re-exploding the corpus
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).persist()
+    tf = persist_once(toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
     dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
     stats = dl.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")

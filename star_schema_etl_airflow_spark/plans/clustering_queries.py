@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from star_schema_etl_airflow_spark.operators.kmeans import kmeans_fit
 from star_schema_etl_airflow_spark.registry import QuerySpec, register
 from star_schema_etl_airflow_spark.sources.fixtures import load_table
+from star_schema_etl_airflow_spark.functions.caching import persist_once
 
 K = 8
 N_ITER = 2
@@ -199,8 +200,8 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         # re-run that join, and broadcast the closure sides (at web scale
         # the edge list is big: keep e1 shuffled, degree-orient, and let
         # e2/e3 be the bucketed sides instead)
-        .persist()
     )
+    und = persist_once(und)
     e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
     tris = (
         e1.join(F.broadcast(e2), F.col("e1.b") == F.col("e2.a"))

@@ -57,6 +57,7 @@ from star_schema_etl_airflow_spark.functions.text import (
 from star_schema_etl_airflow_spark.operators.sampling import hash_split
 from star_schema_etl_airflow_spark.registry import QuerySpec, register
 from star_schema_etl_airflow_spark.sources.fixtures import load_table
+from star_schema_etl_airflow_spark.functions.caching import persist_once
 
 # --- DSIR -------------------------------------------------------------------
 
@@ -125,8 +126,8 @@ def dsir_weights(docs: DataFrame) -> DataFrame:
                 f"pmod({md5_long_spark('feat', HASH_SEED)}, {N_BUCKETS})"
             ).alias("bucket"),
         )
-        .persist()
     )
+    feats = persist_once(feats)
 
     counts = feats.groupBy("bucket").agg(
         F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("t_b"),

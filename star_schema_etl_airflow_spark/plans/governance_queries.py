@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from star_schema_etl_airflow_spark.registry import QuerySpec, register
 from star_schema_etl_airflow_spark.sources.fixtures import load_table
+from star_schema_etl_airflow_spark.functions.caching import persist_once
 
 K_ANON = 5
 # sensitive attribute: account-balance bucketed to thousands (a stand-in
@@ -186,9 +187,9 @@ def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     into the rule join.  Both directions of every pair are emitted
     (a→b and b→a differ in confidence).  Ratios are single double
     divisions of exact integer counts — deterministic on both engines."""
-    li = load_table(spark, sf_dir, "lineitem").select(
+    li = persist_once(load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
-    ).distinct().persist()
+    ).distinct())
     n_orders = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
     item_support = li.groupBy("l_partkey").agg(
         F.count("*").alias("item_n")

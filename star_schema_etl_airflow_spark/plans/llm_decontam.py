@@ -36,6 +36,7 @@ from star_schema_etl_airflow_spark.operators.sampling import (
 )
 from star_schema_etl_airflow_spark.registry import QuerySpec, register
 from star_schema_etl_airflow_spark.sources.fixtures import load_table
+from star_schema_etl_airflow_spark.functions.caching import persist_once
 
 _KEY_S = "cast(doc_id as string)"
 _KEY_D = "CAST(doc_id AS VARCHAR)"
@@ -59,9 +60,9 @@ def _split_docs(spark: SparkSession, sf_dir: str):
 def _contaminated_train(ev: DataFrame, tr: DataFrame) -> DataFrame:
     # rank eval docs so train docs can pick one by modulo — the window is
     # over the eval set only (tiny by definition; single partition is fine)
-    evr = ev.withColumn(
+    evr = persist_once(ev.withColumn(
         "eval_rn", F.row_number().over(Window.orderBy("doc_id")) - 1
-    ).persist()
+    ))
     # eval-set cardinality is a tiny scalar (same pattern as
     # sampling.mix_to_weights); the oracle recomputes it dynamically
     n_eval = evr.count()

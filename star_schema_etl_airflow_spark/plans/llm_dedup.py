@@ -47,6 +47,7 @@ from star_schema_etl_airflow_spark.functions.text import (
 )
 from star_schema_etl_airflow_spark.registry import QuerySpec, register
 from star_schema_etl_airflow_spark.sources.fixtures import load_table
+from star_schema_etl_airflow_spark.functions.caching import persist_once
 
 # --- corpus with synthetic duplicates --------------------------------------
 
@@ -169,7 +170,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection four times (Catalyst reuses exchanges, not arbitrary
     subtrees).  At 100 TB the signature table would be a materialized
     intermediate (write once, read four times) for the same reason."""
-    sig = _signature_df(spark, sf_dir).persist()
+    sig = persist_once(_signature_df(spark, sf_dir))
 
     band_exprs = []
     for b in range(_N_BANDS):
@@ -633,7 +634,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     side.  Candidates come from the same LSH band buckets as the
     symmetric pass — one extra projection over machinery the Jaccard
     join already paid for; both directions emitted per pair."""
-    sig = _signature_df(spark, sf_dir).persist()
+    sig = persist_once(_signature_df(spark, sf_dir))
 
     band_exprs = []
     for b in range(_N_BANDS):

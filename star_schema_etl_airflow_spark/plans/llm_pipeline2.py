@@ -45,6 +45,7 @@ from star_schema_etl_airflow_spark.plans.llm_dedup2 import (
     dedup_lines,
 )
 from star_schema_etl_airflow_spark.registry import QuerySpec, register
+from star_schema_etl_airflow_spark.functions.caching import persist_once
 
 GATE_MIN_TOKENS = 20
 EVAL_SEED = "cur2-eval"
@@ -78,7 +79,7 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1. boilerplate removal (oracle-checked operator, reused verbatim);
     #    persisted: consumed by the dedup hash, the gram build, the gate
     #    and the rollup
-    cleaned = dedup_lines(spark, sf_dir).persist()
+    cleaned = persist_once(dedup_lines(spark, sf_dir))
 
     # 2. exact dedup on cleaned text — canonical = lowest doc_id
     deduped = (

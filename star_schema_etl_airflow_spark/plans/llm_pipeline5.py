@@ -42,6 +42,7 @@ from star_schema_etl_airflow_spark.plans.substring_queries import (
 )
 from star_schema_etl_airflow_spark.registry import QuerySpec, register
 from star_schema_etl_airflow_spark.sources.fixtures import load_table
+from star_schema_etl_airflow_spark.functions.caching import persist_once
 
 V5_MIN_TOKENS = 8        # survive only if excision left this many tokens
 V5_BUCKET_BITS = 8       # sign bits of JL components p0..p7 → 256 buckets
@@ -53,7 +54,7 @@ def curation_pipeline_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist the fixture-amplifier derivation once (see
     # plans/substring_queries.dedup_substring_spans for the rationale
     # and the production disposition)
-    corpus = build_corpus(spark, sf_dir).persist()
+    corpus = persist_once(build_corpus(spark, sf_dir))
     # 1) corpus-wide exact-substring excision
     excised = excise_spans(corpus, duplicate_substring_spans(corpus))
     # 2) gate: drop documents hollowed out by the excision

@@ -46,6 +46,7 @@ from star_schema_etl_airflow_spark.functions.text import (
 )
 from star_schema_etl_airflow_spark.registry import QuerySpec, register
 from star_schema_etl_airflow_spark.sources.fixtures import load_table
+from star_schema_etl_airflow_spark.functions.caching import persist_once
 
 LM_SCALE = 1_000_000
 # keep docs whose avg NLL (micro-ln units) is below this: ~e^3.4 ≈ 30
@@ -114,7 +115,7 @@ def ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     # tokenize+explode once; both the training aggregates and the
     # scoring join read the cache (bm25's persisted-tf precedent)
-    bg_all = _doc_bigrams_with_sentinel(docs).persist()
+    bg_all = persist_once(_doc_bigrams_with_sentinel(docs))
     bg = bg_all.filter(F.col("w2").isNotNull())
     c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
     # c1(w1) = Σ_w2 c2(w1, w2): the marginal identity — no corpus touch

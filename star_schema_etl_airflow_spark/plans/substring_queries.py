@@ -28,6 +28,7 @@ from star_schema_etl_airflow_spark.plans.llm_dedup import (
 )
 from star_schema_etl_airflow_spark.registry import QuerySpec, register
 from star_schema_etl_airflow_spark.sources.fixtures import load_table
+from star_schema_etl_airflow_spark.functions.caching import persist_once
 
 _N = SUBSTR_NGRAM
 _TOKS_D = tokens_duck("text")
@@ -47,7 +48,7 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the corpus is an at-rest table and this persist is dropped — the
     # two passes themselves are the design, not the re-derivation.
     return duplicate_substring_spans(
-        build_corpus(spark, sf_dir).persist(), n=_N)
+        persist_once(build_corpus(spark, sf_dir)), n=_N)
 
 
 _SPAN_CTES = f"""corpus AS ({CORPUS_DUCK}),
@@ -103,7 +104,7 @@ register(QuerySpec("dedup_substring_spans", dedup_substring_spans,
 def dedup_substring_excised(spark: SparkSession, sf_dir: str) -> DataFrame:
     # three corpus passes (spans ×2 + the excision join); one persisted
     # amplifier derivation — see dedup_substring_spans
-    corpus = build_corpus(spark, sf_dir).persist()
+    corpus = persist_once(build_corpus(spark, sf_dir))
     return excise_spans(corpus, duplicate_substring_spans(corpus, n=_N))
 
 

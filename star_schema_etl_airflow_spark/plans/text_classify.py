@@ -54,6 +54,7 @@ from star_schema_etl_airflow_spark.functions.text import (
 )
 from star_schema_etl_airflow_spark.registry import QuerySpec, register
 from star_schema_etl_airflow_spark.sources.fixtures import load_table
+from star_schema_etl_airflow_spark.functions.caching import persist_once
 
 LOG_DECIMALS = 9
 
@@ -77,7 +78,7 @@ def nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-scanning the exploded corpus — training is ONE pass over the
     # 100 TB side, so persist the partial for its four consumers.
     tok_class = (
-        toks.groupBy("token", "lang").agg(F.count("*").alias("k")).persist()
+        persist_once(toks.groupBy("token", "lang").agg(F.count("*").alias("k")))
     )
     class_tok = tok_class.groupBy("lang").agg(F.sum("k").alias("n_tok"))
     class_docs = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
@@ -225,7 +226,7 @@ def tfidf_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the weighted index feeds three consumers (norms + both join sides);
     # persist it or the shingle explosion + md5 work runs three times
     # (same rationale as the minhash signature persist, plans/llm_dedup.py)
-    weighted = postings.join(idf, "term").persist()
+    weighted = persist_once(postings.join(idf, "term"))
     norms = weighted.groupBy("doc_id").agg(
         F.sqrt(
             F.sum(F.col("w") * F.col("w")).cast("double")
