@@ -97,6 +97,7 @@ def _ensure_loaded() -> None:
         sketches,
         spark4_features,
         sql_queries,
+        sqlfiles,
         subquery_queries,
         substring_queries,
         text_classify,

@@ -45,10 +45,34 @@ def substitute_params(sql: str, params: dict[str, str] | None) -> str:
     return _TEMPLATE_RE.sub(repl, sql)
 
 
-def sql_path(root: str, layer: str, domain: str, table_type: str, name: str) -> str:
-    """S5: (layer, domain, table_type, name) → sql file path
-    (utils/sql_utils.py:28-32 convention)."""
-    return os.path.join(root, "sql", layer, domain, table_type, f"{name}.sql")
+def sql_path(
+    root: str,
+    layer: str,
+    name: str,
+    *,
+    domain: str | None = None,
+    table_type: str | None = None,
+) -> str:
+    """S5: layer-dispatched sql file path (utils/sql_utils.py:7-41):
+    raw/datamart nest by ``domain``, core nests by ``table_type``
+    (dim/fact) — e.g. ``sql/core/dim/dim_customers.sql``,
+    ``sql/datamart/sales/sales_summary.sql``."""
+    base = os.path.join(root, "sql")
+    layer = layer.lower()
+    if layer in ("raw", "datamart"):
+        mid = [domain] if domain else []
+    elif layer == "core":
+        mid = [table_type] if table_type else []
+    else:
+        raise ValueError(f"Unknown layer: {layer}")
+    return os.path.join(base, layer, *mid, f"{name}.sql")
+
+
+# Repo root holding the committed reference-parity script tree
+# (sql/core/{dim,fact}/*.sql, sql/datamart/sales/*.sql).
+SQL_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -28,8 +28,33 @@ def test_substitute_missing_param_raises():
 
 
 def test_sql_path_convention(tmp_path):
-    assert sql_path("/r", "core", "sales", "dim", "dim_customers") == \
-        "/r/sql/core/sales/dim/dim_customers.sql"
+    # the reference's layer dispatch (utils/sql_utils.py:7-41): core
+    # nests by table_type, raw/datamart by domain
+    assert sql_path("/r", "core", "dim_customers", table_type="dim") == \
+        "/r/sql/core/dim/dim_customers.sql"
+    assert sql_path("/r", "datamart", "sales_summary", domain="sales") == \
+        "/r/sql/datamart/sales/sales_summary.sql"
+    assert sql_path("/r", "raw", "orders") == "/r/sql/raw/orders.sql"
+    with pytest.raises(ValueError, match="Unknown layer"):
+        sql_path("/r", "nope", "x")
+
+
+def test_committed_sql_tree_resolves():
+    """The committed reference-parity script tree resolves through the
+    S5 path registry (every reference transform has a drop-in file)."""
+    import os
+
+    from star_schema_etl_airflow_spark.sources.sql_exec import SQL_ROOT
+
+    for layer, name, kw in [
+        ("core", "dim_customers", {"table_type": "dim"}),
+        ("core", "dim_products", {"table_type": "dim"}),
+        ("core", "dim_dates", {"table_type": "dim"}),
+        ("core", "fact_orders", {"table_type": "fact"}),
+        ("datamart", "sales_summary", {"domain": "sales"}),
+        ("datamart", "customer_analytics", {"domain": "sales"}),
+    ]:
+        assert os.path.exists(sql_path(SQL_ROOT, layer, name, **kw)), name
 
 
 def test_run_sql_with_named_args(spark):
