@@ -147,3 +147,75 @@ def test_decode_media_dispatches_gif():
     idx = bytes((i % 2) for i in range(20))
     dec = decode_media(gif_encode_indexed(idx, 5, 4, pal), "image")
     assert dec["channels"] == 3 and dec["pixels"] == _expect_rgb(idx, pal)
+
+
+def test_lzw_code_out_of_sequence_raises():
+    """A code beyond next_code (not the KwKwK case) must raise the
+    contract ValueError, not emit garbage pixels."""
+    pal = bytes([1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12])
+    # min_code 2: clear=4, eoi=5, first free code 6.  Emit CLEAR, a
+    # literal, then code 7 (one PAST next_code=6, still inside the
+    # 3-bit width) — out of sequence, not the KwKwK case.
+    acc, nbits, out = 0, 0, bytearray()
+
+    def emit(code, size):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(4, 3)
+    emit(0, 3)
+    emit(7, 3)
+    if nbits:
+        out.append(acc & 0xFF)
+    with pytest.raises(ValueError, match="out of sequence|malformed"):
+        gif_decode(_wrap_gif(4, 4, pal, 1, 2, bytes(out)))
+
+
+def test_interlaced_truncation_sweep_never_leaks():
+    """VERDICT r7 task 6: every truncation point of an interlaced GIF
+    must either decode (when only trailing bytes are lost) or raise the
+    ValueError/NotImplementedError contract — never IndexError/
+    struct.error from the interlace reorder or the LZW bit reader."""
+    pal = bytes(b for i in range(4) for b in (i * 70, i * 60, i * 50))
+    w, h = 11, 17                      # odd sizes: uneven interlace passes
+    idx = bytes(((x * 3 + y) % 4) for y in range(h) for x in range(w))
+    full = gif_encode_indexed(idx, w, h, pal, interlace=True)
+    ok = leaks = 0
+    for cut in range(len(full)):
+        try:
+            gif_decode(full[:cut])
+        except (ValueError, NotImplementedError):
+            continue
+        except Exception as exc:  # noqa: BLE001 — the assertion
+            leaks += 1
+            assert not leaks, f"cut={cut}: {type(exc).__name__}: {exc}"
+        else:
+            ok += 1
+    # only the complete payload (and possibly trailer-less tails) decode
+    assert ok <= 3
+
+
+def test_interlaced_lzw_bitflip_sweep_never_leaks():
+    """Single-byte corruption at every offset of a REAL-LZW interlaced
+    stream: decode exactly, decode differently, or raise the contract
+    error — never a low-level exception."""
+    pal = bytes(b for i in range(4) for b in (i * 80, 255 - i * 40, i))
+    w, h = 16, 16
+    idx = bytes(((x // 2 + y // 2) % 4) for y in range(h) for x in range(w))
+    full = bytearray(_wrap_gif(w, h, pal, 1, 2, _lzw_compress(2, idx),
+                               interlace=True))
+    for off in range(len(full)):
+        b = bytearray(full)
+        b[off] ^= 0xA5
+        try:
+            gif_decode(bytes(b))
+        except (ValueError, NotImplementedError):
+            pass
+        except Exception as exc:  # noqa: BLE001
+            raise AssertionError(
+                f"offset {off}: {type(exc).__name__}: {exc}") from exc

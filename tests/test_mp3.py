@@ -124,3 +124,66 @@ def test_truncated_final_frame_raises():
     # a lone truncated frame likewise
     with pytest.raises(ValueError, match="truncated final MP3 frame"):
         mp3_probe(ok[:-1])
+
+
+def test_reserved_and_forbidden_header_fields_raise():
+    """VERDICT r7 task 6: every reserved/forbidden header field value
+    maps to the documented contract error."""
+    f = bytearray(mp3_frame(3, 128, 44100))
+    # layer bits 00 (reserved): byte 1 bits 2-1
+    f[1] = (f[1] & ~0x06)
+    with pytest.raises(ValueError, match="reserved MPEG layer"):
+        mp3_probe(bytes(f))
+    # bitrate index 15 (forbidden): byte 2 high nibble
+    f = bytearray(mp3_frame(3, 128, 44100))
+    f[2] |= 0xF0
+    with pytest.raises(ValueError, match="forbidden MPEG bitrate"):
+        mp3_probe(bytes(f))
+    # sample-rate index 3 (reserved): byte 2 bits 3-2
+    f = bytearray(mp3_frame(3, 128, 44100))
+    f[2] |= 0x0C
+    with pytest.raises(ValueError, match="reserved MPEG sample-rate"):
+        mp3_probe(bytes(f))
+
+
+def test_id3v2_lying_size_fields():
+    """A truncated ID3v2 header, and a syncsafe size pointing past the
+    payload end, both raise — never IndexError from the frame walk."""
+    with pytest.raises(ValueError, match="truncated ID3v2"):
+        mp3_probe(b"ID3\x04\x00")
+    frames = mp3_frame(3, 128, 44100)
+    # size claims 1 MB of tag data; only one frame follows
+    lying = b"ID3\x04\x00\x00" + bytes([0, 0x40, 0, 0]) + frames
+    with pytest.raises(ValueError, match="no MPEG frames"):
+        mp3_probe(lying)
+    # size that lands the walker mid-frame: sync lost, no frames seen
+    inside = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 3]) + b"abc" + frames[:50]
+    with pytest.raises(ValueError, match="sync lost|truncated"):
+        mp3_probe(inside[:40])
+
+
+def test_mid_stream_sync_corruption_stops_cleanly():
+    """Corrupting the second frame's sync word after a valid first frame
+    stops the walk (trailing-junk rule) with the valid prefix counted."""
+    a, b = mp3_frame(3, 128, 44100), bytearray(mp3_frame(3, 128, 44100))
+    b[0] = 0x00
+    m = mp3_probe(bytes(a) + bytes(b))
+    assert m["frame_count"] == 1
+
+
+def test_header_field_sweep_never_leaks():
+    """All 65536 values of header bytes 1-2 (version/layer/CRC/bitrate/
+    rate/padding) on a synced frame: probe returns or raises the
+    contract errors — never IndexError/KeyError/struct.error."""
+    body = bytes(600)
+    for b1 in range(256):
+        for b2 in range(256):
+            payload = bytes([0xFF, 0xE0 | (b1 & 0x1F), b2, 0xC4]) + body
+            try:
+                mp3_probe(payload)
+            except (ValueError, NotImplementedError):
+                pass
+            except Exception as exc:  # noqa: BLE001 — the assertion
+                raise AssertionError(
+                    f"b1={b1:#x} b2={b2:#x}: "
+                    f"{type(exc).__name__}: {exc}") from exc
