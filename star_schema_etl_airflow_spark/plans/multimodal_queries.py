@@ -775,8 +775,11 @@ SELECT doc_id AS media_id,
 FROM documents
 """
 
+# headline: the audio-decode family's per-round perf guard (r7 verdict
+# task 8) — FLAC is the heaviest pure-Python audio kernel (bit-level
+# Rice decoding), so it is the family's regression canary.
 register(QuerySpec("flac_decoded", flac_decoded, FLAC_DECODED_ORACLE,
-                   tags=("LLM-multimodal",)))
+                   headline=True, tags=("LLM-multimodal",)))
 
 
 # ---------------------------------------------------------------------------
