@@ -74,3 +74,52 @@ def test_run_sql_file(spark, tmp_path):
     p = tmp_path / "q.sql"
     p.write_text("SELECT count(*) AS n FROM {{t}}")
     assert run_sql_file(spark, str(p), params={"t": "nation"}).first().n == 25
+
+
+def test_sqlfile_single_date_refresh_matches_dataframe_twin(spark):
+    """dstart = dend reproduces the reference's single-partition refresh:
+    the file's output for one date equals the DataFrame twin filtered to
+    that date."""
+    from star_schema_etl_airflow_spark.plans.datamart import sales_summary
+    from star_schema_etl_airflow_spark.plans.sqlfiles import (
+        sqlfile_sales_summary,
+    )
+    from star_schema_etl_airflow_spark.sources.sql_exec import (
+        SQL_ROOT,
+        register_views,
+        run_sql_file,
+        sql_path,
+    )
+
+    register_views(spark, SF_DIR)
+    # a date guaranteed to carry orders in every fixture: take one
+    day = (
+        spark.table("orders")
+        .selectExpr("CAST(o_orderdate AS DATE) AS d")
+        .groupBy("d").count().orderBy("count", ascending=False)
+        .first().d.isoformat()
+    )
+    got = run_sql_file(
+        spark,
+        sql_path(SQL_ROOT, "datamart", "sales_summary", domain="sales"),
+        params={"dstart": day, "dend": day},
+    )
+    want = sales_summary(spark, SF_DIR).filter(f"sale_date = DATE'{day}'")
+    assert got.count() > 0
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.select(*got.columns).collect()))
+
+
+def test_sqlfile_fact_orders_plan_is_hash_joined(spark):
+    """The PIT predicates ride an equality key, so the SQL-file fact
+    assembly must plan hash joins (broadcast for the dim sides) — never
+    a nested-loop/cartesian from the range conditions."""
+    from star_schema_etl_airflow_spark.plans.sqlfiles import (
+        sqlfile_fact_orders,
+    )
+
+    plan = sqlfile_fact_orders(spark, SF_DIR)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
