@@ -36,6 +36,13 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 THRESHOLD = 0.30
+# Sub-second queries swing 20-40% between equally-quiet runs (six
+# isolated passes of dedup_minhash_lsh at one commit: 0.63-1.13s after
+# warmup) — a pure percentage gate on them alarms on jitter.  A
+# regression must breach BOTH the relative threshold AND this absolute
+# normalized delta to fail; the 15% total gate still catches diffuse
+# slowdowns made of small deltas.
+ABS_FLOOR_SEC = 0.25
 
 # query -> reason; entries let an *explained* regression pass the gate.
 ACKED: dict[str, str] = {}
@@ -113,7 +120,7 @@ def drift(base: dict, new: dict, base_name: str, new_name: str) -> int:
     for q in sorted(shared):
         b, n = base["queries"][q], new["queries"][q] / factor
         rel = (n - b) / b
-        if rel > THRESHOLD:
+        if rel > THRESHOLD and (n - b) > ABS_FLOOR_SEC:
             if q in ACKED:
                 print(f"ACK  {q}: {b:.3f} -> {n:.3f} ({rel:+.0%}) — {ACKED[q]}")
             else:
