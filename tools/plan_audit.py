@@ -69,6 +69,9 @@ EXTRA = [
     "curation_pipeline_v5",
     "ngram_lm_score",
     "dedup_substring_incremental",
+    "sqlfile_fact_orders",
+    "sqlfile_dim_customers",
+    "flac_decoded",
 ]
 
 
