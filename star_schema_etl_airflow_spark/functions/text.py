@@ -53,12 +53,18 @@ def tokens_duck(expr: str) -> str:
 
 def shingles_spark(toks: str, n: int = SHINGLE_N) -> str:
     """Distinct word n-grams of a token array (docs shorter than n collapse
-    to one whole-doc shingle)."""
+    to one whole-doc shingle).
+
+    ``toks`` is bound ONCE through a one-element-array lambda: splicing
+    it inline would re-evaluate it per gram position inside the
+    position lambda (Spark does no CSE across lambda invocations) —
+    quadratic when ``toks`` is itself the tokenizer split."""
     return (
-        f"array_distinct(case when size({toks}) < {n} "
-        f"then array(array_join({toks}, ' ')) "
-        f"else transform(sequence(0, size({toks}) - {n}), "
-        f"i -> array_join(slice({toks}, i + 1, {n}), ' ')) end)"
+        f"transform(array({toks}), __sh -> "
+        f"array_distinct(case when size(__sh) < {n} "
+        f"then array(array_join(__sh, ' ')) "
+        f"else transform(sequence(0, size(__sh) - {n}), "
+        f"i -> array_join(slice(__sh, i + 1, {n}), ' ')) end))[0]"
     )
 
 

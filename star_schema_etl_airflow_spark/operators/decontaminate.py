@@ -144,12 +144,19 @@ def drop_contaminated(
 def positional_gram_hashes(text_col: str, n: int = DECONTAM_NGRAM) -> str:
     """Gram hashes in token-position order (NOT distinct — position i of
     the result is the gram starting at token i).  Docs shorter than ``n``
-    tokens produce an empty array."""
+    tokens produce an empty array.
+
+    The tokenizer is bound ONCE per document through a one-element-array
+    lambda (``transform(array(toks), __t -> ...)[0]``): an inline
+    ``{toks}`` splice re-evaluates the regexp split per gram position
+    inside the position lambda (no CSE across lambda invocations),
+    which measured 1.9× slower on the corpus gram stage at sf0.1."""
     toks = tokens_spark(text_col)
     grams = (
-        f"case when size({toks}) < {n} then array() "
-        f"else transform(sequence(0, size({toks}) - {n}), "
-        f"i -> array_join(slice({toks}, i + 1, {n}), ' ')) end"
+        f"transform(array({toks}), __t -> "
+        f"case when size(__t) < {n} then array() "
+        f"else transform(sequence(0, size(__t) - {n}), "
+        f"i -> array_join(slice(__t, i + 1, {n}), ' ')) end)[0]"
     )
     return shingle_hashes_spark(grams)
 
