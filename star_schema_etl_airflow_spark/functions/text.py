@@ -43,6 +43,21 @@ def md5_long_duck(expr: str, seed: str | None = None) -> str:
     return f"CAST(('0x' || substr(md5({src}), 1, 15)) AS BIGINT)"
 
 
+def let_spark(value: str, var: str, body: str) -> str:
+    """SQL let-binding: evaluate ``value`` ONCE, bind it to ``var``, and
+    evaluate ``body`` (which references ``var``).
+
+    Implemented as ``transform(array(value), var -> body)[0]``.  Use it
+    whenever an expensive expression (typically the tokenizer split)
+    would otherwise be spliced into a per-element lambda body — Spark
+    performs no common-subexpression elimination across lambda
+    invocations, so an inline splice re-evaluates per element (the
+    O(n²)-per-document trap documented in plans/ngram_lm.py and fixed
+    in shingles_spark/positional_gram_hashes).  ``var`` must be unique
+    within the enclosing expression tree."""
+    return f"transform(array({value}), {var} -> {body})[0]"
+
+
 def tokens_spark(expr: str) -> str:
     return f"split({expr}, '\\\\s+')"
 

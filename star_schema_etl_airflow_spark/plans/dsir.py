@@ -49,6 +49,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from star_schema_etl_airflow_spark.functions.text import (
+    let_spark,
     md5_long_duck,
     md5_long_spark,
     tokens_duck,
@@ -71,12 +72,16 @@ _TOKS_S = tokens_spark("text")
 _TOKS_D = tokens_duck("text")
 
 # unigram + bigram token occurrences (multiset — DSIR counts, not sets)
-_FEATS_S = (
-    f"concat({_TOKS_S}, "
-    f"case when size({_TOKS_S}) < 2 then cast(array() as array<string>) "
-    f"else transform(sequence(1, size({_TOKS_S}) - 1), "
-    f"i -> concat(element_at({_TOKS_S}, i), ' ', element_at({_TOKS_S}, i + 1))) "
-    f"end)"
+# let-bound: the tokenizer runs ONCE per document; an inline splice
+# would re-split the text per bigram position inside the lambda
+_FEATS_S = let_spark(
+    _TOKS_S,
+    "__ft",
+    "concat(__ft, "
+    "case when size(__ft) < 2 then cast(array() as array<string>) "
+    "else transform(sequence(1, size(__ft) - 1), "
+    "i -> concat(element_at(__ft, i), ' ', element_at(__ft, i + 1))) "
+    "end)",
 )
 _FEATS_D = (
     f"list_concat({_TOKS_D}, "

@@ -47,6 +47,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from star_schema_etl_airflow_spark.functions.text import (
+    let_spark,
     md5_long_duck,
     md5_long_spark,
     tokens_duck,
@@ -73,12 +74,14 @@ COMMON_DOC_FRACTION = 0.3
 _TOKS_S = tokens_spark("text")
 _TOKS_D = tokens_duck("text")
 
-_NCHUNKS_S = f"cast(ceil(size({_TOKS_S}) / {LINE_TOKENS}.0d) as int)"
-_LINES_S = (
+# let-bound: the tokenizer runs ONCE per document, not once per chunk
+_LINES_S = let_spark(
+    _TOKS_S,
+    "__lt",
     f"concat(array('{HEADER_LINE}'), "
-    f"transform(sequence(0, {_NCHUNKS_S} - 1), "
-    f"i -> array_join(slice({_TOKS_S}, i * {LINE_TOKENS} + 1, {LINE_TOKENS}), ' ')), "
-    f"slice(array('{FOOTER_LINE}'), 1, cast(doc_id % 2 = 0 as int)))"
+    f"transform(sequence(0, cast(ceil(size(__lt) / {LINE_TOKENS}.0d) as int) - 1), "
+    f"i -> array_join(slice(__lt, i * {LINE_TOKENS} + 1, {LINE_TOKENS}), ' ')), "
+    f"slice(array('{FOOTER_LINE}'), 1, cast(doc_id % 2 = 0 as int)))",
 )
 
 _NCHUNKS_D = f"CAST(CEIL(len({_TOKS_D}) / {LINE_TOKENS}.0) AS INT)"

@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from star_schema_etl_airflow_spark.functions.text import (
+    let_spark,
     tokens_duck,
     tokens_spark,
 )
@@ -57,12 +58,6 @@ LM_GATE_MICRO = 3_400_000
 _TOKS_S = tokens_spark("text")
 _TOKS_D = tokens_duck("text")
 
-_BIGRAMS_S = (
-    f"case when size({_TOKS_S}) < 2 then array() else "
-    f"transform(sequence(0, size({_TOKS_S}) - 2), "
-    f"i -> struct(element_at({_TOKS_S}, i + 1) as w1, "
-    f"element_at({_TOKS_S}, i + 2) as w2)) end"
-)
 _BIGRAMS_D = (
     f"CASE WHEN len({_TOKS_D}) < 2 THEN [] ELSE "
     f"list_transform(range(1, len({_TOKS_D})), "
@@ -78,19 +73,23 @@ _BIGRAMS_D = (
 # Built with zip_with over two slices, NOT transform+element_at: an
 # element_at(split(text), i) inside a lambda re-splits the text per
 # element (O(n²) per document — measured 8 s to materialize 270k rows
-# at sf0.1), while slice/zip_with evaluate the token array O(n).
+# at sf0.1), while slice/zip_with evaluate the token array O(n); the
+# let-binding then makes the split run ONCE per document instead of
+# once per splice site.
 _SENTINEL = (
-    f"array(named_struct('w1', element_at({_TOKS_S}, -1), "
-    f"'w2', cast(null as string)))"
+    "array(named_struct('w1', element_at(__bt, -1), "
+    "'w2', cast(null as string)))"
 )
-_BIGRAMS_SENTINEL_S = (
-    f"case when size({_TOKS_S}) < 1 then array() "
-    f"when size({_TOKS_S}) < 2 then {_SENTINEL} "
+_BIGRAMS_SENTINEL_S = let_spark(
+    _TOKS_S,
+    "__bt",
+    f"case when size(__bt) < 1 then array() "
+    f"when size(__bt) < 2 then {_SENTINEL} "
     f"else concat("
-    f"zip_with(slice({_TOKS_S}, 1, size({_TOKS_S}) - 1), "
-    f"slice({_TOKS_S}, 2, size({_TOKS_S}) - 1), "
+    f"zip_with(slice(__bt, 1, size(__bt) - 1), "
+    f"slice(__bt, 2, size(__bt) - 1), "
     f"(a, b) -> named_struct('w1', a, 'w2', b)), "
-    f"{_SENTINEL}) end"
+    f"{_SENTINEL}) end",
 )
 
 
