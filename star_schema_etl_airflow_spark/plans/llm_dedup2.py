@@ -53,6 +53,7 @@ from star_schema_etl_airflow_spark.functions.text import (
     tokens_duck,
     tokens_spark,
 )
+from star_schema_etl_airflow_spark.functions.caching import persist_once
 from star_schema_etl_airflow_spark.operators.kmeans import assign_clusters
 from star_schema_etl_airflow_spark.registry import QuerySpec, register
 from star_schema_etl_airflow_spark.sources.fixtures import load_table
@@ -287,8 +288,23 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_PERTURB_S).alias("embedding"),
     )
     corpus = emb.unionByName(dup)
-    assigned = corpus.join(assign_clusters(corpus, codebook), "vec_id")
+    # persist: assigned has THREE consumers (both sides of the pair
+    # self-join + the final left join), so the codebook cross-join
+    # argmin would otherwise execute three times; and pre-compute each
+    # vector's norm ONCE here — the per-pair cosine then evaluates one
+    # dot product instead of dot + two norms (the norms are the same
+    # doubles either way, so the rounded cosine is bit-identical)
+    norm = ("sqrt(aggregate(zip_with(embedding, embedding, (x, y) -> "
+            "cast(x as double) * cast(y as double)), "
+            "cast(0 as double), (acc, v) -> acc + v))")
+    assigned = persist_once(
+        corpus.join(assign_clusters(corpus, codebook), "vec_id")
+        .withColumn("__norm", F.expr(norm))
+    )
     a, b = assigned.alias("a"), assigned.alias("b")
+    dot = ("aggregate(zip_with(a.embedding, b.embedding, (x, y) -> "
+           "cast(x as double) * cast(y as double)), "
+           "cast(0 as double), (acc, v) -> acc + v)")
     dropped = (
         a.join(
             b,
@@ -296,7 +312,8 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .filter(
-            F.expr(_sem_cos_spark("a.embedding", "b.embedding"))
+            F.expr(f"round({dot} / (a.__norm * b.__norm), "
+                   f"{SEM_COS_DECIMALS})")
             >= SEM_COS_THRESHOLD
         )
         .select(F.col("b.vec_id").alias("vec_id"))
