@@ -492,18 +492,33 @@ def dedup_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     in INTEGER arithmetic (``n - (9n+9) div 10 + 1``) — a float
     ``ceil(0.9*n)`` is an off-by-one trap at exact multiples.
 
+    Candidate pruning is full PPJoin (Xiao et al. 2008), not bare
+    AllPairs: besides the prefix theorem, every candidate row must pass
+    the LENGTH filter (J >= t needs overlap o >= ceil(9(na+nb)/19), and
+    o <= min(na, nb)) and the POSITIONAL filter (tokens sorted in one
+    global (df, tok) order on both sides, so a token shared at sorted
+    positions pa/pb bounds the overlap by
+    min(pa-1, pb-1) + 1 + min(na-pa, nb-pb)).  Both are upper-bound
+    prunes — the exact Jaccard verify still decides membership, so the
+    result is exact.  On this fixture's degenerate 31-token vocabulary
+    the bare prefix join emits 37M candidate rows for 6.5k docs (worse
+    than brute force); the filters cut that to 13.2M rows / 5.6M
+    distinct candidates at sf0.1 — against 1.44M TRUE pairs, i.e. the
+    fixture corpus is genuinely ~quadratically self-similar and the
+    query is output-bound (215s → ~15s).  A Zipfian web corpus prunes
+    orders of magnitude harder AND has near-linear true output.
+
     Scale: token DF is one aggregate; candidate generation shuffles on
-    single tokens (rare-first prefixes keep hot tokens out); the verify
-    carries the token sets only for surviving candidates.  This corpus's
-    tiny vocabulary makes prefixes unusually dense — real web corpora
-    (Zipfian vocab) prune orders of magnitude harder."""
+    single tokens; the verify carries the token sets only for surviving
+    candidates.  Real web corpora (Zipfian vocab) prune orders of
+    magnitude harder still."""
     from pyspark.sql import Window
 
     corpus = build_corpus(spark, sf_dir)
-    toks = corpus.select(
+    toks = persist_once(corpus.select(
         "doc_id",
         F.expr(f"array_distinct({tokens_spark('text')})").alias("s"),
-    ).withColumn("n", F.expr("size(s)"))
+    ).withColumn("n", F.expr("size(s)")))
 
     flat = toks.select("doc_id", "n", F.explode("s").alias("tok"))
     tok_df = flat.groupBy("tok").agg(F.count("*").alias("df"))
@@ -519,13 +534,30 @@ def dedup_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                .cast("long") / PREFIX_T_DEN).cast("long")
             + 1
         )
-        .select("doc_id", "tok")
+        .select("doc_id", "tok", "pos", "n")
     )
 
+    # o_req = ceil(9(na+nb)/19): the minimum overlap a Jaccard >= 9/10
+    # pair must have (19o >= 9(na+nb), integer ceiling)
+    o_req = (
+        (F.lit(PREFIX_T_NUM) * (F.col("a.n") + F.col("b.n"))
+         + (PREFIX_T_NUM + PREFIX_T_DEN - 1))
+        .cast("long") / (PREFIX_T_NUM + PREFIX_T_DEN)
+    ).cast("long")
+    pos_bound = (
+        F.least(F.col("a.pos") - 1, F.col("b.pos") - 1)
+        + 1
+        + F.least(F.col("a.n") - F.col("a.pos"),
+                  F.col("b.n") - F.col("b.pos"))
+    )
     cands = (
         prefix.alias("a")
         .join(prefix.alias("b"), "tok")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.least(F.col("a.n"), F.col("b.n")) >= o_req)
+            & (pos_bound >= o_req)
+        )
         .select(
             F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
         )
