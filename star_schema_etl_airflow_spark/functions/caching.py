@@ -15,18 +15,34 @@ the same runtime plan with no warning.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
+
+_log = logging.getLogger(__name__)
+_warned_no_jvm = False
 
 
 def persist_once(df: DataFrame) -> DataFrame:
     """``df.persist()``, skipped when an identical plan is already in
     the session's CacheManager (plan-substitution makes the existing
-    entry serve this DataFrame regardless)."""
+    entry serve this DataFrame regardless).
+
+    The probe uses private JVM accessors (``_jsparkSession``/``_jdf``)
+    that do not exist under Spark Connect; there it degrades to a plain
+    ``persist()`` (correct, but the CacheManager warning this exists to
+    suppress returns) — logged once at debug so the mode is observable.
+    """
+    global _warned_no_jvm
     try:
         cm = df.sparkSession._jsparkSession.sharedState().cacheManager()
         if cm.lookupCachedData(df._jdf).isDefined():
             return df
     except Exception:
-        # private-API probe only — fall through to the public call
-        pass
+        if not _warned_no_jvm:
+            _log.debug(
+                "persist_once: JVM CacheManager probe unavailable "
+                "(Spark Connect?) — degrading to plain persist()"
+            )
+            _warned_no_jvm = True
     return df.persist()

@@ -69,9 +69,13 @@ def sql_path(
 
 
 # Repo root holding the committed reference-parity script tree
-# (sql/core/{dim,fact}/*.sql, sql/datamart/sales/*.sql).
-SQL_ROOT = os.path.dirname(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+# (sql/core/{dim,fact}/*.sql, sql/datamart/sales/*.sql).  The default
+# assumes the in-repo editable layout (package dir sits next to sql/);
+# an installed copy (site-packages) won't carry the tree — point
+# SPARK_GRAFT_SQL_ROOT at a checkout in that case.
+SQL_ROOT = os.environ.get(
+    "SPARK_GRAFT_SQL_ROOT",
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
 )
 
 

@@ -460,9 +460,10 @@ def test_substring_dedup_two_corpus_shuffles_no_skew_collect(spark):
     REPARTITION_BY_NUM spread inside the persisted fixture corpus
     (build_corpus docstring: dropped at scale where input has many
     splits)."""
+    import os
     import sys
 
-    sys.path.insert(0, "/root/repo/tools")
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
     from plan_audit import runtime_exchanges
 
     from star_schema_etl_airflow_spark.plans.substring_queries import (
@@ -482,9 +483,10 @@ def test_substring_excise_is_map_only_after_span_group(spark):
     per-doc span grouping and the corpus⋈spans join) and no explode —
     the token filter is a higher-order function over the array.
     Cache-aware counting, same as the spans pin above."""
+    import os
     import sys
 
-    sys.path.insert(0, "/root/repo/tools")
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
     from plan_audit import runtime_count, runtime_exchanges
 
     from star_schema_etl_airflow_spark.plans.substring_queries import (
@@ -506,9 +508,10 @@ def test_ngram_lm_single_corpus_scan(spark):
     join — so at runtime there is exactly one parquet scan of
     documents (the printed tree re-inlines the cached subtree at each
     consumer; the counter dedupes persisted subtrees)."""
+    import os
     import sys
 
-    sys.path.insert(0, "/root/repo/tools")
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
     from plan_audit import runtime_parquet_scans
 
     from star_schema_etl_airflow_spark.plans.ngram_lm import (
