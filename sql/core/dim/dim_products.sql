@@ -6,6 +6,12 @@
 -- the staging slice is assumed pre-deduplicated to one row per
 -- product_id (the reference's raw products carry no version column).
 -- Params: {{dim_view}}/{{staging_view}} view identifiers; {{run_date}}.
+--
+-- Scale note: the surrogate-key ROW_NUMBER below is a global
+-- single-partition window — fine at daily-delta dimension scale, the
+-- reference's own semantics.  For the 100x path use the DataFrame
+-- twin: operators/scd2.py::apply_scd2 auto-switches to a distributed
+-- per-partition-offset key assigner above 64 MB of delta.
 WITH cur AS (SELECT * FROM {{dim_view}} WHERE is_current),
 cls AS (
   SELECT s.*,

@@ -52,6 +52,9 @@ from star_schema_etl_airflow_spark.sources.sql_exec import (
     run_sql_file,
     sql_path,
 )
+from star_schema_etl_airflow_spark.sources.sql_script import (
+    run_sql_script_file,
+)
 
 # Full fixture envelope (o_orderdate spans 1995-01-01..2001-08-01 at
 # every sf): dstart/dend cover everything so the file's partition-bound
@@ -109,6 +112,25 @@ def sqlfile_dim_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         sql_path(SQL_ROOT, "core", "dim_customers", table_type="dim"),
         params={"dim_view": "sqlv_dim_customers_state",
                 "staging_view": "sqlv_staging_customers",
+                "run_date": SCD2_RUN_DATE},
+    )
+
+
+def sqlscript_dim_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same SCD2 apply as ``sqlfile_dim_customers``, but through the
+    reference's VERBATIM multi-statement script shape (DECLARE; MERGE;
+    INSERT; SELECT — sql/core/dim/dim_customers_script.sql) executed by
+    the sql_script runner.  Checked against the same set-based oracle:
+    the two execution paths must agree row-for-row."""
+    synthetic_scd2_customer_dim(spark, sf_dir).createOrReplaceTempView(
+        "sqlv_dim_customers_script_state")
+    _scd2_source_slice(spark, sf_dir).createOrReplaceTempView(
+        "sqlv_staging_customers_script")
+    return run_sql_script_file(
+        spark,
+        sql_path(SQL_ROOT, "core", "dim_customers_script", table_type="dim"),
+        params={"dim_view": "sqlv_dim_customers_script_state",
+                "staging_view": "sqlv_staging_customers_script",
                 "run_date": SCD2_RUN_DATE},
     )
 
@@ -198,5 +220,8 @@ register(QuerySpec("sqlfile_fact_orders", sqlfile_fact_orders,
                    FACT_ORDERS_ORACLE, tags=("S3", "S4", "S5", "J1", "J2")))
 register(QuerySpec("sqlfile_dim_customers", sqlfile_dim_customers,
                    SCD2_APPLY_ORACLE, tags=("S3", "S4", "S5", "P5", "W1", "A5")))
+register(QuerySpec("sqlscript_dim_customers", sqlscript_dim_customers,
+                   SCD2_APPLY_ORACLE,
+                   tags=("S3", "S4", "S5", "S7", "S10", "J5", "P5", "W1", "A5")))
 register(QuerySpec("sqlfile_dim_products", sqlfile_dim_products,
                    DIM_PRODUCTS_ORACLE, tags=("S3", "S4", "S5", "P5", "W1", "A5")))
