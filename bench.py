@@ -102,7 +102,7 @@ def main() -> None:
         cal.append(_host_calibration())
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    record = {
         "metric": "headline_total",
         "value": total,
         "unit": "sec",
@@ -113,7 +113,18 @@ def main() -> None:
         # minutes, which dominates round-to-round bench deltas —
         # tools/bench_drift.py normalizes by the mean of these.
         "host_pyloop_sec": cal,
-    }))
+    }
+    print(json.dumps(record))
+    # --write BENCH_QUIET_r{N}.json: commit a quiet-host companion
+    # record as the round's LAST act (round-8 verdict task 7) — the
+    # drift gate prefers it over the driver's end-of-round record,
+    # whose host conditions three rounds of history show are not
+    # controllable.
+    if "--write" in sys.argv:
+        out = sys.argv[sys.argv.index("--write") + 1]
+        with open(out, "w") as f:
+            json.dump(record, f, indent=1)
+        print(f"wrote {out}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -588,8 +588,12 @@ SELECT id_a, id_b, jaccard FROM (
 WHERE jaccard >= {PREFIX_T_NUM} / {PREFIX_T_DEN}
 """
 
+# headline (round-8 verdict task 3): this was the repo's slowest query
+# (215s cold) until the PPJoin pruning rewrite — benching it per round
+# keeps a pruning regression from going invisible.
 register(QuerySpec("dedup_prefix_join", dedup_prefix_join,
-                   DEDUP_PREFIX_ORACLE, tags=("LLM-dedup", "prefix-filter")))
+                   DEDUP_PREFIX_ORACLE, headline=True,
+                   tags=("LLM-dedup", "prefix-filter")))
 
 
 # --- canonical selection: keep the best copy per near-dup cluster ----------

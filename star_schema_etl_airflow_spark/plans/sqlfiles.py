@@ -135,6 +135,31 @@ def sqlscript_dim_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sqlscript_sales_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's DELETE+INSERT partition refresh (S8) in its
+    verbatim two-statement script shape.  The summary view starts with
+    stale rows INSIDE the refresh window (wrong totals — the DELETE
+    must remove them) so the oracle match proves both statements ran."""
+    register_views(spark, sf_dir)
+    stale = spark.createDataFrame(
+        [("1996-03-15", 1996, 3, "March", "STALE CATEGORY",
+          -1.0, 0, -1.0, None),
+         ("1998-07-01", 1998, 7, "July", "STALE CATEGORY",
+          -2.0, 0, -2.0, None)],
+        "sale_date STRING, year INT, month INT, month_name STRING, "
+        "product_category STRING, total_sales DOUBLE, total_orders BIGINT, "
+        "total_quantity DOUBLE, avg_order_value DOUBLE",
+    ).withColumn("sale_date", F.col("sale_date").cast("date"))
+    stale.createOrReplaceTempView("sqlv_sales_summary_script_state")
+    return run_sql_script_file(
+        spark,
+        sql_path(SQL_ROOT, "datamart", "sales_summary_script",
+                 domain="sales"),
+        params={"summary_view": "sqlv_sales_summary_script_state",
+                **FULL_RANGE},
+    )
+
+
 def _product_staging(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic product staging slice: ~1/7 price changes plus some
     brand-new product ids (the reference's raw products slice)."""
@@ -223,5 +248,8 @@ register(QuerySpec("sqlfile_dim_customers", sqlfile_dim_customers,
 register(QuerySpec("sqlscript_dim_customers", sqlscript_dim_customers,
                    SCD2_APPLY_ORACLE,
                    tags=("S3", "S4", "S5", "S7", "S10", "J5", "P5", "W1", "A5")))
+register(QuerySpec("sqlscript_sales_summary", sqlscript_sales_summary,
+                   SALES_SUMMARY_ORACLE,
+                   tags=("S3", "S4", "S5", "S8", "S10")))
 register(QuerySpec("sqlfile_dim_products", sqlfile_dim_products,
                    DIM_PRODUCTS_ORACLE, tags=("S3", "S4", "S5", "P5", "W1", "A5")))

@@ -76,17 +76,26 @@ def round_no(path: str) -> int:
 
 def rounds() -> list[str]:
     """Driver records in round order, each swapped for its committed
-    quiet-host reconciliation when one exists."""
+    quiet-host companion when one exists.  Preference per round N:
+    explicit RECONCILED entry > ``BENCH_QUIET_r{N}.json`` (written by
+    ``bench.py --write`` as the round's last act) > the driver's
+    ``BENCH_r{N}.json``."""
     out = []
     for p in sorted(
         glob.glob(os.path.join(REPO, "BENCH_r*.json")),
         key=round_no,
     ):
-        rec = RECONCILED.get(round_no(p))
+        n = round_no(p)
+        rec = RECONCILED.get(n)
+        quiet = f"BENCH_QUIET_r{n}.json"
         if rec and os.path.exists(os.path.join(REPO, rec)):
-            print(f"using {rec} for r{round_no(p)} "
+            print(f"using {rec} for r{n} "
                   "(committed quiet-host reconciliation — see BENCH_HISTORY.md)")
             out.append(os.path.join(REPO, rec))
+        elif os.path.exists(os.path.join(REPO, quiet)):
+            print(f"using {quiet} for r{n} "
+                  "(committed quiet-host companion record)")
+            out.append(os.path.join(REPO, quiet))
         else:
             out.append(p)
     return out
