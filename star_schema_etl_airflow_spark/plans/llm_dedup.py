@@ -512,6 +512,27 @@ def dedup_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     single tokens; the verify carries the token sets only for surviving
     candidates.  Real web corpora (Zipfian vocab) prune orders of
     magnitude harder still."""
+    toks, cands = prefix_join_candidates(spark, sf_dir)
+    sa = toks.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    sb = toks.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.expr(jaccard_spark("sa", "sb")))
+        .filter(F.col("jaccard") >= PREFIX_T_NUM / PREFIX_T_DEN)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def prefix_join_candidates(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """``(toks, cands)`` — the tokenized corpus and the PPJoin-pruned
+    candidate pairs BEFORE exact verification.  Exposed separately so
+    ``tools/scale_curve.py`` can measure the candidate-ROW curve across
+    scale factors: the pruning power is the operator's whole scale
+    story, and a wall-time curve alone would hide a pruning regression
+    behind shuffle noise."""
     from pyspark.sql import Window
 
     corpus = build_corpus(spark, sf_dir)
@@ -563,16 +584,7 @@ def dedup_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-
-    sa = toks.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
-    sb = toks.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
-    return (
-        cands.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("jaccard", F.expr(jaccard_spark("sa", "sb")))
-        .filter(F.col("jaccard") >= PREFIX_T_NUM / PREFIX_T_DEN)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return toks, cands
 
 
 DEDUP_PREFIX_ORACLE = f"""

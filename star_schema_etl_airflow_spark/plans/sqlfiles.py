@@ -160,6 +160,76 @@ def sqlscript_sales_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sqlscript_dim_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's single-MERGE date-dimension refresh in verbatim
+    script shape.  The target starts with one STALE in-range row (wrong
+    month_name / flipped is_weekend) so the oracle match proves the
+    WHEN MATCHED update branch ran, not just the inserts."""
+    stale = run_sql_file(
+        spark,
+        sql_path(SQL_ROOT, "core", "dim_dates", table_type="dim"),
+        params={"dstart": G1_START, "dend": G1_START},
+    ).withColumn("month_name", F.lit("STALE")) \
+     .withColumn("is_weekend", ~F.col("is_weekend"))
+    stale.createOrReplaceTempView("sqlv_dim_dates_script_state")
+    return run_sql_script_file(
+        spark,
+        sql_path(SQL_ROOT, "core", "dim_dates_script", table_type="dim"),
+        params={"dim_view": "sqlv_dim_dates_script_state",
+                "dstart": G1_START, "dend": G1_END},
+    )
+
+
+def sqlscript_fact_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's composite-key fact MERGE (J6) in verbatim script
+    shape.  The target starts with a corrupted slice of the true
+    (deduped — see the script header) fact: every ~97th order has
+    quantity/item_amount off by +999, so the MERGE must UPDATE those
+    lines back and INSERT the rest for the oracle to match."""
+    from pyspark.sql import Window
+
+    register_views(spark, sf_dir)
+    synthetic_scd2_customer_dim(spark, sf_dir).createOrReplaceTempView(
+        "sqlv_dim_customers_fscript")
+    product_dim(spark, sf_dir).createOrReplaceTempView(
+        "sqlv_dim_products_fscript")
+    w = Window.partitionBy("order_id", "order_item_id").orderBy(
+        "product_id", "item_amount", "quantity", "unit_price",
+        "customer_sk", "product_sk")
+    stale = sqlfile_fact_orders(spark, sf_dir) \
+        .withColumn("__rn", F.row_number().over(w)) \
+        .filter(F.col("__rn") == 1).drop("__rn") \
+        .filter(F.col("order_id") % 97 == 0) \
+        .withColumn("quantity", F.col("quantity") + 999.0) \
+        .withColumn("item_amount", F.col("item_amount") + 999.0)
+    stale.createOrReplaceTempView("sqlv_fact_orders_script_state")
+    return run_sql_script_file(
+        spark,
+        sql_path(SQL_ROOT, "core", "fact_orders_script", table_type="fact"),
+        params={"fact_view": "sqlv_fact_orders_script_state",
+                "dim_customers": "sqlv_dim_customers_fscript",
+                "dim_products": "sqlv_dim_products_fscript",
+                **FULL_RANGE},
+    )
+
+
+def sqlscript_customer_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's DELETE-WHERE-TRUE + INSERT full refresh (S9) in
+    verbatim script shape; the target starts with stale rows that the
+    DELETE must remove."""
+    register_views(spark, sf_dir)
+    stale = sqlfile_customer_analytics(spark, sf_dir).limit(5) \
+        .withColumn("customer_segment", F.lit("STALE"))
+    stale.createOrReplaceTempView("sqlv_customer_analytics_script_state")
+    return run_sql_script_file(
+        spark,
+        sql_path(SQL_ROOT, "datamart", "customer_analytics_script",
+                 domain="sales"),
+        params={"analytics_view": "sqlv_customer_analytics_script_state",
+                "dstart": RUN_DATE},
+    )
+
+
 def _product_staging(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic product staging slice: ~1/7 price changes plus some
     brand-new product ids (the reference's raw products slice)."""
@@ -235,6 +305,24 @@ inserted AS (
 SELECT * FROM carried UNION ALL SELECT * FROM inserted
 """
 
+
+def sqlscript_dim_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's DECLARE; MERGE; INSERT product-dimension script
+    job in verbatim shape (dim_products_script.sql), same oracle as the
+    single-SELECT file port."""
+    product_dim(spark, sf_dir).createOrReplaceTempView(
+        "sqlv_dim_products_script_state")
+    _product_staging(spark, sf_dir).createOrReplaceTempView(
+        "sqlv_staging_products_script")
+    return run_sql_script_file(
+        spark,
+        sql_path(SQL_ROOT, "core", "dim_products_script", table_type="dim"),
+        params={"dim_view": "sqlv_dim_products_script_state",
+                "staging_view": "sqlv_staging_products_script",
+                "run_date": SCD2_RUN_DATE},
+    )
+
+
 register(QuerySpec("sqlfile_sales_summary", sqlfile_sales_summary,
                    SALES_SUMMARY_ORACLE, tags=("S3", "S4", "S5")))
 register(QuerySpec("sqlfile_customer_analytics", sqlfile_customer_analytics,
@@ -251,5 +339,34 @@ register(QuerySpec("sqlscript_dim_customers", sqlscript_dim_customers,
 register(QuerySpec("sqlscript_sales_summary", sqlscript_sales_summary,
                    SALES_SUMMARY_ORACLE,
                    tags=("S3", "S4", "S5", "S8", "S10")))
+register(QuerySpec("sqlscript_dim_products", sqlscript_dim_products,
+                   DIM_PRODUCTS_ORACLE,
+                   tags=("S3", "S4", "S5", "S7", "S10", "J5", "P5", "W1", "A5")))
+register(QuerySpec("sqlscript_dim_dates", sqlscript_dim_dates,
+                   G1_ORACLE, tags=("S3", "S4", "S5", "S7", "G1")))
+# ANSI MERGE needs one source row per composite key; the fixture's
+# line key is not unique, so the script (and this oracle) dedupe with
+# the same deterministic tie-break (script header explains).
+FACT_ORDERS_DEDUP_ORACLE = f"""
+WITH fact AS ({FACT_ORDERS_ORACLE})
+SELECT order_id, order_date, customer_sk, order_amount, quantity,
+       order_item_id, product_id, product_sk, unit_price, item_amount,
+       status
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY order_id, order_item_id
+    ORDER BY product_id, item_amount, quantity, unit_price,
+             customer_sk, product_sk) AS rn
+  FROM fact
+) WHERE rn = 1
+"""
+
+register(QuerySpec("sqlscript_fact_orders", sqlscript_fact_orders,
+                   FACT_ORDERS_DEDUP_ORACLE,
+                   tags=("S3", "S4", "S5", "S7", "J1", "J2", "J6")))
+register(QuerySpec("sqlscript_customer_analytics",
+                   sqlscript_customer_analytics,
+                   CUSTOMER_ANALYTICS_ORACLE,
+                   tags=("S3", "S4", "S5", "S9", "S10")))
 register(QuerySpec("sqlfile_dim_products", sqlfile_dim_products,
                    DIM_PRODUCTS_ORACLE, tags=("S3", "S4", "S5", "P5", "W1", "A5")))
