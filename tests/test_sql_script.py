@@ -163,6 +163,20 @@ def _window_groups(line: str) -> int:
     return groups
 
 
+def test_merge_rewrite_plans_hash_joins_not_nested_loop(spark):
+    """The emulated MERGE must plan as equi hash/sort-merge joins on the
+    merge keys — a nested-loop or cartesian here would be quadratic at
+    fact scale."""
+    from star_schema_etl_airflow_spark.plans.sqlfiles import (
+        sqlscript_dim_customers,
+    )
+
+    plan = sqlscript_dim_customers(spark, SF_DIR)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_distributed_sk_path_has_no_global_window(spark, monkeypatch):
     from star_schema_etl_airflow_spark.operators import scd2 as scd2_mod
     from star_schema_etl_airflow_spark.plans.core_queries import scd2_apply

@@ -47,6 +47,10 @@ QUERIES = [
     ("embed_jl_rerank", "JL shortlist + exact re-rank equi-join"),
     ("curation_pipeline_v5", "full multi-stage curation composition"),
     ("video_frames", "MJPEG/AVI encode+decode kernel (ffmpeg swap-in)"),
+    # round-9 additions (r8 verdict task 4): the two operators whose
+    # complexity shape changed in round 8
+    ("dedup_prefix_join", "PPJoin prefix+length+positional pruned join"),
+    ("semdedup", "k-means codebook + in-cluster cosine prune"),
 ]
 
 
@@ -211,6 +215,36 @@ def main() -> None:
                 / math.log(factors[-1])) if factors[-1] > 1 else 0.0
         cells = " | ".join(f"{row[f]:.2f}s" for f in factors)
         print(f"| {name} | {cells} | {expo:.2f} | {why} |")
+
+    # PPJoin candidate-ROW curve (r8 verdict task 4): the pruning power
+    # is the operator's scale story — wall-time alone would hide a
+    # pruning regression behind shuffle noise.  Scaled copies use
+    # disjoint vocabularies, so candidates can only pair within a copy:
+    # a healthy curve is ~linear in the factor (k copies × the per-copy
+    # candidate set), and anything superlinear means the pruning broke.
+    from star_schema_etl_airflow_spark.plans.llm_dedup import (
+        prefix_join_candidates,
+    )
+
+    print()
+    print("## PPJoin candidate-row curve (`dedup_prefix_join`)")
+    print()
+    print("| factor | docs | candidate pairs | cands/doc |")
+    print("|---|---|---|---|")
+    cand = {}
+    for f in factors:
+        toks, cands = prefix_join_candidates(spark, dirs[f])
+        docs = toks.count()
+        cand[f] = cands.count()
+        print(f"| ×{f} | {docs} | {cand[f]} | {cand[f] / docs:.0f} |")
+        print(f"  x{f} ppjoin_candidates: {cand[f]}", file=sys.stderr)
+    cexpo = (math.log(cand[factors[-1]] / cand[1])
+             / math.log(factors[-1])) if factors[-1] > 1 else 0.0
+    print()
+    print(f"Candidate-count exponent ×1→×{factors[-1]}: {cexpo:.2f} "
+          "(disjoint per-copy vocabularies ⇒ ~1.0 is the healthy "
+          "pruned shape; ~2.0 would mean the prefix/length/positional "
+          "filters stopped cutting the cross-pair space).")
 
 
 if __name__ == "__main__":
