@@ -26,10 +26,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from star_schema_etl_airflow_spark.functions.vecexpr import unrolled_sqdist
 
-def sqdist_expr(v: str, c: str) -> str:
+
+def sqdist_expr(v: str, c: str, dim: int | None = None) -> str:
     """Squared L2 distance as a left-fold in array order (deterministic
-    double accumulation, reproducible in any engine with an array fold)."""
+    double accumulation, reproducible in any engine with an array fold).
+
+    When ``dim`` is known the fold unrolls into a flat codegen sum
+    (higher-order functions are CodegenFallback — interpreted lambdas);
+    the accumulation order and every double are identical
+    (``functions/vecexpr.py``).  ``dim=None`` keeps the generic HOF form
+    for callers with unknown-width vectors."""
+    if dim is not None:
+        return f"({unrolled_sqdist(v, c, dim)})"
     return (
         f"aggregate(zip_with({v}, {c}, (x, y) -> "
         f"(cast(x as double) - cast(y as double)) "
@@ -38,7 +48,9 @@ def sqdist_expr(v: str, c: str) -> str:
     )
 
 
-def assign_clusters(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+def assign_clusters(
+    vectors: DataFrame, centroids: DataFrame, dim: int | None = None
+) -> DataFrame:
     """``(vec_id, cluster)``: nearest centroid per vector (ties → lowest
     cluster id).
 
@@ -53,7 +65,7 @@ def assign_clusters(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
         .select(
             "v.vec_id",
             "c.cluster",
-            F.expr(sqdist_expr("v.embedding", "c.embedding")).alias("d"),
+            F.expr(sqdist_expr("v.embedding", "c.embedding", dim)).alias("d"),
         )
     )
     return (
@@ -83,12 +95,14 @@ def update_centroids(vectors: DataFrame, assign: DataFrame) -> DataFrame:
 
 
 def kmeans_fit(
-    vectors: DataFrame, k: int, n_iter: int = 2
+    vectors: DataFrame, k: int, n_iter: int = 2, dim: int | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """Run ``n_iter`` Lloyd iterations; returns ``(assignment, centroids)``.
 
     ``vectors`` must have columns ``vec_id`` (orderable id) and
     ``embedding`` (numeric array).  Init: the ``k`` lowest vec_ids.
+    ``dim``, when known, unrolls the distance into codegen
+    (``sqdist_expr``).
     """
     centroids = (
         vectors.orderBy("vec_id")
@@ -98,6 +112,6 @@ def kmeans_fit(
     )
     assign = None
     for _ in range(n_iter):
-        assign = assign_clusters(vectors, centroids).localCheckpoint()
+        assign = assign_clusters(vectors, centroids, dim).localCheckpoint()
         centroids = update_centroids(vectors, assign).localCheckpoint()
     return assign, centroids

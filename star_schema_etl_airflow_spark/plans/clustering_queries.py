@@ -27,7 +27,7 @@ EMB_DIM = 64
 
 def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    assign, _ = kmeans_fit(emb, K, N_ITER)
+    assign, _ = kmeans_fit(emb, K, N_ITER, dim=EMB_DIM)
     return assign
 
 

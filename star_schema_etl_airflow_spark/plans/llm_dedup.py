@@ -500,25 +500,40 @@ def dedup_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     positions pa/pb bounds the overlap by
     min(pa-1, pb-1) + 1 + min(na-pa, nb-pb)).  Both are upper-bound
     prunes — the exact Jaccard verify still decides membership, so the
-    result is exact.  On this fixture's degenerate 31-token vocabulary
-    the bare prefix join emits 37M candidate rows for 6.5k docs (worse
-    than brute force); the filters cut that to 13.2M rows / 5.6M
-    distinct candidates at sf0.1 — against 1.44M TRUE pairs, i.e. the
-    fixture corpus is genuinely ~quadratically self-similar and the
-    query is output-bound (215s → ~15s).  A Zipfian web corpus prunes
-    orders of magnitude harder AND has near-linear true output.
+    result is exact.  The length filter additionally rides the JOIN KEY
+    as a power-of-2 length bucket (see ``prefix_join_candidates``), and
+    the verify computes |A∪B| as na + nb - o from the persisted set
+    sizes instead of materializing ``array_union`` per pair.
+
+    On this fixture's degenerate 31-token vocabulary the bare prefix
+    join emits 37M candidate rows for 6.5k docs (worse than brute
+    force); pruning cuts that to 5.6M distinct candidates at sf0.1 —
+    against 1.44M TRUE pairs, i.e. the fixture corpus is genuinely
+    ~quadratically self-similar and the query is output-bound
+    (215s bare → ~6s pruned).  A Zipfian web corpus prunes orders of
+    magnitude harder AND has near-linear true output.
 
     Scale: token DF is one aggregate; candidate generation shuffles on
-    single tokens; the verify carries the token sets only for surviving
-    candidates.  Real web corpora (Zipfian vocab) prune orders of
-    magnitude harder still."""
+    (token, length-bucket); the verify carries the token sets only for
+    surviving candidates."""
     toks, cands = prefix_join_candidates(spark, sf_dir)
-    sa = toks.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
-    sb = toks.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    sa = toks.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"),
+                     F.col("n").alias("na"))
+    sb = toks.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"),
+                     F.col("n").alias("nb"))
+    # J = o / (na + nb - o): one array_intersect per candidate, reusing
+    # the persisted set sizes — array_union would rebuild a hash set per
+    # row just to count it; |A∪B| = na + nb - o is the same integer, so
+    # the double quotient is bit-identical to jaccard_spark's.
     return (
         cands.join(sa, "id_a")
         .join(sb, "id_b")
-        .withColumn("jaccard", F.expr(jaccard_spark("sa", "sb")))
+        .withColumn("o", F.expr("size(array_intersect(sa, sb))"))
+        .withColumn(
+            "jaccard",
+            F.col("o").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("o")).cast("double"),
+        )
         .filter(F.col("jaccard") >= PREFIX_T_NUM / PREFIX_T_DEN)
         .select("id_a", "id_b", "jaccard")
     )
@@ -558,6 +573,35 @@ def prefix_join_candidates(
         .select("doc_id", "tok", "pos", "n")
     )
 
+    # LENGTH-BUCKET as part of the JOIN KEY, not only a post-join
+    # predicate: Jaccard >= t constrains partner size to
+    # nb in [ceil(t*na), floor(na/t)] (solve each branch of the
+    # least(na,nb) >= o_req filter).  That band's ratio is 1/t^2 (1.23x
+    # at t=0.9) < 2, so it spans at most TWO power-of-2 length buckets —
+    # side a explodes over those (<= 2 rows, bounded for ANY document
+    # length, unlike banding on exact length whose fan-out grows with
+    # n), and the join runs on (tok, bucket).  The sort-merge join then
+    # never materializes a pair from incompatible length buckets; the
+    # exact length filter below still decides inside the shared bucket.
+    # floor(log2(n)) is computed as length(bin(n)) - 1 — integer-exact,
+    # immune to log()'s at-the-boundary rounding.
+    bucket_of = "cast(length(bin(%s)) - 1 as int)"
+    nb_lo = ((F.lit(PREFIX_T_NUM) * F.col("n") + (PREFIX_T_DEN - 1))
+             .cast("long") / PREFIX_T_DEN).cast("long")
+    nb_hi = ((F.lit(PREFIX_T_DEN) * F.col("n")).cast("long")
+             / PREFIX_T_NUM).cast("long")
+    a_exp = (
+        prefix.withColumn("__lo", nb_lo).withColumn("__hi", nb_hi)
+        .withColumn(
+            "bkt",
+            F.explode(F.sequence(
+                F.expr(bucket_of % "__lo"), F.expr(bucket_of % "__hi")
+            )),
+        )
+        .select("doc_id", "tok", "pos", "n", "bkt")
+    )
+    b_bkt = prefix.withColumn("bkt", F.expr(bucket_of % "n"))
+
     # o_req = ceil(9(na+nb)/19): the minimum overlap a Jaccard >= 9/10
     # pair must have (19o >= 9(na+nb), integer ceiling)
     o_req = (
@@ -572,8 +616,8 @@ def prefix_join_candidates(
                   F.col("b.n") - F.col("b.pos"))
     )
     cands = (
-        prefix.alias("a")
-        .join(prefix.alias("b"), "tok")
+        a_exp.alias("a")
+        .join(b_bkt.alias("b"), ["tok", "bkt"])
         .filter(
             (F.col("a.doc_id") < F.col("b.doc_id"))
             & (F.least(F.col("a.n"), F.col("b.n")) >= o_req)

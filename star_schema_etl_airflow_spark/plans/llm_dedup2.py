@@ -54,6 +54,7 @@ from star_schema_etl_airflow_spark.functions.text import (
     tokens_spark,
 )
 from star_schema_etl_airflow_spark.functions.caching import persist_once
+from star_schema_etl_airflow_spark.functions.vecexpr import unrolled_dot
 from star_schema_etl_airflow_spark.operators.kmeans import assign_clusters
 from star_schema_etl_airflow_spark.registry import QuerySpec, register
 from star_schema_etl_airflow_spark.sources.fixtures import load_table
@@ -246,16 +247,12 @@ _PERTURB_D = ("[CAST(embedding[1] + CAST(0.0625 AS FLOAT) AS FLOAT)] "
 
 
 def _sem_cos_spark(a: str, b: str) -> str:
-    dot = (f"aggregate(zip_with({a}, {b}, (x, y) -> "
-           f"cast(x as double) * cast(y as double)), "
-           f"cast(0 as double), (acc, v) -> acc + v)")
-    na = (f"sqrt(aggregate(zip_with({a}, {a}, (x, y) -> "
-          f"cast(x as double) * cast(y as double)), "
-          f"cast(0 as double), (acc, v) -> acc + v))")
-    nb = (f"sqrt(aggregate(zip_with({b}, {b}, (x, y) -> "
-          f"cast(x as double) * cast(y as double)), "
-          f"cast(0 as double), (acc, v) -> acc + v))")
-    return f"round({dot} / ({na} * {nb}), {SEM_COS_DECIMALS})"
+    # unrolled (codegen) form of the aggregate(zip_with(...)) fold;
+    # identical doubles — see functions/vecexpr.py numeric contract
+    dot = unrolled_dot(a, b, _EMB_DIM)
+    na = f"sqrt({unrolled_dot(a, a, _EMB_DIM)})"
+    nb = f"sqrt({unrolled_dot(b, b, _EMB_DIM)})"
+    return f"round(({dot}) / ({na} * {nb}), {SEM_COS_DECIMALS})"
 
 
 def _sem_cos_duck(a: str, b: str) -> str:
@@ -282,7 +279,7 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from star_schema_etl_airflow_spark.plans.clustering_queries import K, N_ITER
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    _, codebook = kmeans_fit(emb, K, N_ITER)
+    _, codebook = kmeans_fit(emb, K, N_ITER, dim=_EMB_DIM)
     dup = emb.filter(F.col("vec_id") % 5 == 0).select(
         (F.col("vec_id") + SEM_DUP_OFFSET).alias("vec_id"),
         F.expr(_PERTURB_S).alias("embedding"),
@@ -294,17 +291,13 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vector's norm ONCE here — the per-pair cosine then evaluates one
     # dot product instead of dot + two norms (the norms are the same
     # doubles either way, so the rounded cosine is bit-identical)
-    norm = ("sqrt(aggregate(zip_with(embedding, embedding, (x, y) -> "
-            "cast(x as double) * cast(y as double)), "
-            "cast(0 as double), (acc, v) -> acc + v))")
+    norm = f"sqrt({unrolled_dot('embedding', 'embedding', _EMB_DIM)})"
     assigned = persist_once(
-        corpus.join(assign_clusters(corpus, codebook), "vec_id")
+        corpus.join(assign_clusters(corpus, codebook, dim=_EMB_DIM), "vec_id")
         .withColumn("__norm", F.expr(norm))
     )
     a, b = assigned.alias("a"), assigned.alias("b")
-    dot = ("aggregate(zip_with(a.embedding, b.embedding, (x, y) -> "
-           "cast(x as double) * cast(y as double)), "
-           "cast(0 as double), (acc, v) -> acc + v)")
+    dot = unrolled_dot("a.embedding", "b.embedding", _EMB_DIM)
     dropped = (
         a.join(
             b,
@@ -312,7 +305,7 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .filter(
-            F.expr(f"round({dot} / (a.__norm * b.__norm), "
+            F.expr(f"round(({dot}) / (a.__norm * b.__norm), "
                    f"{SEM_COS_DECIMALS})")
             >= SEM_COS_THRESHOLD
         )

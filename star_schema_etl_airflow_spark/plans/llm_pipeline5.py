@@ -32,9 +32,9 @@ from star_schema_etl_airflow_spark.operators.substring_dedup import (
     excise_spans,
 )
 from star_schema_etl_airflow_spark.plans.jl_projection import (
-    _EI_S,
+    _SIGNS,
+    JL_SCALE,
     _proj_duck,
-    _proj_spark,
 )
 from star_schema_etl_airflow_spark.plans.llm_dedup import build_corpus
 from star_schema_etl_airflow_spark.plans.substring_queries import (
@@ -47,6 +47,17 @@ from star_schema_etl_airflow_spark.functions.caching import persist_once
 V5_MIN_TOKENS = 8        # survive only if excision left this many tokens
 V5_BUCKET_BITS = 8       # sign bits of JL components p0..p7 → 256 buckets
 V5_BASE_MOD = 1_000_000  # synthetic dup ids map to base via % 1e6
+
+# fixed-point + signed-fold exprs (the jl_projection HOF shape, kept
+# here since jl_projection's own Spark path is the Arrow matmul now)
+_V5_EI = (f"transform(embedding, e -> "
+          f"cast(floor(cast(e as double) * {JL_SCALE}) as bigint))")
+
+
+def _v5_proj(k: int) -> str:
+    arr = ", ".join(f"{s}L" for s in _SIGNS[k])
+    return (f"aggregate(zip_with(__ei, array({arr}), (e, s) -> e * s), "
+            f"0L, (acc, x) -> acc + x)")
 
 
 def curation_pipeline_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -70,11 +81,16 @@ def curation_pipeline_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).join(emb, F.col("base_id") == F.col("vec_id"))
     # 4) semantic near-dup removal: SRP-LSH bucket from the JL signs,
     #    lowest doc_id per bucket survives (argmin aggregate, no window)
+    # HOF fold, not jl_projection.jl_project_cols: the post-gate
+    # relation is small (survivors of the excision gate), where the
+    # Arrow matmul's fixed Python-stage cost exceeds the entire lambda
+    # eval (measured at sf0.1: 0.9s HOF vs ~3s added by mapInPandas);
+    # the matmul path is for corpus-sized projections.
     proj = wemb.select(
-        "doc_id", "kept_tokens", F.expr(_EI_S).alias("__ei")
+        "doc_id", "kept_tokens", F.expr(_V5_EI).alias("__ei")
     ).select(
         "doc_id", "kept_tokens",
-        *[F.expr(_proj_spark(k)).alias(f"p{k}")
+        *[F.expr(_v5_proj(k)).alias(f"p{k}")
           for k in range(V5_BUCKET_BITS)],
     )
     bucket = sum(

@@ -26,6 +26,10 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from star_schema_etl_airflow_spark.functions.vecexpr import (
+    unrolled_dot,
+    unrolled_dot_lits,
+)
 from star_schema_etl_airflow_spark.registry import QuerySpec, register
 from star_schema_etl_airflow_spark.sources.fixtures import load_table
 
@@ -41,10 +45,11 @@ COS_DECIMALS = 9
 
 
 def _dot_spark(a: str, b: str) -> str:
-    return (
-        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
-        f"cast(0 as double), (acc, v) -> acc + v)"
-    )
+    # Unrolled rather than aggregate(zip_with(...)): HOFs are
+    # CodegenFallback (interpreted per-element lambdas); the flat sum
+    # stays inside whole-stage codegen and accumulates in the identical
+    # left-to-right order (functions/vecexpr.py numeric contract).
+    return unrolled_dot(a, b, EMB_DIM)
 
 
 def _norm_spark(a: str) -> str:
@@ -52,8 +57,9 @@ def _norm_spark(a: str) -> str:
 
 
 def _cos_spark(a: str, b: str) -> str:
+    # dot is a flat a+b+... sum now — parenthesize before dividing
     return (
-        f"round({_dot_spark(a, b)} "
+        f"round(({_dot_spark(a, b)}) "
         f"/ ({_norm_spark(a)} * {_norm_spark(b)}), {COS_DECIMALS})"
     )
 
@@ -157,7 +163,9 @@ def _plane_literal_duck(p: np.ndarray) -> str:
 def _bucket_spark(emb: str) -> str:
     bits = []
     for j in range(N_PLANES):
-        dot = _dot_spark(emb, _plane_literal_spark(_PLANES[j]))
+        # scalar plane literals (not array(...)[d]): same doubles, ~64x
+        # less expression text, and the products stay in codegen
+        dot = unrolled_dot_lits(emb, _PLANES[j])
         bits.append(f"(case when {dot} >= 0 then {1 << j}L else 0L end)")
     return " + ".join(bits)
 
@@ -368,7 +376,7 @@ def embed_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    _, cents = kmeans_fit(emb.select("vec_id", "embedding"), K, N_ITER)
+    _, cents = kmeans_fit(emb.select("vec_id", "embedding"), K, N_ITER, dim=EMB_DIM)
     return _ivf_search(
         emb,
         cents.select(
