@@ -55,6 +55,16 @@ def unrolled_dot_lits(a: str, lits: Sequence[float]) -> str:
     )
 
 
+def unrolled_int_dot(a: str, b: str, dim: int) -> str:
+    """Integer dot product of two integer-typed arrays, accumulated in
+    BIGINT (exact under any association; the per-term casts also keep
+    ANSI mode from overflowing a TINYINT*TINYINT product)."""
+    return " + ".join(
+        f"cast({a}[{d}] as bigint) * cast({b}[{d}] as bigint)"
+        for d in range(dim)
+    )
+
+
 def unrolled_sqdist(a: str, b: str, dim: int) -> str:
     """Squared L2 distance, unrolled; term order and double accumulation
     match the ``aggregate(zip_with(...))`` left fold."""

@@ -105,3 +105,152 @@ FROM s
 
 register(QuerySpec("embed_quantize_int8", embed_quantize_int8,
                    EMBED_QUANTIZE_ORACLE, tags=("LLM-similarity", "quantize")))
+
+
+# --- SQ8 shortlist + exact re-rank ------------------------------------------
+#
+# The search half of scalar quantization (FAISS SQ8 flat search): score
+# every candidate against each query IN THE INT8 DOMAIN — the integer
+# dot of the code arrays, with the per-vector scales cancelling out of
+# the cosine — keep a per-query shortlist, then exact-cosine re-rank
+# only the shortlist.  Same two-stage shape as the JL path
+# (plans/jl_projection.embed_jl_rerank); what changes is the compressed
+# domain: SQ8 preserves direction per-vector (4x smaller, ~no recall
+# loss on isotropic data), JL compresses dimensionality.
+#
+# Determinism: the code-domain dot and squared norms are EXACT BIGINT
+# sums (max |q|=127 -> a term <= 16129, x64 << 2^63); the approximate
+# cosine divides the exact dot by the product of sqrts of exact ints —
+# every double op identical on both engines, so ranks (tie-broken by
+# cand_id) match without rounding.
+
+SQ_SHORTLIST = 100
+SQ_TOP_K = 10
+
+
+def embed_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from star_schema_etl_airflow_spark.functions.vecexpr import (
+        unrolled_int_dot,
+    )
+    from star_schema_etl_airflow_spark.plans.llm_similarity import (
+        EMB_DIM,
+        N_QUERIES,
+        _cos_spark,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # per-row code norm BEFORE the cross join: the sqrt of an exact
+    # integer self-dot, computed once per vector, never per pair
+    qn = f"sqrt(cast(({unrolled_int_dot('qvec', 'qvec', EMB_DIM)}) as double))"
+    q8 = quantize_int8(emb).select(
+        "vec_id", "qvec", F.expr(qn).alias("qnorm")
+    )
+    q = q8.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qvec").alias("qa"),
+        F.col("qnorm").alias("na"),
+    )
+    c = q8.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("qvec").alias("qb"),
+        F.col("qnorm").alias("nb"),
+    )
+    approx = (
+        F.expr(f"cast(({unrolled_int_dot('qa', 'qb', EMB_DIM)}) as double)")
+        / (F.col("na") * F.col("nb"))
+    )
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.col("approx").desc(), F.col("cand_id")
+    )
+    shortlist = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .select("query_id", "cand_id", approx.alias("approx"))
+        .withColumn("srank", F.row_number().over(w_short))
+        .filter(F.col("srank") <= SQ_SHORTLIST)
+        .select("query_id", "cand_id")
+    )
+    qe = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    ce = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv")
+    )
+    rescored = (
+        ce.join(F.broadcast(shortlist), "cand_id")
+        .join(F.broadcast(qe), "query_id")
+        .select(
+            "query_id", "cand_id",
+            F.expr(_cos_spark("qv", "cv")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= SQ_TOP_K)
+    )
+
+
+def _sq8_rerank_oracle() -> str:
+    from star_schema_etl_airflow_spark.plans.llm_similarity import (
+        EMB_DIM,
+        N_QUERIES,
+        _cos_duck,
+    )
+
+    idot = (f"list_sum(list_transform(range(1, {EMB_DIM} + 1), "
+            f"d -> CAST(q.qvec[d] AS BIGINT) * CAST(c.qvec[d] AS BIGINT)))")
+    selfdot = (f"list_sum(list_transform(range(1, {EMB_DIM} + 1), "
+               f"d -> CAST(qvec[d] AS BIGINT) * CAST(qvec[d] AS BIGINT)))")
+    return f"""
+WITH s AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding,
+                  x -> abs(CAST(x AS DOUBLE)))) / {INT8_MAX}.0 AS scale
+  FROM embeddings
+),
+q8 AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(
+           CASE WHEN scale = 0.0 THEN 0.0
+                ELSE floor(CAST(x AS DOUBLE) / scale + 0.5) END
+           AS TINYINT)) AS qvec
+  FROM s
+),
+qn AS (
+  SELECT vec_id, qvec, sqrt(CAST({selfdot} AS DOUBLE)) AS qnorm FROM q8
+),
+shortlist AS (
+  SELECT query_id, cand_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY CAST({idot} AS DOUBLE) / (q.qnorm * c.qnorm) DESC,
+                      c.vec_id) AS srank
+    FROM qn q CROSS JOIN qn c
+    WHERE q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+  ) WHERE srank <= {SQ_SHORTLIST}
+),
+rescored AS (
+  SELECT s.query_id, s.cand_id,
+         {_cos_duck('qe.embedding', 'ce.embedding')} AS cosine
+  FROM shortlist s
+  JOIN embeddings qe ON qe.vec_id = s.query_id
+  JOIN embeddings ce ON ce.vec_id = s.cand_id
+)
+SELECT query_id, cand_id, cosine, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+  FROM rescored
+)
+WHERE rank <= {SQ_TOP_K}
+"""
+
+
+register(QuerySpec("embed_sq8_rerank", embed_sq8_rerank,
+                   _sq8_rerank_oracle(), tags=("LLM-similarity", "quantize")))

@@ -141,6 +141,36 @@ def test_embed_topk_partial_limit_before_shuffle(spark):
     assert partial[0] > exchange[0], plan
 
 
+def test_embed_topk_scoring_stays_in_codegen(spark):
+    """The per-pair cosine must be JVM expressions inside whole-stage
+    codegen: no Python eval node in the scoring stage, and no
+    higher-order-function fallback (the unrolled dot of
+    functions/vecexpr.py replaced aggregate(zip_with(...)), whose
+    per-element interpreted lambdas dominated the scan)."""
+    from star_schema_etl_airflow_spark.plans.llm_similarity import (
+        embed_topk_cosine,
+    )
+
+    plan = _plan(embed_topk_cosine(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+    assert "aggregate(zip_with" not in plan, plan
+
+
+def test_jl_rerank_projection_is_arrow_batched(spark):
+    """The JL projection must be the mapInPandas matmul (Arrow batches),
+    never a row-at-a-time Python UDF — and the shortlist window must
+    keep its partial group limit (same bound as the exact path)."""
+    from star_schema_etl_airflow_spark.plans.jl_projection import (
+        embed_jl_rerank,
+    )
+
+    plan = _plan(embed_jl_rerank(spark, SF_DIR))
+    assert "MapInPandas" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+
+
 def test_cap_per_source_partial_limit_before_shuffle(spark):
     """Per-group quota must bound its shuffle map-side: a mega-domain's
     rows beyond partitions x n never cross the wire."""
