@@ -180,6 +180,17 @@ def main() -> None:
         # seconds and makes the committed curve monotone
         trials = 3 if f <= 2 else 2
         for name, _ in QUERIES:
+            # Each query's trial set starts from a clean cache: the
+            # operators' persist_once() entries otherwise accumulate
+            # across queries and factors (14 queries × 4 corpora), so a
+            # cell's time depended on RUN ORDER — whichever dedup query
+            # ran first paid the shared corpus build, and by ×8 the
+            # storage pool was full of earlier factors' leftovers
+            # (dedup_prefix_join: 27s isolated vs 68s in the crowded
+            # session).  Clearing per trial SET keeps bench semantics —
+            # trial 1 rebuilds the query's own caches, best-of-N rides
+            # them warm — while making every cell order-independent.
+            spark.catalog.clearCache()
             best = None
             for _t in range(trials):
                 t0 = time.perf_counter()
@@ -188,6 +199,7 @@ def main() -> None:
                 best = dt if best is None else min(best, dt)
             times.setdefault(name, {})[f] = round(best, 3)
             print(f"  x{f} {name}: {times[name][f]:.3f}s", file=sys.stderr)
+        spark.catalog.clearCache()
         dt = _stream_fold_time(spark, dirs[f], f, trials)
         times.setdefault("substring_stream_fold", {})[f] = dt
         print(f"  x{f} substring_stream_fold: {dt:.3f}s", file=sys.stderr)
