@@ -44,6 +44,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from star_schema_etl_airflow_spark.functions.caching import persist_once
 from star_schema_etl_airflow_spark.operators.decontaminate import (
     positional_gram_hashes,
 )
@@ -107,12 +108,20 @@ def duplicate_substring_spans(
             (F.max("pos") + n).alias("span_end"),
         )
     )
-    return spans.select(
+    # persist_once: the span relation is the shared intermediate of the
+    # substring family — dedup_substring_excised, curation_pipeline_v5,
+    # and the incremental variants all mine the SAME spans from the
+    # same persisted corpus, so plan-substitution lets one computation
+    # serve every consumer in a session.  Spans are sized by duplicate
+    # volume (<< the tokens relation); a 100 TB deployment materializes
+    # this as a table — write once, read per consumer — for the same
+    # reason.
+    return persist_once(spans.select(
         "doc_id",
         "span_start",
         "span_end",
         (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
-    )
+    ))
 
 
 def excise_spans(

@@ -84,20 +84,31 @@ def runtime_count(plan: str, needle: str) -> int:
     the r6 ngram_lm 4-scan plan and its 1-scan fix would print the same
     without this dedup, and how the r7 substring-dedup persist inflated
     the raw Exchange pins without adding a runtime shuffle)."""
-    lines = plan.splitlines()
+    outside, caches = _scan_tree(plan.splitlines(), needle, {})
+    return outside + sum(caches.values())
+
+
+def _scan_tree(lines: list[str], needle: str,
+               caches: dict[str, int]) -> tuple[int, dict[str, int]]:
+    """Count ``needle`` outside caches; record each DISTINCT cache
+    subtree's count once in ``caches``.  Recurses into cache subtrees so
+    a cache NESTED inside another cache (e.g. the persisted span
+    relation built on the persisted corpus) is still deduped globally
+    instead of being re-counted inside every outer cache's text."""
     outside = 0
-    caches: dict[str, int] = {}
     i = 0
     while i < len(lines):
         line = lines[i]
         ind = re.match(r"^[\s:+\-]*", line).end()
         if "InMemoryRelation" in line:
             j = i + 1
+            raw: list[str] = []
             sub: list[str] = []
             while j < len(lines):
                 ind2 = re.match(r"^[\s:+\-]*", lines[j]).end()
                 if ind2 <= ind:
                     break
+                raw.append(lines[j])
                 # normalize away the tree-drawing prefix (depth-varying)
                 # and expression ids so the same cache keys equal
                 sub.append(re.sub(
@@ -105,15 +116,21 @@ def runtime_count(plan: str, needle: str) -> int:
                     re.sub(r"^[\s:+\-]+", "", lines[j]),
                 ))
                 j += 1
-            caches["\n".join(sub)] = sum(
-                1 for l in sub if needle in l
-            )
+            key = "\n".join(sub)
+            if key not in caches:
+                # placeholder first (guards against pathological
+                # self-reference), then the recursive count: needles
+                # inside an inner cache land in `caches` under the
+                # inner key, not in this subtree's own tally
+                caches[key] = 0
+                inner_outside, _ = _scan_tree(raw, needle, caches)
+                caches[key] = inner_outside
             i = j
             continue
         if needle in line:
             outside += 1
         i += 1
-    return outside + sum(caches.values())
+    return outside, caches
 
 
 def runtime_parquet_scans(plan: str) -> int:
