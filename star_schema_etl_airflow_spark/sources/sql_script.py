@@ -279,7 +279,22 @@ def parse_merge(stmt: str) -> _MergeStmt:
 
 def rewrite_merge(spark: SparkSession, stmt: str) -> tuple[str, str]:
     """Parse a MERGE statement and return ``(target_view, sql)`` where
-    ``sql`` computes the post-merge state of the target view."""
+    ``sql`` computes the post-merge state of the target view.
+
+    Cardinality guard: ANSI (and BigQuery — the reference's
+    ``sql/core/dim/dim_customers.sql:60`` MERGE relies on it to keep
+    dims consistent) raises a runtime error when one target row matches
+    more than one source row and the MERGE has WHEN MATCHED clauses; a
+    naive LEFT-JOIN rewrite would instead silently emit one output row
+    per (target, source) pair.  The rewrite therefore tags each target
+    row with a synthetic id, counts matched source rows per target row
+    with a window, and folds ``assert_true(cnt <= 1)`` into the final
+    filter — the error fires lazily at execution time, exactly like the
+    engines it emulates.  At scale the guard is one count-window keyed
+    by the target id over the already-shuffled join output (a lakehouse
+    MERGE, e.g. Delta, performs the same multi-match detection
+    natively).
+    """
     m = parse_merge(stmt)
     tcols = spark.table(m.target).columns
     flag = "__merge_matched"
@@ -312,20 +327,48 @@ def rewrite_merge(spark: SparkSession, stmt: str) -> tuple[str, str]:
             sel.append(f"{m.talias}.{c} AS {c}")
     del_guards = [g for (k, _, _), g in zip(m.matched, guards)
                   if k == "delete"]
-    del_filter = ""
-    if del_guards:
-        del_filter = ("WHERE NOT coalesce(" +
-                      " OR ".join(f"({g})" for g in del_guards) + ", FALSE)")
 
-    parts = [
-        f"WITH __merge_source AS ({m.source_sql})",
-        "SELECT " + ", ".join(sel),
-        f"FROM {m.target} AS {m.talias}",
-        f"LEFT JOIN (SELECT *, TRUE AS {flag} FROM __merge_source) "
-        f"AS {m.salias}",
-        f"ON {m.on_cond}",
-        del_filter,
-    ]
+    if m.matched:
+        # Multi-match cardinality guard (see docstring): count matched
+        # source rows per tid-tagged target row; any count > 1 raises
+        # the standard "multiple rows of source match" error at
+        # execution time via assert_true.  The delete filter moves to
+        # the outer query so the window counts rows a delete would
+        # remove (double-delete is equally an ANSI cardinality error).
+        inner_sel = sel + [
+            f"COUNT({m.salias}.{flag}) OVER "
+            f"(PARTITION BY {m.talias}.__merge_tid) AS __merge_cnt",
+        ]
+        if del_guards:
+            inner_sel.append(
+                "coalesce(" +
+                " OR ".join(f"({g})" for g in del_guards) +
+                ", FALSE) AS __merge_del")
+        outer_filters = [
+            f"assert_true(__merge_cnt <= 1, 'MERGE into {m.target}: "
+            f"multiple rows of the source match one target row') IS NULL"
+        ]
+        if del_guards:
+            outer_filters.append("NOT __merge_del")
+        parts = [
+            f"WITH __merge_source AS ({m.source_sql})",
+            "SELECT " + ", ".join(tcols) + " FROM (",
+            "SELECT " + ", ".join(inner_sel),
+            f"FROM (SELECT *, monotonically_increasing_id() AS __merge_tid "
+            f"FROM {m.target}) AS {m.talias}",
+            f"LEFT JOIN (SELECT *, TRUE AS {flag} FROM __merge_source) "
+            f"AS {m.salias}",
+            f"ON {m.on_cond}",
+            ") WHERE " + " AND ".join(outer_filters),
+        ]
+    else:
+        # Insert-only MERGE: target rows pass through untouched — no
+        # join (and no guard) needed on the existing-rows branch.
+        parts = [
+            f"WITH __merge_source AS ({m.source_sql})",
+            "SELECT " + ", ".join(tcols),
+            f"FROM {m.target} AS {m.talias}",
+        ]
 
     # -- insert branch: source LEFT ANTI JOIN target ----------------------
     for cond, cols, vals in m.not_matched:

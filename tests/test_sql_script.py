@@ -118,6 +118,80 @@ def test_merge_insert_arity_mismatch_raises():
 
 
 # --------------------------------------------------------------------------
+# ANSI cardinality guard (round-9 verdict task 1): when several source
+# rows match one target row and the MERGE has WHEN MATCHED clauses,
+# BigQuery/ANSI raise "multiple rows of source match" at runtime — the
+# set-based rewrite must raise too, never silently duplicate.
+# --------------------------------------------------------------------------
+
+
+def test_merge_multi_match_source_raises(spark):
+    spark.createDataFrame(
+        [(1, 10), (2, 20)], "k INT, v INT"
+    ).createOrReplaceTempView("ssr_dup")
+    with pytest.raises(Exception, match="multiple rows of the source"):
+        run_sql_script(spark, """
+            MERGE INTO ssr_dup AS t
+            USING (SELECT * FROM VALUES (1, 100), (1, 101) AS s(k, v)) AS s
+            ON t.k = s.k
+            WHEN MATCHED THEN UPDATE SET v = s.v;
+            SELECT * FROM ssr_dup;
+        """).collect()
+
+
+def test_merge_multi_match_double_delete_raises(spark):
+    # Deleting the same target row via two matching source rows is the
+    # same cardinality violation — the count runs before the delete
+    # filter, so it must still trip.
+    spark.createDataFrame(
+        [(1, 10), (2, 20)], "k INT, v INT"
+    ).createOrReplaceTempView("ssr_dup2")
+    with pytest.raises(Exception, match="multiple rows of the source"):
+        run_sql_script(spark, """
+            MERGE INTO ssr_dup2 AS t
+            USING (SELECT * FROM VALUES (1, 0), (1, 1) AS s(k, v)) AS s
+            ON t.k = s.k
+            WHEN MATCHED THEN DELETE;
+            SELECT * FROM ssr_dup2;
+        """).collect()
+
+
+def test_merge_insert_only_multi_match_allowed(spark):
+    # With no WHEN MATCHED clause there is nothing to update twice:
+    # BigQuery permits multi-match, and the insert branch (anti-join)
+    # simply drops all matching source rows.
+    spark.createDataFrame(
+        [(1, 10)], "k INT, v INT"
+    ).createOrReplaceTempView("ssr_insonly")
+    out = run_sql_script(spark, """
+        MERGE INTO ssr_insonly AS t
+        USING (SELECT * FROM VALUES (1, 100), (1, 101), (3, 300)
+               AS s(k, v)) AS s
+        ON t.k = s.k
+        WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v);
+        SELECT * FROM ssr_insonly;
+    """)
+    assert {(r.k, r.v) for r in out.collect()} == {(1, 10), (3, 300)}
+
+
+def test_merge_unique_source_does_not_raise(spark):
+    # The guard must be invisible on well-formed merges (every
+    # sqlscript_* oracle depends on this).
+    spark.createDataFrame(
+        [(1, 10), (2, 20)], "k INT, v INT"
+    ).createOrReplaceTempView("ssr_ok")
+    out = run_sql_script(spark, """
+        MERGE INTO ssr_ok AS t
+        USING (SELECT * FROM VALUES (2, 200), (3, 300) AS s(k, v)) AS s
+        ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET v = s.v
+        WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v);
+        SELECT * FROM ssr_ok;
+    """)
+    assert {(r.k, r.v) for r in out.collect()} == {(1, 10), (2, 200), (3, 300)}
+
+
+# --------------------------------------------------------------------------
 # The committed 4-statement script vs the set-based paths
 # --------------------------------------------------------------------------
 
