@@ -48,9 +48,14 @@ def unrolled_dot(a: str, b: str, dim: int) -> str:
 def unrolled_dot_lits(a: str, lits: Sequence[float]) -> str:
     """Dot product against a compile-time constant vector, one scalar
     literal per term (a literal ``array(...)[d]`` form would constant-
-    fold too, but bloats the expression text ~64x)."""
+    fold too, but bloats the expression text ~64x).
+
+    Each element is coerced through ``float()`` before formatting:
+    callers pass numpy rows, and under numpy>=2.0 ``repr(np.float64(x))``
+    is ``'np.float64(x)'`` — unparseable SQL.
+    """
     return " + ".join(
-        f"cast({a}[{d}] as double) * cast({x!r} as double)"
+        f"cast({a}[{d}] as double) * cast({float(x)!r} as double)"
         for d, x in enumerate(lits)
     )
 

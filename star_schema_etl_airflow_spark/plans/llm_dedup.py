@@ -548,7 +548,15 @@ def prefix_join_candidates(
     verification.  Exposed separately so ``tools/scale_curve.py`` can
     measure the candidate-ROW curve across scale factors: the pruning
     power is the operator's whole scale story, and a wall-time curve
-    alone would hide a pruning regression behind shuffle noise."""
+    alone would hide a pruning regression behind shuffle noise.
+
+    Contract note: ``toks`` covers NON-EMPTY documents only — a doc
+    whose token set is empty vanishes at the explode (the historical
+    string-set relation carried it with ``s=[], n=0``).  Output is
+    unaffected (an n=0 doc can never pass the prefix filter or reach
+    the Jaccard threshold), but a future consumer wanting one row per
+    corpus doc must left-join back to the corpus doc_ids with coalesced
+    empty sets."""
     from pyspark.sql import Window
 
     corpus = build_corpus(spark, sf_dir)

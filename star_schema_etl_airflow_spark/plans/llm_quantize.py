@@ -144,9 +144,16 @@ def embed_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-row code norm BEFORE the cross join: the sqrt of an exact
     # integer self-dot, computed once per vector, never per pair
     qn = f"sqrt(cast(({unrolled_int_dot('qvec', 'qvec', EMB_DIM)}) as double))"
+    # Zero-norm guard: an all-zero embedding quantizes to qnorm = 0,
+    # making the approx cosine NaN — and Spark sorts NaN ABOVE all
+    # doubles in DESC order, so such vectors would hijack a shortlist
+    # slot for every query (DuckDB's NaN ordering also diverges).
+    # Zero vectors have no direction, hence no cosine rank: drop them
+    # on both sides before the shortlist window (mirrored in the
+    # oracle's WHERE).
     q8 = quantize_int8(emb).select(
         "vec_id", "qvec", F.expr(qn).alias("qnorm")
-    )
+    ).filter(F.col("qnorm") > 0)
     q = q8.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("qvec").alias("qa"),
@@ -233,6 +240,7 @@ shortlist AS (
                       c.vec_id) AS srank
     FROM qn q CROSS JOIN qn c
     WHERE q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+      AND q.qnorm > 0 AND c.qnorm > 0
   ) WHERE srank <= {SQ_SHORTLIST}
 ),
 rescored AS (

@@ -153,11 +153,11 @@ _PLANES = np.random.default_rng(42).standard_normal((N_PLANES, EMB_DIM))
 
 
 def _plane_literal_spark(p: np.ndarray) -> str:
-    return "array(" + ", ".join(f"cast({x!r} as double)" for x in p) + ")"
+    return "array(" + ", ".join(f"cast({float(x)!r} as double)" for x in p) + ")"
 
 
 def _plane_literal_duck(p: np.ndarray) -> str:
-    return "[" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in p) + "]"
+    return "[" + ", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in p) + "]"
 
 
 def _bucket_spark(emb: str) -> str:

@@ -3,6 +3,8 @@ the determinism of the code-domain scoring (exact integer dots)."""
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import functions as F
 
 from star_schema_etl_airflow_spark.plans.llm_quantize import (
@@ -59,3 +61,42 @@ def test_sq8_shortlist_is_deterministic(spark):
     b = {(r.query_id, r.cand_id, r.rank)
          for r in embed_sq8_rerank(spark, SF_DIR).collect()}
     assert a == b
+
+
+def test_sq8_zero_norm_vectors_never_enter_the_shortlist(spark, tmp_path):
+    """An all-zero embedding quantizes to qnorm = 0, making the approx
+    cosine NaN — and Spark orders NaN above all doubles DESC, so
+    without the qnorm > 0 guard such a vector would occupy a shortlist
+    slot for EVERY query.  Pin: zero vectors are excluded, output has
+    no NaN, and every query still gets its top-k from real candidates."""
+    import numpy as np
+
+    from star_schema_etl_airflow_spark.plans.llm_similarity import (
+        EMB_DIM,
+        N_QUERIES,
+    )
+
+    rng = np.random.default_rng(13)
+    n = N_QUERIES + 40
+    rows = []
+    for i in range(n):
+        if i in (N_QUERIES, N_QUERIES + 7):  # two zero-vector candidates
+            v = [0.0] * EMB_DIM
+        else:
+            v = [float(x) for x in rng.standard_normal(EMB_DIM)]
+        rows.append((i, v, 0))
+    df = spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet"))
+
+    out = embed_sq8_rerank(spark, str(tmp_path)).collect()
+    zero_ids = {N_QUERIES, N_QUERIES + 7}
+    assert all(r.cand_id not in zero_ids for r in out)
+    assert all(not math.isnan(r.cosine) for r in out)
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert len(per_q) == N_QUERIES
+    for ranks in per_q.values():
+        assert sorted(ranks) == list(range(1, SQ_TOP_K + 1))

@@ -83,7 +83,7 @@ def test_unrolled_dot_lits_matches_column_form(spark):
     import numpy as np
 
     plane = np.random.default_rng(7).standard_normal(DIM)
-    arr = "array(" + ", ".join(f"cast({x!r} as double)" for x in plane) + ")"
+    arr = "array(" + ", ".join(f"cast({float(x)!r} as double)" for x in plane) + ")"
     emb = load_table(spark, SF_DIR, "embeddings").limit(50)
     rows = (
         emb.select(
