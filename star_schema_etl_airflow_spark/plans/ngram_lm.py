@@ -117,12 +117,19 @@ def ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg_all = persist_once(_doc_bigrams_with_sentinel(docs))
     bg = bg_all.filter(F.col("w2").isNotNull())
     c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
-    # c1(w1) = Σ_w2 c2(w1, w2): the marginal identity — no corpus touch
-    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     # every token appears exactly once as a w1 (incl. the sentinel row)
     vocab = bg_all.agg(F.countDistinct("w1").alias("v"))
+    # c1(w1) = Σ_w2 c2(w1, w2): the marginal identity — realized as a
+    # window sum over the TYPES-sized c2 relation, not a second
+    # aggregate + join back (which costs two extra sequential stages;
+    # measured 1.44s → 1.16s at sf0.1 interleaved same-session, r9
+    # verdict task 2).  Skew-safe at any corpus size: a w1 partition
+    # holds at most |V| bigram TYPES, never instance counts, so even
+    # "the" as head stays bounded by the vocabulary.
+    from pyspark.sql import Window
+
     model = (
-        c2.join(c1, "w1")
+        c2.withColumn("c1", F.sum("c2").over(Window.partitionBy("w1")))
         .crossJoin(F.broadcast(vocab))
         .select(
             "w1", "w2",
