@@ -101,6 +101,31 @@ def main() -> None:
         # cross-round comparisons by the mean of these.
         cal.append(_host_calibration())
 
+    # Order-independent re-measure (r9 verdict task 3): queries listed
+    # here share lazily-built persisted relations (the dedup corpus /
+    # span caches) with other headline queries, so their in-rotation
+    # figure depends on WHICH query of the family happens to pay the
+    # shared cache build first (observed 1.5-5.7s for the same code).
+    # Re-measure them after the passes with the session cache cleared:
+    # one untimed run rebuilds exactly the query's own caches, then
+    # min-of-3 steady-state replaces the rotation figure.  This runs
+    # LAST so the clearCache cannot perturb any other query's timing.
+    ISOLATED = ("dedup_prefix_join",)
+    by_name = {s.name: s for s in headline}
+    for name in ISOLATED:
+        if name not in by_name:
+            continue
+        spark.catalog.clearCache()
+        materialize(by_name[name].fn(spark, SF_DIR))
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            materialize(by_name[name].fn(spark, SF_DIR))
+            dt = round(time.perf_counter() - t0, 3)
+            best = dt if best is None or dt < best else best
+        timings[name] = best
+        cal.append(_host_calibration())
+
     total = round(sum(timings.values()), 3)
     record = {
         "metric": "headline_total",
