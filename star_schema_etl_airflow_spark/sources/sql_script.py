@@ -92,6 +92,9 @@ def strip_comments(sql: str) -> str:
         elif ch == "/" and sql.startswith("/*", i):
             j = sql.find("*/", i + 2)
             i = n if j < 0 else j + 2
+            # a comment is a token separator: `(...)/**/alias` must not
+            # glue into `(...)alias` (fuzz-caught)
+            out.append(" ")
         else:
             out.append(ch)
             i += 1
@@ -371,17 +374,28 @@ def rewrite_merge(spark: SparkSession, stmt: str) -> tuple[str, str]:
         ]
 
     # -- insert branch: source LEFT ANTI JOIN target ----------------------
+    # Like the matched side, only the FIRST satisfied WHEN NOT MATCHED
+    # clause applies to a source row: each branch's filter conjoins
+    # NOT-earlier-cond guards so a row satisfying two clauses inserts
+    # once, not once per clause.
+    ins_prior: list[str] = []
     for cond, cols, vals in m.not_matched:
         assigns = dict(zip(cols, vals))
         ins_sel = ", ".join(
             f"({assigns[c]}) AS {c}" if c in assigns else f"NULL AS {c}"
             for c in tcols)
+        ins_guards = [f"NOT coalesce(({c}), FALSE)" for c in ins_prior]
+        if cond is not None:
+            ins_guards.append(f"coalesce(({cond}), FALSE)")
+            ins_prior.append(cond)
+        else:
+            ins_prior.append("TRUE")
         parts += [
             "UNION ALL",
             f"SELECT {ins_sel}",
             f"FROM (SELECT * FROM __merge_source) AS {m.salias}",
             f"LEFT ANTI JOIN {m.target} AS {m.talias} ON {m.on_cond}",
-            f"WHERE coalesce(({cond}), FALSE)" if cond is not None else "",
+            f"WHERE {' AND '.join(ins_guards)}" if ins_guards else "",
         ]
     return m.target, "\n".join(p for p in parts if p)
 
