@@ -80,7 +80,21 @@ def run_scd2_stream(
             dim = spark.read.parquet(dim_path)
         except Exception:
             dim = empty_dim(spark, source_schema, key, tracked, sk_col)
+        # Exactly-once across replays: foreachBatch is at-least-once —
+        # a crash after write_swap commits but before the checkpoint
+        # records the batch re-delivers the same files on restart.
+        # Re-folding the dimension's CURRENT date is naturally
+        # idempotent (identical delta -> zero changes detected), but a
+        # wiped/lost checkpoint replays STALE dates too, and applying
+        # an old snapshot to a newer dimension regresses attributes
+        # (SCD2 change detection fires "backwards").  The high-water
+        # mark guard skips dates strictly below max(effective_date);
+        # equal dates still fold so same-day corrections keep working.
+        # The collect is one scalar — bounded control-plane metadata.
+        hwm = dim.agg(F.max("effective_date").alias("m")).collect()[0]["m"]
         for d in dates:
+            if hwm is not None and str(d) < str(hwm):
+                continue
             day = batch_df.filter(F.col(run_date_col) == d).drop(run_date_col)
             dim = apply_scd2(dim, day, key, tracked, str(d), sk_col)
         write_swap(dim, dim_path)
