@@ -12,6 +12,8 @@ pins that for all current and future registrations.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from star_schema_etl_airflow_spark import registry
@@ -72,7 +74,7 @@ DTYPE_PIN_QUERIES = [
 def test_driver_dtype_parity(spark, name):
     import duckdb
 
-    sys_path = "/root/repo"
+    sys_path = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     import sys
 
     if sys_path not in sys.path:

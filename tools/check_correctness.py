@@ -31,7 +31,8 @@ import duckdb
 import numpy as np
 import pandas as pd
 
-sys.path.insert(0, "/root/repo")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 SWEEP = len(sys.argv) > 1 and sys.argv[1] == "--sweep"
 if SWEEP:
@@ -223,7 +224,7 @@ def write_sweep_report(path: str, results: dict[str, dict[str, str]]) -> None:
     """results: sf_dir → (name → status); rewrites LOCAL_CORRECTNESS.md."""
     try:
         commit = subprocess.run(
-            ["git", "rev-parse", "--short", "HEAD"], cwd="/root/repo",
+            ["git", "rev-parse", "--short", "HEAD"], cwd=REPO,
             capture_output=True, text=True
         ).stdout.strip()
     except OSError:
@@ -265,7 +266,7 @@ def main() -> int:
         for sf in SWEEP_DIRS:
             print(f"=== {sf} ===")
             results[sf] = run_suite(spark, sf, set())
-        write_sweep_report("/root/repo/LOCAL_CORRECTNESS.md", results)
+        write_sweep_report(os.path.join(REPO, "LOCAL_CORRECTNESS.md"), results)
         total_fail = sum(_tally(r)[2] for r in results.values())
         for sf, r in results.items():
             ok, weak, fail = _tally(r)

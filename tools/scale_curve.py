@@ -25,7 +25,8 @@ import shutil
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 BASE = "/root/testdata/sf0.1"
 WORK = "/tmp/scale_curve"
