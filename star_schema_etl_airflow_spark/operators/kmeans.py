@@ -78,7 +78,15 @@ def assign_clusters(
 def update_centroids(vectors: DataFrame, assign: DataFrame) -> DataFrame:
     """New per-cluster mean vectors: explode dims, exact-decimal partial
     sums per (cluster, dim), reassemble arrays in dim order."""
-    ex = vectors.join(assign, "vec_id").select(
+    return _update_from_assigned(vectors.join(assign, "vec_id"))
+
+
+def _update_from_assigned(assigned: DataFrame) -> DataFrame:
+    """Centroid update from a relation already carrying
+    ``(cluster, embedding)`` per vector — the fused-loop path skips the
+    ``vectors ⋈ assign`` shuffle entirely (identical row multiset, so
+    the associative decimal sums are bit-identical)."""
+    ex = assigned.select(
         "cluster", F.posexplode("embedding").alias("dim", "val")
     )
     means = ex.groupBy("cluster", "dim").agg(
@@ -91,6 +99,34 @@ def update_centroids(vectors: DataFrame, assign: DataFrame) -> DataFrame:
         F.expr(
             "transform(array_sort(collect_list(struct(dim, m))), s -> s.m)"
         ).alias("embedding")
+    )
+
+
+def _assign_with_embedding(
+    vectors: DataFrame, centroids: DataFrame, dim: int | None
+) -> DataFrame:
+    """``(vec_id, embedding, cluster)`` — ``assign_clusters`` with the
+    vector carried through the argmin aggregation (every grouped row
+    holds the same embedding, so ``first`` is deterministic), feeding
+    ``_update_from_assigned`` without a join.  Shuffle volume is the
+    same one-row-per-vector the update join would ship anyway."""
+    scored = (
+        vectors.alias("v")
+        .crossJoin(F.broadcast(centroids.alias("c")))
+        .select(
+            "v.vec_id",
+            "v.embedding",
+            "c.cluster",
+            F.expr(sqdist_expr("v.embedding", "c.embedding", dim)).alias("d"),
+        )
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(
+            F.min(F.struct("d", "cluster")).alias("best"),
+            F.first("embedding").alias("embedding"),
+        )
+        .select("vec_id", "embedding", F.col("best.cluster").alias("cluster"))
     )
 
 
@@ -110,8 +146,14 @@ def kmeans_fit(
         .select(F.col("vec_id").alias("cluster"), "embedding")
         .localCheckpoint()
     )
-    assign = None
-    for _ in range(n_iter):
-        assign = assign_clusters(vectors, centroids, dim).localCheckpoint()
-        centroids = update_centroids(vectors, assign).localCheckpoint()
-    return assign, centroids
+    assigned = None
+    for i in range(n_iter):
+        # fused iteration: the embedding rides the argmin shuffle, so
+        # the centroid update needs no vectors ⋈ assign join; the LAST
+        # update stays lazy (checkpointing it would eagerly run a
+        # 2-shuffle job even for callers that only want the assignment)
+        assigned = _assign_with_embedding(
+            vectors, centroids, dim).localCheckpoint()
+        cents = _update_from_assigned(assigned)
+        centroids = cents if i == n_iter - 1 else cents.localCheckpoint()
+    return assigned.select("vec_id", "cluster"), centroids

@@ -152,9 +152,120 @@ def _stream_fold_time(spark, sf_dir: str, factor: int,
     return round(best, 3)
 
 
+def deep_main() -> None:
+    """--deep: ×4→×32 cells for the two steepest operators (r9 verdict
+    task 4) — the ×1/×2 cells are overhead-confounded (fixed scheduling
+    latency dominates sub-3s cells), so the committed exponent for
+    these is computed over the work-dominated ×4→×32 regime.  Docs-only
+    scaled corpora (both queries read documents + the static
+    embeddings); one trial at ×16/×32 where work dwarfs jitter."""
+    import glob as _glob
+
+    from star_schema_etl_airflow_spark import registry
+    from star_schema_etl_airflow_spark.session import get_spark
+    from star_schema_etl_airflow_spark.plans.llm_dedup import (
+        prefix_join_candidates,
+    )
+
+    factors = [4, 8, 16, 32]
+    spark = get_spark("scale-curve-deep")
+    spark.sparkContext.setLogLevel("ERROR")
+    qmap = registry.queries()
+
+    def materialize(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    def build_docs_only(factor: int) -> str:
+        from pyspark.sql import functions as F
+
+        out = f"{WORK}/deep_x{factor}"
+        if os.path.isdir(out):
+            return out
+        os.makedirs(out)
+        for t in STATIC_TABLES + ["orders", "lineitem"]:
+            os.symlink(f"{BASE}/{t}.parquet", f"{out}/{t}.parquet")
+        docs = spark.read.parquet(f"{BASE}/documents.parquet")
+        parts = []
+        for c in range(factor):
+            if c == 0:
+                parts.append(docs)
+            else:
+                parts.append(docs.select(
+                    (F.col("doc_id") + c * 10_000_000).alias("doc_id"),
+                    F.regexp_replace("text", r"(\S+)", f"c{c}$1")
+                    .alias("text"),
+                    *[col for col in docs.columns
+                      if col not in ("doc_id", "text")],
+                ))
+        d = parts[0]
+        for p in parts[1:]:
+            d = d.unionByName(p)
+        d.write.parquet(f"{out}/documents.parquet")
+        return out
+
+    deep_queries = ["dedup_prefix_join", "curation_pipeline_v5"]
+    dirs = {f: build_docs_only(f) for f in factors}
+    for name in deep_queries:  # JIT warmup at the smallest deep factor
+        materialize(qmap[name](spark, dirs[4]))
+
+    times: dict[str, dict[int, float]] = {}
+    cand: dict[int, int] = {}
+    docs_n: dict[int, int] = {}
+    for f in factors:
+        trials = 2 if f <= 8 else 1
+        for name in deep_queries:
+            spark.catalog.clearCache()
+            best = None
+            for _t in range(trials):
+                t0 = time.perf_counter()
+                materialize(qmap[name](spark, dirs[f]))
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            times.setdefault(name, {})[f] = round(best, 3)
+            print(f"  deep x{f} {name}: {best:.3f}s", file=sys.stderr)
+        spark.catalog.clearCache()
+        toks, cands = prefix_join_candidates(spark, dirs[f])
+        docs_n[f] = toks.count()
+        cand[f] = cands.count()
+        print(f"  deep x{f} ppjoin candidates: {cand[f]}", file=sys.stderr)
+
+    lo, hi = factors[0], factors[-1]
+    print("## Deep curve ×4→×32 (work-dominated regime; r9 verdict task 4)")
+    print()
+    print("Docs-only scaled corpora (disjoint per-copy vocabularies);")
+    print("exponents fit over ×4→×32 where fixed per-query stage latency")
+    print("no longer confounds the slope (the full-table ×1→×8 rows for")
+    print("these two operators read low for exactly that reason).")
+    print()
+    print("| operator | " + " | ".join(f"×{f}" for f in factors)
+          + " | exponent ×4→×32 |")
+    print("|---|" + "---|" * (len(factors) + 1))
+    for name in deep_queries:
+        row = times[name]
+        expo = math.log(row[hi] / row[lo]) / math.log(hi / lo)
+        cells = " | ".join(f"{row[f]:.2f}s" for f in factors)
+        print(f"| {name} | {cells} | {expo:.2f} |")
+    print()
+    print("| factor | docs | candidate pairs | cands/doc |")
+    print("|---|---|---|---|")
+    for f in factors:
+        print(f"| ×{f} | {docs_n[f]} | {cand[f]} "
+              f"| {cand[f] / docs_n[f]:.0f} |")
+    cexpo = math.log(cand[hi] / cand[lo]) / math.log(hi / lo)
+    print()
+    print(f"PPJoin candidate-count exponent ×4→×{hi}: {cexpo:.2f} "
+          "(healthy pruned shape ~1.0; the per-doc candidate count "
+          "staying flat across an 8× corpus growth is the structural "
+          "guard a pruning regression would trip).")
+
+
 def main() -> None:
     from star_schema_etl_airflow_spark import registry
     from star_schema_etl_airflow_spark.session import get_spark
+
+    if "--deep" in sys.argv:
+        deep_main()
+        return
 
     max_factor = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     factors = [f for f in (1, 2, 4, 8) if f <= max_factor]
