@@ -172,6 +172,15 @@ def deep_main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qmap = registry.queries()
 
+    def pyloop() -> float:
+        t0 = time.perf_counter()
+        x = 0
+        for i in range(10_000_000):
+            x += i * i
+        return round(time.perf_counter() - t0, 3)
+
+    cal = [pyloop()]
+
     def materialize(df):
         df.write.format("noop").mode("overwrite").save()
 
@@ -228,6 +237,7 @@ def deep_main() -> None:
         docs_n[f] = toks.count()
         cand[f] = cands.count()
         print(f"  deep x{f} ppjoin candidates: {cand[f]}", file=sys.stderr)
+        cal.append(pyloop())
 
     lo, hi = factors[0], factors[-1]
     print("## Deep curve ×4→×32 (work-dominated regime; r9 verdict task 4)")
@@ -236,6 +246,10 @@ def deep_main() -> None:
     print("exponents fit over ×4→×32 where fixed per-query stage latency")
     print("no longer confounds the slope (the full-table ×1→×8 rows for")
     print("these two operators read low for exactly that reason).")
+    print()
+    print(f"Host pyloop stamps around the cells: {cal} "
+          "(quiet ≈ 0.46-0.55s on this box — read contended cells "
+          "against these).")
     print()
     print("| operator | " + " | ".join(f"×{f}" for f in factors)
           + " | exponent ×4→×32 |")
