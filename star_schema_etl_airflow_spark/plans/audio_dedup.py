@@ -1,0 +1,225 @@
+"""Acoustic-fingerprint audio near-duplicate join (energy-profile hash
+over decoded WAV/PCM).
+
+The audio twin of ``plans/image_dedup.py``: a training-data pipeline
+dedupes audio clips by a compact fingerprint of the signal's energy
+envelope (the Haitsma–Kalker family reduces each frame to sign bits of
+band-energy differences; this operator is the time-domain integer-exact
+member of that family — frame ENERGY instead of spectral bands, so the
+entire chain stays in integer arithmetic and the DuckDB oracle can
+state it closed-form).
+
+Pipeline:
+
+1. synthesize a REAL RIFF/WAVE payload per document (deterministic
+   16-bit PCM from ``doc_id`` — the multimodal-oracle pattern) and
+   decode it with the production decoder
+   (``sources/multimodal._wav_decode``), exercising the binary-column
+   plumbing end to end;
+2. frame the samples (33 frames × 8 samples) and take integer frame
+   energies E(f) = Σ s²;
+3. fingerprint: bit(f) = E(f) > E(f+1) for f ∈ 0..31 → 32 bits packed
+   as four 8-bit bands.  A uniform GAIN g multiplies every energy by
+   g², so the comparison bits — hence the fingerprint — are exactly
+   gain-invariant, the acoustic analogue of dHash's brightness
+   invariance;
+4. candidates: band-equality self-join (never all-pairs); with 4
+   disjoint bands and hamming threshold 3 the pigeonhole principle
+   makes recall exact;
+5. verify: full 32-bit hamming ≤ 3 on candidates.
+
+Scale shape: identical to the image operator — map-only Arrow
+``mapInPandas`` extraction, a 4-rows-per-clip band shuffle, a 4-int
+verify join; nothing quadratic in the corpus.
+
+Synthetic corpus structure (closed-form, shared with the oracle):
+
+    base = doc_id % 37            -- 37 acoustic motifs
+    gain = 1 + (doc_id // 37) % 3 -- uniform gain (fingerprint-invariant)
+    bump = doc_id % 5 == 0        -- +40 on frame 0's samples (≤ 1 bit)
+    sample(i) = gain * (((base*13 + (i//8)*37 + (i%8)*5) % 97) - 48)
+                [+ bump on frame 0]
+
+|sample| ≤ 3*48 + 40 < 2¹⁵, so the int16 PCM round-trip is lossless.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from star_schema_etl_airflow_spark.functions.caching import persist_once
+from star_schema_etl_airflow_spark.registry import QuerySpec, register
+from star_schema_etl_airflow_spark.sources.fixtures import load_table
+
+FRAME = 8                      # samples per frame
+N_FRAMES = 33                  # → 32 adjacent-energy comparisons
+N_SAMPLES = FRAME * N_FRAMES
+N_BASES = 37                   # distinct motifs in the synthetic corpus
+GAIN_MOD = 3                   # gain ∈ {1, 2, 3} (fingerprint-invariant)
+PAT_MOD, PAT_OFF = 97, 48      # core sample range [-48, 48]
+BUMP = 40                      # frame-0 offset (≤ 1 fingerprint bit)
+FP_BANDS, BAND_BITS = 4, 8
+HAMMING_T = 3                  # < FP_BANDS ⇒ pigeonhole-exact recall
+
+
+def _synth_samples(doc_id: int) -> list[int]:
+    base = doc_id % N_BASES
+    gain = 1 + (doc_id // N_BASES) % GAIN_MOD
+    bump = BUMP if doc_id % 5 == 0 else 0
+    out = []
+    for i in range(N_SAMPLES):
+        s = gain * (((base * 13 + (i // FRAME) * 37 + (i % FRAME) * 5)
+                     % PAT_MOD) - PAT_OFF)
+        if i < FRAME:
+            s += bump
+        out.append(s)
+    return out
+
+
+def _fp_kernel(batches):
+    """Arrow batch kernel: synthesize → decode (production decoder) →
+    integer frame energies → 32-bit fingerprint as four 8-bit bands."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    from star_schema_etl_airflow_spark.plans.multimodal_queries import (
+        WAV_RATE,
+        _raw_wav_encode,
+    )
+    from star_schema_etl_airflow_spark.sources.multimodal import (
+        _wav_decode,
+    )
+
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            doc_id = int(doc_id)
+            dec = _wav_decode(
+                _raw_wav_encode(_synth_samples(doc_id), WAV_RATE)
+            )
+            vals = np.array(
+                struct.unpack(f"<{dec['n_frames']}h", dec["frames"]),
+                dtype=np.int64,
+            )
+            energy = (vals * vals).reshape(N_FRAMES, FRAME).sum(axis=1)
+            bits = (energy[:-1] > energy[1:]).astype(np.int64)  # 32
+            bands = []
+            for k in range(FP_BANDS):
+                seg = bits[k * BAND_BITS:(k + 1) * BAND_BITS]
+                bands.append(int((seg << np.arange(BAND_BITS)).sum()))
+            rows.append((doc_id, *bands))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "b0", "b1", "b2", "b3"]
+        )
+
+
+def _fp_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from star_schema_etl_airflow_spark.plans.multimodal_queries import (
+        _spread,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType())]
+        + [T.StructField(f"b{k}", T.LongType()) for k in range(FP_BANDS)]
+    )
+    return persist_once(
+        _spread(docs).mapInPandas(_fp_kernel, schema=schema)
+    )
+
+
+def audio_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All clip pairs with fingerprint hamming distance ≤ 3 — exact via
+    pigeonhole-complete banding + full-width verify."""
+    hashed = _fp_relation(spark, sf_dir)
+    band_pairs = ", ".join(f"{k}, b{k}" for k in range(FP_BANDS))
+    buckets = hashed.select(
+        "doc_id",
+        F.expr(f"stack({FP_BANDS}, {band_pairs}) as (band_idx, band_key)"),
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    ha = hashed.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"b{k}").alias(f"a{k}") for k in range(FP_BANDS)],
+    )
+    hb = hashed.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"b{k}").alias(f"bb{k}") for k in range(FP_BANDS)],
+    )
+    hamming = sum(
+        F.expr(f"bit_count(a{k} ^ bb{k})") for k in range(FP_BANDS)
+    )
+    return (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= HAMMING_T)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def _oracle() -> str:
+    """Closed-form DuckDB twin: the synthetic sample formula squared and
+    frame-summed (all integers), brute-force hamming ≤ 3 (legal because
+    the banding is pigeonhole-complete — see the image_dedup oracle)."""
+    band_cols = ",\n         ".join(
+        f"SUM(CASE WHEN f >= {k * BAND_BITS} AND f < {(k + 1) * BAND_BITS} "
+        f"THEN bit << (f - {k * BAND_BITS}) ELSE 0 END) AS b{k}"
+        for k in range(FP_BANDS)
+    )
+    ham = " + ".join(
+        f"bit_count(xor(a.b{k}, b.b{k}))" for k in range(FP_BANDS)
+    )
+    return f"""
+WITH samples AS (
+  SELECT d.doc_id, i.g AS i,
+         (1 + (d.doc_id // {N_BASES}) % {GAIN_MOD})
+           * ((((d.doc_id % {N_BASES}) * 13 + (i.g // {FRAME}) * 37
+                + (i.g % {FRAME}) * 5) % {PAT_MOD}) - {PAT_OFF})
+         + CASE WHEN d.doc_id % 5 = 0 AND i.g < {FRAME}
+                THEN {BUMP} ELSE 0 END AS s
+  FROM documents d, generate_series(0, {N_SAMPLES - 1}) i(g)
+),
+energy AS (
+  SELECT doc_id, i // {FRAME} AS f, SUM(s * s) AS e
+  FROM samples GROUP BY doc_id, i // {FRAME}
+),
+bits AS (
+  SELECT a.doc_id, a.f,
+         CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS bit
+  FROM energy a
+  JOIN energy b ON a.doc_id = b.doc_id AND b.f = a.f + 1
+  WHERE a.f < {N_FRAMES - 1}
+),
+fps AS (
+  SELECT doc_id,
+         {band_cols}
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST({ham} AS INTEGER) AS hamming
+FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+WHERE {ham} <= {HAMMING_T}
+"""
+
+
+register(QuerySpec("audio_dedup_fingerprint", audio_dedup_fingerprint,
+                   _oracle(), tags=("LLM-dedup", "multimodal")))

@@ -1,0 +1,247 @@
+"""Perceptual-hash image near-duplicate join (dHash over decoded PNGs).
+
+The text side of the dedup family (exact / MinHash / SimHash / PPJoin /
+SemDeDup) has no multimodal counterpart in the repo until now, yet a
+training-data pipeline dedupes images with exactly this recipe: decode
+→ downscale to a tiny luminance grid → difference hash (dHash: one bit
+per adjacent-cell comparison, Krawetz's variant of Charikar-style
+sketches) → hamming-banded self-join.  The hash is invariant to uniform
+brightness shifts (differences are unchanged) and robust to small local
+edits (each cell touches ≤ 2 bits), which is what makes it a *near*-dup
+key where a byte hash is an exact-dup key.
+
+Pipeline (all sizes in cells, integer-exact end to end):
+
+1. synthesize a REAL 18×16 grayscale PNG per document (deterministic
+   pixels from ``doc_id`` — the multimodal-oracle pattern of
+   ``plans/multimodal_queries.py``: payload synthesis in the kernel,
+   closed-form expectation in DuckDB) and decode it with the
+   production decoder (``sources/multimodal._png_decode``), so the
+   whole binary-column plumbing is exercised;
+2. area-reduce to a 9×8 grid of 2×2-block SUMS (integer sums, not
+   float means — equal block sizes make the comparison identical and
+   keep both engines bit-exact);
+3. dHash: bit(gx, gy) = cell(gx, gy) > cell(gx+1, gy) for gx ∈ 0..7,
+   gy ∈ 0..7 → 64 bits, packed as four 16-bit bands;
+4. candidates: band-equality self-join (the ``dedup_simhash`` banding
+   shape — never all-pairs).  With 4 disjoint bands and a hamming
+   threshold of 3, the pigeonhole principle makes recall EXACT: ≤ 3
+   differing bits cannot touch all 4 bands, so every qualifying pair
+   shares at least one band verbatim;
+5. verify: full 64-bit hamming distance ≤ 3 on candidates.
+
+Scale shape: the hash extraction is a map-only Arrow ``mapInPandas``
+over the binary column (embarrassingly parallel; at corpus scale the
+blobs arrive pre-split and the fixture repartition is dropped); the
+self-join shuffles on (band_idx, band_key) — 4 rows per image — and the
+verify joins back a 4-int relation.  No stage is ever quadratic in the
+corpus; bucket skew (many images sharing a band) is near-dup skew the
+same salting/AQE story as the text dedups.
+
+Reference parity note: the reference (Airflow + BigQuery star-schema
+ETL) has no multimodal surface; this operator extends the engine's
+LLM-curation family (SURVEY.md "beyond the reference" scope).
+
+Synthetic corpus structure (closed-form, shared with the oracle):
+
+    base  = doc_id % 41        -- 41 visual motifs
+    shift = (doc_id // 41) % 17 -- uniform brightness offset (hash-invariant)
+    bump  = doc_id % 3 == 0     -- +30 on the top-left 2×2 block (≤ 1 bit)
+    pixel(x, y) = (base*7 + (x//2)*13 + (y//2)*29) % 200 + shift [+ bump]
+
+so every (base)-group collapses to ≤ 2 hash variants within hamming 1
+of each other — genuine near-dup clusters with known structure — while
+distinct bases are (deterministically) far apart.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from star_schema_etl_airflow_spark.functions.caching import persist_once
+from star_schema_etl_airflow_spark.registry import QuerySpec, register
+from star_schema_etl_airflow_spark.sources.fixtures import load_table
+
+GRID_W, GRID_H = 9, 8          # dHash grid (9 cols → 8 comparisons/row)
+CELL = 2                       # pixels per cell edge → 18×16 image
+IMG_W, IMG_H = GRID_W * CELL, GRID_H * CELL
+N_BASES = 41                   # distinct motifs in the synthetic corpus
+SHIFT_MOD = 17                 # brightness shift range (hash-invariant)
+PAT_MOD = 200                  # pattern value range (200+16+30 < 256)
+BUMP = 30                      # per-pixel bump on cell (0,0) (≤ 1 bit)
+DHASH_BANDS, BAND_BITS = 4, 16
+HAMMING_T = 3                  # < DHASH_BANDS ⇒ pigeonhole-exact recall
+
+
+def _synth_png(doc_id: int) -> bytes:
+    """Deterministic grayscale PNG for ``doc_id`` (see module docstring
+    for the closed-form pixel formula the oracle mirrors)."""
+    from star_schema_etl_airflow_spark.sources.multimodal import (
+        _png_encode,
+    )
+
+    base = doc_id % N_BASES
+    shift = (doc_id // N_BASES) % SHIFT_MOD
+    bump = BUMP if doc_id % 3 == 0 else 0
+    px = bytearray()
+    for y in range(IMG_H):
+        gy = y // CELL
+        for x in range(IMG_W):
+            gx = x // CELL
+            v = (base * 7 + gx * 13 + gy * 29) % PAT_MOD + shift
+            if gx == 0 and gy == 0:
+                v += bump
+            px.append(v)
+    return _png_encode(bytes(px), IMG_W, IMG_H, color_type=0)
+
+
+def _dhash_kernel(batches):
+    """Arrow batch kernel: synthesize → decode (production decoder) →
+    integer area-reduce → 64-bit dHash as four 16-bit bands."""
+    import numpy as np
+    import pandas as pd
+
+    from star_schema_etl_airflow_spark.sources.multimodal import (
+        _png_decode,
+    )
+
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            doc_id = int(doc_id)
+            img = _png_decode(_synth_png(doc_id))
+            arr = (
+                np.frombuffer(img["pixels"], dtype=np.uint8)
+                .reshape(img["height"], img["width"])
+                .astype(np.int64)
+            )
+            # 2×2 block sums: equal-sized blocks, so comparing sums is
+            # comparing means without ever leaving integer arithmetic
+            cells = arr.reshape(GRID_H, CELL, GRID_W, CELL).sum(axis=(1, 3))
+            bits = (cells[:, :-1] > cells[:, 1:]).astype(np.int64)  # 8×8
+            flat = bits.reshape(-1)  # bitpos = gy*8 + gx
+            bands = []
+            for k in range(DHASH_BANDS):
+                seg = flat[k * BAND_BITS:(k + 1) * BAND_BITS]
+                bands.append(int((seg << np.arange(BAND_BITS)).sum()))
+            rows.append((doc_id, *bands))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "b0", "b1", "b2", "b3"]
+        )
+
+
+def _dhash_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from star_schema_etl_airflow_spark.plans.multimodal_queries import (
+        _spread,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType())]
+        + [T.StructField(f"b{k}", T.LongType())
+           for k in range(DHASH_BANDS)]
+    )
+    # feeds both the band explode and the two verify joins — one decode
+    # pass per image, the llm_dedup persist_once pattern
+    return persist_once(
+        _spread(docs).mapInPandas(_dhash_kernel, schema=schema)
+    )
+
+
+def image_dedup_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All image pairs with dHash hamming distance ≤ 3 — EXACT (the
+    banding is a pigeonhole-complete candidate generator, the verify is
+    the full 64-bit distance), never all-pairs."""
+    hashed = _dhash_relation(spark, sf_dir)
+    band_pairs = ", ".join(f"{k}, b{k}" for k in range(DHASH_BANDS))
+    buckets = hashed.select(
+        "doc_id",
+        F.expr(f"stack({DHASH_BANDS}, {band_pairs}) "
+               "as (band_idx, band_key)"),
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    ha = hashed.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"b{k}").alias(f"a{k}") for k in range(DHASH_BANDS)],
+    )
+    hb = hashed.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"b{k}").alias(f"bb{k}") for k in range(DHASH_BANDS)],
+    )
+    hamming = sum(
+        F.expr(f"bit_count(a{k} ^ bb{k})") for k in range(DHASH_BANDS)
+    )
+    return (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= HAMMING_T)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def _oracle() -> str:
+    """Closed-form DuckDB twin: the synthetic pixel formula is stated
+    directly over a generate_series grid (the Spark side decodes real
+    PNG bytes; the two meet at the integer cell sums), and the pair set
+    is brute-force hamming ≤ 3 — legal for the oracle because the
+    pigeonhole argument makes the banded operator exactly that set."""
+    band_cols = ",\n         ".join(
+        f"SUM(CASE WHEN bitpos >= {k * BAND_BITS} "
+        f"AND bitpos < {(k + 1) * BAND_BITS} "
+        f"THEN bit << (bitpos - {k * BAND_BITS}) ELSE 0 END) AS b{k}"
+        for k in range(DHASH_BANDS)
+    )
+    ham = " + ".join(
+        f"bit_count(xor(a.b{k}, b.b{k}))" for k in range(DHASH_BANDS)
+    )
+    return f"""
+WITH cells AS (
+  SELECT d.doc_id, gy.g AS gy, gx.g AS gx,
+         {CELL * CELL} * ((((d.doc_id % {N_BASES}) * 7 + gx.g * 13
+              + gy.g * 29) % {PAT_MOD})
+             + ((d.doc_id // {N_BASES}) % {SHIFT_MOD}))
+         + CASE WHEN d.doc_id % 3 = 0 AND gx.g = 0 AND gy.g = 0
+                THEN {CELL * CELL * BUMP} ELSE 0 END AS cell
+  FROM documents d,
+       generate_series(0, {GRID_W - 1}) gx(g),
+       generate_series(0, {GRID_H - 1}) gy(g)
+),
+bits AS (
+  SELECT a.doc_id, (a.gy * {GRID_W - 1} + a.gx) AS bitpos,
+         CASE WHEN a.cell > b.cell THEN 1 ELSE 0 END AS bit
+  FROM cells a
+  JOIN cells b ON a.doc_id = b.doc_id AND a.gy = b.gy
+              AND b.gx = a.gx + 1
+  WHERE a.gx < {GRID_W - 1}
+),
+hashes AS (
+  SELECT doc_id,
+         {band_cols}
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST({ham} AS INTEGER) AS hamming
+FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+WHERE {ham} <= {HAMMING_T}
+"""
+
+
+register(QuerySpec("image_dedup_dhash", image_dedup_dhash, _oracle(),
+                   tags=("LLM-dedup", "multimodal")))

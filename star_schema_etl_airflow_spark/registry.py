@@ -66,6 +66,7 @@ def _ensure_loaded() -> None:
         analytics_queries,
         anomaly,
         approx_queries,
+        audio_dedup,
         bm25,
         clustering_queries,
         core_queries,
@@ -74,6 +75,7 @@ def _ensure_loaded() -> None:
         fixture_queries,
         fuzzy_join,
         governance_queries,
+        image_dedup,
         ivm_queries,
         jl_projection,
         llm_decontam,

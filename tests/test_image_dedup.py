@@ -1,0 +1,124 @@
+"""Invariants for the dHash image near-dup join (plans/image_dedup.py).
+
+The sweep/driver oracle checks equality against the closed-form DuckDB
+twin; these tests pin the PROPERTIES that make the operator a correct
+perceptual near-dup join — brightness invariance, bounded edit impact,
+pigeonhole-exact banding — directly on the kernel and on a small
+end-to-end run, so a refactor that keeps the oracle green by changing
+both sides in lockstep still cannot silently break the semantics.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from star_schema_etl_airflow_spark.plans.image_dedup import (
+    BAND_BITS,
+    DHASH_BANDS,
+    HAMMING_T,
+    N_BASES,
+    _dhash_kernel,
+    image_dedup_dhash,
+)
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _hash_of(doc_ids: list[int]) -> dict[int, tuple[int, ...]]:
+    out = {}
+    for pdf in _dhash_kernel(iter([pd.DataFrame({"doc_id": doc_ids})])):
+        for row in pdf.itertuples(index=False):
+            out[row.doc_id] = (row.b0, row.b1, row.b2, row.b3)
+    return out
+
+
+def _hamming(a: tuple[int, ...], b: tuple[int, ...]) -> int:
+    return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+
+def test_brightness_shift_is_hash_invariant():
+    """Same motif, different uniform brightness (and same bump parity):
+    dHash compares adjacent cells, so the shift cancels exactly."""
+    # doc_id and doc_id + 3*N_BASES share base AND doc_id%3, differ in
+    # the brightness shift term ((doc_id // 41) % 17)
+    pairs = [(7, 7 + 3 * N_BASES), (12, 12 + 6 * N_BASES)]
+    ids = [i for p in pairs for i in p]
+    h = _hash_of(ids)
+    for a, b in pairs:
+        assert h[a] == h[b], (a, b)
+
+
+def test_local_bump_flips_at_most_one_bit():
+    """The +30 bump on cell (0,0) touches only the (0,0)>(1,0)
+    comparison — same-motif docs across the bump boundary stay within
+    hamming 1 (the 'small local edit' robustness dHash exists for)."""
+    # doc_id and doc_id + N_BASES*3k keep base; pick ids differing ONLY
+    # in bump status: base b, shift s equal, doc_id%3 different.
+    # doc_id = 41*k + b; shift = k % 17; choose k=0 (id=b) vs k=51
+    # (51%17=0, same shift; 41*51+b ≡ (2*51+b)%3 = (b+102)%3 = b%3 —
+    # same bump parity, useless).  Instead compare k=0 and k=17
+    # (shift 0 both): id_a = b, id_b = 697 + b; bump differs when
+    # (b % 3) != ((697 + b) % 3) — 697 % 3 = 1, so always differs.
+    for b in (0, 5, 11):
+        h = _hash_of([b, 17 * N_BASES + b])
+        d = _hamming(h[b], h[17 * N_BASES + b])
+        assert d <= 1, (b, d)
+
+
+def test_distinct_motifs_are_far_apart():
+    """Different bases give (deterministically) distant hashes — the
+    corpus has real cluster structure, not one giant bucket."""
+    h = _hash_of(list(range(N_BASES)))
+    near = sum(
+        1
+        for i in range(N_BASES)
+        for j in range(i + 1, N_BASES)
+        if _hamming(h[i], h[j]) <= HAMMING_T
+    )
+    # a handful of accidental collisions is tolerable; all-pairs-near
+    # would mean the hash degenerated
+    assert near < N_BASES
+
+
+def test_bands_cover_all_64_bits():
+    assert DHASH_BANDS * BAND_BITS == 64
+
+
+def test_end_to_end_pairs_match_brute_force(spark):
+    """Banded operator output == brute-force hamming ≤ T (pigeonhole
+    exactness) on the sf0.001 fixture, computed from the same hashes."""
+    from star_schema_etl_airflow_spark.plans.image_dedup import (
+        _dhash_relation,
+    )
+
+    got = image_dedup_dhash(spark, SF_DIR).collect()
+    hashed = _dhash_relation(spark, SF_DIR)
+    a = hashed.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"b{k}").alias(f"a{k}") for k in range(DHASH_BANDS)],
+    )
+    b = hashed.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"b{k}").alias(f"bb{k}") for k in range(DHASH_BANDS)],
+    )
+    ham = sum(
+        F.expr(f"bit_count(a{k} ^ bb{k})") for k in range(DHASH_BANDS)
+    )
+    brute = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= HAMMING_T)
+        .select("id_a", "id_b", "hamming")
+        .collect()
+    )
+    key = lambda r: (r.id_a, r.id_b)  # noqa: E731
+    assert sorted(map(key, got)) == sorted(map(key, brute))
+    assert len(got) > 0
+    assert all(r.id_a < r.id_b and r.hamming <= HAMMING_T for r in got)
+
+
+@pytest.mark.parametrize("doc_id", [0, 1, 40, 41, 1234, 10**7 + 3])
+def test_kernel_band_range(doc_id):
+    h = _hash_of([doc_id])[doc_id]
+    assert all(0 <= x < (1 << BAND_BITS) for x in h)
