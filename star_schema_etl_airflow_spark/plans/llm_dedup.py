@@ -476,6 +476,12 @@ register(QuerySpec("dedup_clusters", dedup_clusters, DEDUP_CLUSTERS_ORACLE,
 
 PREFIX_T_NUM, PREFIX_T_DEN = 9, 10  # Jaccard threshold 0.9, exact rational
 
+# Estimated corpus bytes above which prefix_join_candidates pins the
+# candidate-join parallelism (see the sizing note inside) — sf0.1's
+# estimate is 0.73 MiB, the ×4 deep corpus 2.9 MiB; the measured
+# crossover sits between them.
+FANOUT_PIN_BYTES = 2 * 1024 * 1024
+
 
 def dedup_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ALL pairs with word-set Jaccard >= 0.9 via prefix filtering — the
@@ -650,6 +656,36 @@ def prefix_join_candidates(
         + F.least(F.col("a.n") - F.col("a.pos"),
                   F.col("b.n") - F.col("b.pos"))
     )
+    # Candidate-join stage sizing.  AQE's byte-based coalescing sizes
+    # this stage by its INPUT (a few MB of shuffled prefix tokens: the
+    # 1 MB minPartitionSize floor coalesced the ×16 deep-curve cell to
+    # 5 tasks) while the stage's cost is its OUTPUT fan-out (89M
+    # candidate pairs at ×16: 120 of the cell's 161 s ran on 5 of 32
+    # cores — profiled with tools/deep_profile.py).  The same
+    # mis-sizing reproduces on a cluster, where shuffle.partitions
+    # starts high and AQE coalesces the small exchange just as
+    # aggressively — a byte floor can never see compute fan-out, so
+    # above the threshold the operator (which knows it explodes) pins
+    # its own width with an explicit key repartition on BOTH sides
+    # (same keys + count → the join reuses the exchanges, no extra
+    # shuffle): deep cells ×4/×8/×16 drop 26.9→15.1s / 36.6→17.7s /
+    # 193→68s cold.  BELOW the threshold the plain join is kept: a
+    # pinned repartition disables AQE's broadcast conversion and skew
+    # split, and on the bench fixture's adversarial 31-token
+    # vocabulary (one (tok,bkt) bucket carries most of the 5.6M
+    # candidates) those mechanisms are worth 3× (1.5s AQE-managed vs
+    # 4.9s pinned at sf0.1).  Real web-scale corpora sit on the pinned
+    # side, where prefix tokens are rare-first and buckets are small
+    # by construction.  The probe is Catalyst's zero-cost plan-stats
+    # estimate (operators/scd2.py precedent).
+    from star_schema_etl_airflow_spark.operators.scd2 import (
+        _estimated_bytes,
+    )
+
+    if _estimated_bytes(corpus) > FANOUT_PIN_BYTES:
+        fan_out = spark.sparkContext.defaultParallelism * 2
+        a_exp = a_exp.repartition(fan_out, "tok", "bkt")
+        b_bkt = b_bkt.repartition(fan_out, "tok", "bkt")
     cands = (
         a_exp.alias("a")
         .join(b_bkt.alias("b"), ["tok", "bkt"])
