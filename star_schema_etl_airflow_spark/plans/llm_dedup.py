@@ -132,21 +132,21 @@ _SH_S = shingles_spark(_TOKS_S)
 _SH_D = shingles_duck(_TOKS_D)
 
 
-def _signature_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id, hashes (distinct hashed shingles), mh0..mh{N-1}.
+def signature_of(docs: DataFrame) -> DataFrame:
+    """MinHash signature relation for ANY (doc_id, text) input:
+    doc_id, hashes (distinct hashed shingles), mh0..mh{N-1}.
 
     One md5 pass per shingle (``shingle_hashes``), then the N components
     are integer universal hashes over the pre-hashed array.  Only the
     int hashes travel downstream — the Jaccard verify compares hashed
     shingle sets (identical result modulo ~2^-30 collisions, same on
     both engines), so shuffles carry fixed-width ints, never the strings."""
-    corpus = build_corpus(spark, sf_dir)
     # single select (one analysis pass) — a 16-step withColumn chain costs
     # ~1.5s of repeated plan analysis for the same result.  Tokens are
     # projected into a column first: inlining split() into the shingle
     # lambda re-tokenizes per gram position (~4× slower — no CSE inside
     # lambda bodies).
-    return corpus.select(
+    return docs.select(
         F.col("doc_id"), F.expr(_TOKS_S).alias("__t")
     ).select(
         F.col("doc_id"),
@@ -161,6 +161,28 @@ def _signature_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _signature_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signatures of the amplified fixture corpus (the self-join family)."""
+    return signature_of(build_corpus(spark, sf_dir))
+
+
+def band_buckets(sig: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_key) — the LSH banding of a signature
+    relation; the shared candidate-generation front of every
+    MinHash-family join (self-join, containment, delta-vs-corpus)."""
+    band_exprs = []
+    for b in range(_N_BANDS):
+        row = ", ".join(
+            f"mh{b * LSH_BAND_ROWS + r}" for r in range(LSH_BAND_ROWS)
+        )
+        band_exprs.append(f"{b}, md5(concat_ws(',', {row}))")
+    return sig.select(
+        "doc_id",
+        F.expr(f"stack({_N_BANDS}, {', '.join(band_exprs)}) "
+               "as (band_idx, band_key)"),
+    )
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs: shingle → 16 minhashes → 4 bands of 4 →
     bucket-join on (band, band_key) → exact-Jaccard verify ≥ 0.5.
@@ -171,15 +193,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     subtrees).  At 100 TB the signature table would be a materialized
     intermediate (write once, read four times) for the same reason."""
     sig = persist_once(_signature_df(spark, sf_dir))
-
-    band_exprs = []
-    for b in range(_N_BANDS):
-        row = ", ".join(f"mh{b * LSH_BAND_ROWS + r}" for r in range(LSH_BAND_ROWS))
-        band_exprs.append(f"{b}, md5(concat_ws(',', {row}))")
-    buckets = sig.select(
-        "doc_id",
-        F.expr(f"stack({_N_BANDS}, {', '.join(band_exprs)}) as (band_idx, band_key)"),
-    )
+    buckets = band_buckets(sig)
 
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
@@ -206,30 +220,35 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _duck_minhash_sig() -> str:
+def _duck_minhash_sig(src: str = "corpus", name: str = "sigh") -> str:
+    """Signature CTE pair over any (doc_id, text) relation ``src`` —
+    the SQL twin of :func:`signature_of`."""
     mh = ",\n         ".join(
         f"{uhash_min_duck('hashes', j)} AS mh{j}" for j in range(N_MINHASH)
     )
     return f"""
-sig AS (
+{name}_sets AS (
   SELECT doc_id, list_distinct({shingle_hashes_duck(_SH_D)}) AS hashes
-  FROM corpus
+  FROM {src}
 ),
-sigh AS (
+{name} AS (
   SELECT doc_id, hashes,
          {mh}
-  FROM sig
+  FROM {name}_sets
 )"""
 
 
-def _duck_bands() -> str:
+def _duck_bands(name: str = "sigh") -> str:
+    """Band-bucket UNION over a signature CTE — the SQL twin of
+    :func:`band_buckets`."""
     parts = []
     for b in range(_N_BANDS):
         row = " || ',' || ".join(
             f"mh{b * LSH_BAND_ROWS + r}" for r in range(LSH_BAND_ROWS)
         )
         parts.append(
-            f"SELECT doc_id, {b} AS band_idx, md5({row}) AS band_key FROM sigh"
+            f"SELECT doc_id, {b} AS band_idx, md5({row}) AS band_key "
+            f"FROM {name}"
         )
     return "\nUNION ALL\n".join(parts)
 
@@ -798,15 +817,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     symmetric pass — one extra projection over machinery the Jaccard
     join already paid for; both directions emitted per pair."""
     sig = persist_once(_signature_df(spark, sf_dir))
-
-    band_exprs = []
-    for b in range(_N_BANDS):
-        row = ", ".join(f"mh{b * LSH_BAND_ROWS + r}" for r in range(LSH_BAND_ROWS))
-        band_exprs.append(f"{b}, md5(concat_ws(',', {row}))")
-    buckets = sig.select(
-        "doc_id",
-        F.expr(f"stack({_N_BANDS}, {', '.join(band_exprs)}) as (band_idx, band_key)"),
-    )
+    buckets = band_buckets(sig)
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(

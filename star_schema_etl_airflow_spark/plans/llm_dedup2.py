@@ -366,9 +366,146 @@ FROM j LEFT JOIN dropped d ON j.vec_id = d.vec_id
 """
 
 
+# --- incremental NEAR-dup probe (delta vs corpus via MinHash bands) --------
+
+BATCH_MUTANT_OFFSET = 6_000_000
+BATCH_FRESH_OFFSET = 7_000_000
+
+# Recrawl edit: drop every 13th token.  The corpus-amplifier mutation
+# (every 7th, plans/llm_dedup._MUTATE_S) lands at shingle-Jaccard
+# ≈ 0.47 — just UNDER the family threshold, so a probe with it
+# degenerates to "everything is new".  A real recrawl is a light edit;
+# every-13th measures ≈ 0.6 and exercises both outcomes (most mutants
+# match their source, the heavier-edited tail stays below threshold).
+_LIGHT_MUTATE_S = (
+    f"array_join(filter({_TOKS_S}, (x, i) -> i % 13 != 0), ' ')"
+)
+_LIGHT_MUTATE_D = (
+    f"array_to_string(list_transform("
+    f"list_filter(range(0, len({_TOKS_D})), i -> i % 13 <> 0), "
+    f"i -> ({_TOKS_D})[i + 1]), ' ')"
+)
+
+
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup matches of a new ingest batch AGAINST the existing
+    corpus — the MinHash companion of :func:`dedup_incremental` (which
+    probes exact content hashes and is blind to edits).
+
+    A recurring crawl cannot re-run the corpus SELF-join per delta:
+    re-banding 100 TB daily to ingest a few GB is a non-starter.  The
+    incremental shape probes only: the corpus participates through its
+    (materialized, at rest bucketed-by-band-key) band index and its
+    signature table — both written once by the full pass — while the
+    delta is the only side that is shingled, banded, and shuffled
+    fresh.  Candidates = delta bands ⨝ corpus band index; verify =
+    exact Jaccard on the hashed shingle sets, same threshold as the
+    full self-join, so a doc surviving this probe is exactly the doc
+    the full re-run would have kept.
+
+    The synthetic delta mirrors ``dedup_incremental``'s: mutated
+    recrawls (every 7th token dropped — near-dups the exact-hash probe
+    misses by construction) and genuinely-new docs (reversed token
+    order: same vocabulary, disjoint shingles).
+
+    Output: (batch_id, corpus_id, jaccard) per verified match; fresh
+    docs appear in no row (kept), mutants match their source (dropped
+    or routed to re-crawl dedup policy)."""
+    from star_schema_etl_airflow_spark.plans.llm_dedup import (
+        JACCARD_THRESHOLD,
+        band_buckets,
+        signature_of,
+    )
+    from star_schema_etl_airflow_spark.functions.text import jaccard_spark
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .select((F.col("doc_id") + BATCH_MUTANT_OFFSET).alias("doc_id"),
+                F.expr(_LIGHT_MUTATE_S).alias("text"))
+        .unionByName(
+            docs.filter(F.col("doc_id") % 15 == 0).select(
+                (F.col("doc_id") + BATCH_FRESH_OFFSET).alias("doc_id"),
+                F.expr(_REV_S).alias("text"),
+            )
+        )
+    )
+    # corpus side: signatures + band index are the PRE-MATERIALIZED
+    # artifacts of the full pass (persist_once stands in for the
+    # at-rest tables); the delta side is computed fresh per batch
+    csig = persist_once(signature_of(docs))
+    bsig = persist_once(signature_of(batch))
+    cband = band_buckets(csig).select(
+        F.col("doc_id").alias("corpus_id"), "band_idx", "band_key"
+    )
+    bband = band_buckets(bsig).select(
+        F.col("doc_id").alias("batch_id"), "band_idx", "band_key"
+    )
+    cand = (
+        bband.join(cband, ["band_idx", "band_key"])
+        .select("batch_id", "corpus_id")
+        .distinct()
+    )
+    bh = bsig.select(F.col("doc_id").alias("batch_id"),
+                     F.col("hashes").alias("bh"))
+    ch = csig.select(F.col("doc_id").alias("corpus_id"),
+                     F.col("hashes").alias("chs"))
+    return (
+        cand.join(bh, "batch_id")
+        .join(ch, "corpus_id")
+        .select(
+            "batch_id",
+            "corpus_id",
+            F.expr(jaccard_spark("bh", "chs")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def _inc_minhash_oracle() -> str:
+    from star_schema_etl_airflow_spark.plans.llm_dedup import (
+        JACCARD_THRESHOLD,
+        _duck_bands,
+        _duck_minhash_sig,
+    )
+    from star_schema_etl_airflow_spark.functions.text import jaccard_duck
+
+    jac = jaccard_duck("bh.hashes", "ch.hashes")
+    return f"""
+WITH batch AS (
+  SELECT doc_id + {BATCH_MUTANT_OFFSET} AS doc_id, {_LIGHT_MUTATE_D} AS text
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + {BATCH_FRESH_OFFSET}, {_REV_D}
+  FROM documents WHERE doc_id % 15 = 0
+),
+corpus AS (SELECT doc_id, text FROM documents),
+{_duck_minhash_sig("corpus", "csigh")},
+{_duck_minhash_sig("batch", "bsigh")},
+cbuckets AS (
+{_duck_bands("csigh")}
+),
+bbuckets AS (
+{_duck_bands("bsigh")}
+),
+cand AS (
+  SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+  FROM bbuckets b JOIN cbuckets c
+    ON b.band_idx = c.band_idx AND b.band_key = c.band_key
+)
+SELECT cand.batch_id, cand.corpus_id, {jac} AS jaccard
+FROM cand
+JOIN bsigh bh ON cand.batch_id = bh.doc_id
+JOIN csigh ch ON cand.corpus_id = ch.doc_id
+WHERE {jac} >= {JACCARD_THRESHOLD}
+"""
+
+
 register(QuerySpec("dedup_lines", dedup_lines, DEDUP_LINES_ORACLE,
                    tags=("LLM-DEDUP",)))
 register(QuerySpec("dedup_incremental", dedup_incremental,
                    DEDUP_INCREMENTAL_ORACLE, tags=("LLM-DEDUP",)))
+register(QuerySpec("dedup_incremental_minhash", dedup_incremental_minhash,
+                   _inc_minhash_oracle(), tags=("LLM-DEDUP",)))
 register(QuerySpec("semdedup", semdedup, _semdedup_oracle(),
                    tags=("LLM-DEDUP", "KMEANS")))
