@@ -110,3 +110,10 @@ def test_end_to_end_pairs_match_brute_force(spark):
 def test_kernel_band_range(doc_id):
     fp = _fp_of([doc_id])[doc_id]
     assert all(0 <= x < (1 << BAND_BITS) for x in fp)
+
+
+def test_plan_has_no_cartesian(spark):
+    df = audio_dedup_fingerprint(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

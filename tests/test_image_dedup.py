@@ -122,3 +122,13 @@ def test_end_to_end_pairs_match_brute_force(spark):
 def test_kernel_band_range(doc_id):
     h = _hash_of([doc_id])[doc_id]
     assert all(0 <= x < (1 << BAND_BITS) for x in h)
+
+
+def test_plan_has_no_cartesian(spark):
+    """The band self-join must stay an equi-join on (band_idx,
+    band_key) — a refactor that degrades it to a cartesian would still
+    pass the oracle (same output) while being quadratic in the corpus."""
+    df = image_dedup_dhash(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -63,3 +63,13 @@ def test_probe_matches_what_a_full_rerun_would_find(spark):
         ).alias("j")
     ).first()
     assert abs(pair.j - r.jaccard) < 1e-12
+
+
+def test_plan_has_no_cartesian_and_probes_only(spark):
+    """Equi-join shape pin: band probe + verify joins, never a
+    cartesian; and the corpus text is never re-shuffled as text (the
+    only corpus-wide relations are the signature/band projections)."""
+    df = dedup_incremental_minhash(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
