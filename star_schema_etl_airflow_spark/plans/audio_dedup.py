@@ -116,27 +116,40 @@ def _fp_kernel(batches):
         )
 
 
-def _fp_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def fingerprint_of(docs: DataFrame) -> DataFrame:
+    """Fingerprint relation (doc_id, b0..b3) for ANY doc_id relation —
+    the per-clip decode+hash pass, reusable by the multimodal curation
+    composition."""
     from pyspark.sql import types as T
 
     from star_schema_etl_airflow_spark.plans.multimodal_queries import (
         _spread,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
     schema = T.StructType(
         [T.StructField("doc_id", T.LongType())]
         + [T.StructField(f"b{k}", T.LongType()) for k in range(FP_BANDS)]
     )
     return persist_once(
-        _spread(docs).mapInPandas(_fp_kernel, schema=schema)
+        _spread(docs.select("doc_id")).mapInPandas(
+            _fp_kernel, schema=schema)
     )
+
+
+def _fp_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint_of(load_table(spark, sf_dir, "documents"))
 
 
 def audio_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All clip pairs with fingerprint hamming distance ≤ 3 — exact via
     pigeonhole-complete banding + full-width verify."""
     hashed = _fp_relation(spark, sf_dir)
+    return fingerprint_pairs(hashed)
+
+
+def fingerprint_pairs(hashed: DataFrame) -> DataFrame:
+    """Banded pair generation + full-width verify over a fingerprint
+    relation."""
     band_pairs = ", ".join(f"{k}, b{k}" for k in range(FP_BANDS))
     buckets = hashed.select(
         "doc_id",
@@ -176,47 +189,58 @@ def audio_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle() -> str:
-    """Closed-form DuckDB twin: the synthetic sample formula squared and
-    frame-summed (all integers), brute-force hamming ≤ 3 (legal because
-    the banding is pigeonhole-complete — see the image_dedup oracle)."""
+def fp_duck_ctes(src: str = "documents", p: str = "aud") -> str:
+    """Prefixed CTE chain computing the fingerprint relation
+    ``{p}_fps(doc_id, b0..b3)`` over ``src`` in DuckDB — the composable
+    SQL twin of :func:`fingerprint_of`."""
     band_cols = ",\n         ".join(
         f"SUM(CASE WHEN f >= {k * BAND_BITS} AND f < {(k + 1) * BAND_BITS} "
         f"THEN bit << (f - {k * BAND_BITS}) ELSE 0 END) AS b{k}"
         for k in range(FP_BANDS)
     )
-    ham = " + ".join(
-        f"bit_count(xor(a.b{k}, b.b{k}))" for k in range(FP_BANDS)
-    )
-    return f"""
-WITH samples AS (
+    return f"""{p}_samples AS (
   SELECT d.doc_id, i.g AS i,
          (1 + (d.doc_id // {N_BASES}) % {GAIN_MOD})
            * ((((d.doc_id % {N_BASES}) * 13 + (i.g // {FRAME}) * 37
                 + (i.g % {FRAME}) * 5) % {PAT_MOD}) - {PAT_OFF})
          + CASE WHEN d.doc_id % 5 = 0 AND i.g < {FRAME}
                 THEN {BUMP} ELSE 0 END AS s
-  FROM documents d, generate_series(0, {N_SAMPLES - 1}) i(g)
+  FROM {src} d, generate_series(0, {N_SAMPLES - 1}) i(g)
 ),
-energy AS (
+{p}_energy AS (
   SELECT doc_id, i // {FRAME} AS f, SUM(s * s) AS e
-  FROM samples GROUP BY doc_id, i // {FRAME}
+  FROM {p}_samples GROUP BY doc_id, i // {FRAME}
 ),
-bits AS (
+{p}_bits AS (
   SELECT a.doc_id, a.f,
          CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS bit
-  FROM energy a
-  JOIN energy b ON a.doc_id = b.doc_id AND b.f = a.f + 1
+  FROM {p}_energy a
+  JOIN {p}_energy b ON a.doc_id = b.doc_id AND b.f = a.f + 1
   WHERE a.f < {N_FRAMES - 1}
 ),
-fps AS (
+{p}_fps AS (
   SELECT doc_id,
          {band_cols}
-  FROM bits GROUP BY doc_id
-)
+  FROM {p}_bits GROUP BY doc_id
+)"""
+
+
+def fp_duck_hamming(p: str = "aud") -> str:
+    return " + ".join(
+        f"bit_count(xor(a.b{k}, b.b{k}))" for k in range(FP_BANDS)
+    )
+
+
+def _oracle(src: str = "documents") -> str:
+    """Closed-form DuckDB twin: the synthetic sample formula squared and
+    frame-summed (all integers), brute-force hamming ≤ 3 (legal because
+    the banding is pigeonhole-complete — see the image_dedup oracle)."""
+    ham = fp_duck_hamming()
+    return f"""
+WITH {fp_duck_ctes(src)}
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST({ham} AS INTEGER) AS hamming
-FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+FROM aud_fps a JOIN aud_fps b ON a.doc_id < b.doc_id
 WHERE {ham} <= {HAMMING_T}
 """
 

@@ -131,14 +131,16 @@ def _dhash_kernel(batches):
         )
 
 
-def _dhash_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dhash_of(docs: DataFrame) -> DataFrame:
+    """dHash relation (doc_id, b0..b3) for ANY doc_id relation — the
+    per-image decode+hash pass, reusable by the multimodal curation
+    composition."""
     from pyspark.sql import types as T
 
     from star_schema_etl_airflow_spark.plans.multimodal_queries import (
         _spread,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
     schema = T.StructType(
         [T.StructField("doc_id", T.LongType())]
         + [T.StructField(f"b{k}", T.LongType())
@@ -147,8 +149,13 @@ def _dhash_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # feeds both the band explode and the two verify joins — one decode
     # pass per image, the llm_dedup persist_once pattern
     return persist_once(
-        _spread(docs).mapInPandas(_dhash_kernel, schema=schema)
+        _spread(docs.select("doc_id")).mapInPandas(
+            _dhash_kernel, schema=schema)
     )
+
+
+def _dhash_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dhash_of(load_table(spark, sf_dir, "documents"))
 
 
 def image_dedup_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -156,6 +163,11 @@ def image_dedup_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     banding is a pigeonhole-complete candidate generator, the verify is
     the full 64-bit distance), never all-pairs."""
     hashed = _dhash_relation(spark, sf_dir)
+    return dhash_pairs(hashed)
+
+
+def dhash_pairs(hashed: DataFrame) -> DataFrame:
+    """Banded pair generation + full-width verify over a dHash relation."""
     band_pairs = ", ".join(f"{k}, b{k}" for k in range(DHASH_BANDS))
     buckets = hashed.select(
         "doc_id",
@@ -196,49 +208,63 @@ def image_dedup_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle() -> str:
-    """Closed-form DuckDB twin: the synthetic pixel formula is stated
-    directly over a generate_series grid (the Spark side decodes real
-    PNG bytes; the two meet at the integer cell sums), and the pair set
-    is brute-force hamming ≤ 3 — legal for the oracle because the
-    pigeonhole argument makes the banded operator exactly that set."""
+def dhash_duck_ctes(src: str = "documents", p: str = "img") -> str:
+    """Prefixed CTE chain computing the dHash relation
+    ``{p}_hashes(doc_id, b0..b3)`` over ``src`` in DuckDB — the
+    composable SQL twin of :func:`dhash_of` (used by this operator's
+    oracle and by the multimodal curation composition)."""
     band_cols = ",\n         ".join(
         f"SUM(CASE WHEN bitpos >= {k * BAND_BITS} "
         f"AND bitpos < {(k + 1) * BAND_BITS} "
         f"THEN bit << (bitpos - {k * BAND_BITS}) ELSE 0 END) AS b{k}"
         for k in range(DHASH_BANDS)
     )
-    ham = " + ".join(
-        f"bit_count(xor(a.b{k}, b.b{k}))" for k in range(DHASH_BANDS)
-    )
-    return f"""
-WITH cells AS (
+    return f"""{p}_cells AS (
   SELECT d.doc_id, gy.g AS gy, gx.g AS gx,
          {CELL * CELL} * ((((d.doc_id % {N_BASES}) * 7 + gx.g * 13
               + gy.g * 29) % {PAT_MOD})
              + ((d.doc_id // {N_BASES}) % {SHIFT_MOD}))
          + CASE WHEN d.doc_id % 3 = 0 AND gx.g = 0 AND gy.g = 0
                 THEN {CELL * CELL * BUMP} ELSE 0 END AS cell
-  FROM documents d,
+  FROM {src} d,
        generate_series(0, {GRID_W - 1}) gx(g),
        generate_series(0, {GRID_H - 1}) gy(g)
 ),
-bits AS (
+{p}_bits AS (
   SELECT a.doc_id, (a.gy * {GRID_W - 1} + a.gx) AS bitpos,
          CASE WHEN a.cell > b.cell THEN 1 ELSE 0 END AS bit
-  FROM cells a
-  JOIN cells b ON a.doc_id = b.doc_id AND a.gy = b.gy
+  FROM {p}_cells a
+  JOIN {p}_cells b ON a.doc_id = b.doc_id AND a.gy = b.gy
               AND b.gx = a.gx + 1
   WHERE a.gx < {GRID_W - 1}
 ),
-hashes AS (
+{p}_hashes AS (
   SELECT doc_id,
          {band_cols}
-  FROM bits GROUP BY doc_id
-)
+  FROM {p}_bits GROUP BY doc_id
+)"""
+
+
+def dhash_duck_hamming(p: str = "img") -> str:
+    """SQL hamming-distance expression between aliases ``a``/``b`` of
+    ``{p}_hashes`` rows."""
+    return " + ".join(
+        f"bit_count(xor(a.b{k}, b.b{k}))" for k in range(DHASH_BANDS)
+    )
+
+
+def _oracle(src: str = "documents") -> str:
+    """Closed-form DuckDB twin: the synthetic pixel formula is stated
+    directly over a generate_series grid (the Spark side decodes real
+    PNG bytes; the two meet at the integer cell sums), and the pair set
+    is brute-force hamming ≤ 3 — legal for the oracle because the
+    pigeonhole argument makes the banded operator exactly that set."""
+    ham = dhash_duck_hamming()
+    return f"""
+WITH {dhash_duck_ctes(src)}
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST({ham} AS INTEGER) AS hamming
-FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+FROM img_hashes a JOIN img_hashes b ON a.doc_id < b.doc_id
 WHERE {ham} <= {HAMMING_T}
 """
 
