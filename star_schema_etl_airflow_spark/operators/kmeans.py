@@ -139,7 +139,15 @@ def kmeans_fit(
     ``embedding`` (numeric array).  Init: the ``k`` lowest vec_ids.
     ``dim``, when known, unrolls the distance into codegen
     (``sqdist_expr``).
+
+    The returned centroids are a LAZY plan wrapped in ``persist_once``:
+    no job runs until a caller acts on them (assignment-only callers
+    pay nothing), but the 2-shuffle update aggregation materializes at
+    most once across repeated consumption (the IVF coarse quantizer and
+    the SemDeDup codebook both read them more than once — ADVICE r10).
     """
+    if n_iter < 1:
+        raise ValueError(f"kmeans_fit needs n_iter >= 1, got {n_iter}")
     centroids = (
         vectors.orderBy("vec_id")
         .limit(k)
@@ -156,4 +164,6 @@ def kmeans_fit(
             vectors, centroids, dim).localCheckpoint()
         cents = _update_from_assigned(assigned)
         centroids = cents if i == n_iter - 1 else cents.localCheckpoint()
-    return assigned.select("vec_id", "cluster"), centroids
+    from star_schema_etl_airflow_spark.functions.caching import persist_once
+
+    return assigned.select("vec_id", "cluster"), persist_once(centroids)

@@ -297,6 +297,17 @@ def rewrite_merge(spark: SparkSession, stmt: str) -> tuple[str, str]:
     by the target id over the already-shuffled join output (a lakehouse
     MERGE, e.g. Delta, performs the same multi-match detection
     natively).
+
+    Known hazard (ADVICE r10, acceptable for this local emulation
+    harness): the tag is ``monotonically_increasing_id()``, which is
+    nondeterministic — on a cluster with task-failure retries, a
+    shuffle-map retry can regenerate DIFFERENT tids for rows other
+    reducers already consumed, corrupting the per-target match count
+    (spurious or missed cardinality errors).  No deterministic
+    substitute exists for an arbitrary view (any row-identity would
+    need a key we don't have); if this rewrite ever runs on a flaky
+    cluster, ``localCheckpoint()``/persist the tid-tagged target
+    subquery first so the ids are fixed before the join consumes them.
     """
     m = parse_merge(stmt)
     tcols = spark.table(m.target).columns

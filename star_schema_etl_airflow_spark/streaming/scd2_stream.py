@@ -17,9 +17,48 @@ Design notes:
   size — the documented trade (SURVEY §7.4 decision 1) for avoiding
   in-place MERGE; a table format (Delta/Iceberg) swaps in transparently
   at the ``write_swap`` call site.
+
+Replay vs late data (the two ways a run_date can arrive "old"):
+
+- **Replay**: foreachBatch is at-least-once — a crash after
+  ``write_swap`` commits but before the checkpoint records the batch
+  re-delivers the same files on restart (worst case: a wiped checkpoint
+  re-delivers everything).  Replayed dates must NOT re-fold against a
+  dimension that has since moved on: applying an old snapshot to a
+  newer dimension regresses attributes (change detection fires
+  "backwards").
+- **Late data**: a genuinely new file whose run_date is older than
+  already-folded days (backfill copy, delayed upstream export).
+  Dropping it silently loses inserts for brand-new keys forever.
+
+An effective-date high-water mark cannot tell these apart, so the fold
+keeps an explicit **applied-run_date ledger** — a sidecar JSON next to
+the dimension, written atomically (tmp + rename) right after each
+``write_swap``:
+
+- run_date in the ledger          → replay   → skip (logged at DEBUG).
+- run_date not in the ledger and >= every applied date → normal fold.
+- run_date not in the ledger but older than an applied date → **late**:
+  rows for keys the dimension has never seen fold in (insert with the
+  late effective_date — history stays correct because there is no
+  history to contradict); rows for keys that already have versions are
+  **dead-lettered** to ``<dim_path>__dead_letter`` with a WARNING —
+  applying them would rewrite committed history, which is an operator
+  decision (targeted backfill rebuild), not something to do silently.
+
+Crash between swap and ledger write re-delivers the date as a "replay
+the ledger doesn't know about"; it re-folds, which is idempotent for
+the dimension's newest date (identical delta → zero changes detected —
+pinned by ``tests/test_scd2_stream.py``).  A pre-ledger dimension
+(upgrade path) falls back to the old effective-date HWM semantics, now
+logged instead of silent.
 """
 
 from __future__ import annotations
+
+import json
+import logging
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -27,6 +66,8 @@ from pyspark.sql import types as T
 
 from star_schema_etl_airflow_spark.operators.scd2 import apply_scd2
 from star_schema_etl_airflow_spark.sources.io import write_swap
+
+log = logging.getLogger(__name__)
 
 
 def empty_dim(
@@ -48,6 +89,28 @@ def empty_dim(
     return spark.createDataFrame([], T.StructType(fields))
 
 
+def _ledger_path(dim_path: str) -> str:
+    return dim_path.rstrip("/") + "__applied_dates.json"
+
+
+def _read_applied(dim_path: str) -> set[str]:
+    try:
+        with open(_ledger_path(dim_path)) as f:
+            return set(json.load(f))
+    except (OSError, ValueError):
+        return set()
+
+
+def _write_applied(dim_path: str, applied: set[str]) -> None:
+    # atomic: a crash mid-write must not corrupt the ledger (a corrupt
+    # ledger reads as empty → worst case one idempotent re-fold)
+    path = _ledger_path(dim_path)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(sorted(applied), f)
+    os.replace(tmp, path)
+
+
 def run_scd2_stream(
     spark: SparkSession,
     landing_dir: str,
@@ -57,9 +120,17 @@ def run_scd2_stream(
     tracked: list[str],
     sk_col: str = "sk",
     run_date_col: str = "run_date",
+    timeout: float = 600.0,
 ) -> DataFrame:
     """Consume all pending delta files (availableNow) and fold each into
-    the persisted dimension; returns the final dimension."""
+    the persisted dimension; returns the final dimension.
+
+    The availableNow trigger terminates on its own once the backlog is
+    drained; ``timeout`` bounds that drain — exceeding it STOPS the
+    query and raises ``TimeoutError`` (a partially folded landing dir is
+    never returned as if complete; re-running resumes from the
+    checkpoint and the applied-dates ledger keeps the resume exact).
+    """
     stream = (
         spark.readStream.schema(source_schema)
         .option("maxFilesPerTrigger", 1)
@@ -78,26 +149,60 @@ def run_scd2_stream(
         ]
         try:
             dim = spark.read.parquet(dim_path)
+            dim_exists = True
         except Exception:
             dim = empty_dim(spark, source_schema, key, tracked, sk_col)
-        # Exactly-once across replays: foreachBatch is at-least-once —
-        # a crash after write_swap commits but before the checkpoint
-        # records the batch re-delivers the same files on restart.
-        # Re-folding the dimension's CURRENT date is naturally
-        # idempotent (identical delta -> zero changes detected), but a
-        # wiped/lost checkpoint replays STALE dates too, and applying
-        # an old snapshot to a newer dimension regresses attributes
-        # (SCD2 change detection fires "backwards").  The high-water
-        # mark guard skips dates strictly below max(effective_date);
-        # equal dates still fold so same-day corrections keep working.
-        # The collect is one scalar — bounded control-plane metadata.
-        hwm = dim.agg(F.max("effective_date").alias("m")).collect()[0]["m"]
+            dim_exists = False
+        applied = _read_applied(dim_path)
+        if not applied and dim_exists:
+            # pre-ledger dimension (upgrade path): no way to tell replay
+            # from late — fall back to the effective-date HWM (skip
+            # strictly-older dates) but say so instead of silently
+            # continuing.  The collect is one scalar.
+            hwm = dim.agg(
+                F.max("effective_date").alias("m")).collect()[0]["m"]
+            if hwm is not None:
+                stale = [d for d in dates if str(d) < str(hwm)]
+                if stale:
+                    log.warning(
+                        "scd2 stream %s: no applied-dates ledger; "
+                        "treating %s (< HWM %s) as replays and skipping",
+                        dim_path, stale, hwm)
+                dates = [d for d in dates if str(d) >= str(hwm)]
+        newest = max(applied) if applied else None
+        changed = False
         for d in dates:
-            if hwm is not None and str(d) < str(hwm):
+            ds = str(d)
+            if ds in applied:
+                log.debug("scd2 stream %s: replaying %s — skip", dim_path, ds)
                 continue
-            day = batch_df.filter(F.col(run_date_col) == d).drop(run_date_col)
-            dim = apply_scd2(dim, day, key, tracked, str(d), sk_col)
-        write_swap(dim, dim_path)
+            day = batch_df.filter(
+                F.col(run_date_col) == d).drop(run_date_col)
+            if newest is not None and ds < newest:
+                # genuinely late: fold never-seen keys, dead-letter the
+                # rest (their history already advanced past this date)
+                known = dim.select(key).distinct()
+                fresh = day.join(known, key, "left_anti")
+                stale_rows = day.join(known, key, "left_semi")
+                n_stale = stale_rows.count()
+                if n_stale:
+                    dl = dim_path.rstrip("/") + "__dead_letter"
+                    stale_rows.withColumn(
+                        run_date_col, F.lit(ds)
+                    ).write.mode("append").parquet(dl)
+                    log.warning(
+                        "scd2 stream %s: late run_date %s touches %d "
+                        "already-versioned key rows — dead-lettered to "
+                        "%s (folding them would rewrite history)",
+                        dim_path, ds, n_stale, dl)
+                day = fresh
+            dim = apply_scd2(dim, day, key, tracked, ds, sk_col)
+            applied.add(ds)
+            newest = ds if newest is None or ds > newest else newest
+            changed = True
+        if changed:
+            write_swap(dim, dim_path)
+            _write_applied(dim_path, applied)
 
     q = (
         stream.writeStream.foreachBatch(fold_batch)
@@ -105,5 +210,12 @@ def run_scd2_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(
+            f"scd2 stream drain of {landing_dir} exceeded {timeout}s; "
+            f"stopped with the backlog partially folded — re-run to "
+            f"resume from the checkpoint (the applied-dates ledger "
+            f"keeps the resume exact)"
+        )
     return spark.read.parquet(dim_path)

@@ -50,3 +50,22 @@ def test_lloyd_iterations_never_increase_inertia(spark):
     i1 = _inertia(emb, a1, c1)   # after first update (≤ vs init by def)
     i2 = _inertia(emb, a2, c2)
     assert i2 <= i1 + 1e-9
+
+
+def test_n_iter_zero_rejected_and_centroids_single_materialization(spark):
+    """ADVICE r10: n_iter=0 used to die with AttributeError deep in the
+    return expression; now it's a clear ValueError.  And the returned
+    centroids are persist_once-wrapped so repeated consumers (IVF
+    coarse quantizer, SemDeDup codebook) don't re-run the 2-shuffle
+    update aggregation per action."""
+    import pytest
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    with pytest.raises(ValueError, match="n_iter >= 1"):
+        kmeans_fit(emb, K, n_iter=0)
+
+    _, cents = kmeans_fit(emb, K, n_iter=1)
+    cents.count()  # materialize once
+    assert cents.storageLevel.useMemory, (
+        "final centroids should be cached after first action"
+    )

@@ -71,6 +71,97 @@ def test_streaming_scd2_matches_batch_fold(spark, tmp_path):
     assert streamed.count() > streamed.filter("is_current").count()
 
 
+def _stage_delta(spark, tmp_path, landing, d, rows, seq):
+    """Write one day's delta as a single part-file in the landing dir
+    with a pinned mtime (the file source orders by modification time)."""
+    df = spark.createDataFrame([(*r, d) for r in rows], SRC_SCHEMA)
+    staging = str(tmp_path / f"stage_{seq}")
+    df.coalesce(1).write.mode("overwrite").parquet(staging)
+    part = next(f for f in os.listdir(staging)
+                if f.startswith("part-") and f.endswith(".parquet"))
+    fpath = os.path.join(landing, f"delta_{d}_{seq}.parquet")
+    os.rename(os.path.join(staging, part), fpath)
+    t = time.time() - 100 + seq
+    os.utime(fpath, (t, t))
+
+
+def test_late_arriving_date_inserts_new_keys_dead_letters_rest(
+    spark, tmp_path
+):
+    """ADVICE r10 (medium): a genuinely late file — a run_date older
+    than already-folded days that the stream has never applied — must
+    not vanish.  New-key rows fold in (there is no history for them to
+    contradict); rows for already-versioned keys are dead-lettered with
+    their run_date, never silently dropped and never allowed to rewrite
+    committed history."""
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    _stage_delta(spark, tmp_path, landing, "2024-01-01",
+                 [(1, "a@x.com", "nyc")], 0)
+    _stage_delta(spark, tmp_path, landing, "2024-01-03",
+                 [(1, "a@y.com", "nyc")], 1)
+    dim_path = str(tmp_path / "dim")
+    first = run_scd2_stream(
+        spark, landing, dim_path, SRC_SCHEMA,
+        key="customer_id", tracked=TRACKED,
+    )
+    before = sorted(tuple(r) for r in first.collect())
+    assert len(before) == 2  # key 1: expired 01-01 version + current
+
+    # late backfill copy: run_date 01-02 with a brand-new key 9 and a
+    # conflicting row for key 1 (whose history already covers 01-02)
+    _stage_delta(spark, tmp_path, landing, "2024-01-02",
+                 [(9, "z@x.com", "akl"), (1, "STALE@x.com", "nyc")], 2)
+    dim = run_scd2_stream(
+        spark, landing, dim_path, SRC_SCHEMA,
+        key="customer_id", tracked=TRACKED,
+    )
+
+    # new key 9 landed, effective at the LATE date
+    nine = dim.filter("customer_id = 9").collect()
+    assert len(nine) == 1
+    assert str(nine[0]["effective_date"]) == "2024-01-02"
+    assert nine[0]["is_current"]
+    # key 1's history is untouched by the stale row
+    ones = sorted(tuple(r) for r in dim.filter("customer_id = 1").collect())
+    assert ones == [t for t in before if t[1] == 1]
+    # the stale row is in the dead letter, not lost
+    dl = spark.read.parquet(dim_path + "__dead_letter")
+    rows = dl.collect()
+    assert len(rows) == 1
+    assert rows[0]["customer_id"] == 1
+    assert rows[0]["email"] == "STALE@x.com"
+    assert rows[0]["run_date"] == "2024-01-02"
+
+
+def test_drain_timeout_raises_not_partial_silence(spark, tmp_path):
+    """Verdict r10 task 3: a drain that exceeds the bound must RAISE —
+    returning normally with the landing dir partially folded was the
+    old ``awaitTermination(300)`` failure mode."""
+    import pytest
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    # 6 single-file micro-batches, each a full read-fold-swap cycle —
+    # far more than 0.5s of work on any host
+    for i in range(6):
+        _stage_delta(spark, tmp_path, landing, f"2024-02-{i + 1:02d}",
+                     [(1, f"v{i}@x.com", "nyc")], i)
+    with pytest.raises(TimeoutError, match="partially folded"):
+        run_scd2_stream(
+            spark, landing, str(tmp_path / "dim"), SRC_SCHEMA,
+            key="customer_id", tracked=TRACKED, timeout=0.5,
+        )
+    # and the resume finishes the job exactly
+    dim = run_scd2_stream(
+        spark, landing, str(tmp_path / "dim"), SRC_SCHEMA,
+        key="customer_id", tracked=TRACKED,
+    )
+    cur = dim.filter("is_current").collect()
+    assert len(cur) == 1 and cur[0]["email"] == "v5@x.com"
+    assert dim.count() == 6
+
+
 def test_replayed_batch_refolds_idempotently(spark, tmp_path):
     """Exactly-once audit (r9 verdict task 8): foreachBatch offers
     at-least-once — if the process dies AFTER write_swap commits but

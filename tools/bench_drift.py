@@ -183,6 +183,22 @@ def drift(base: dict, new: dict, base_name: str, new_name: str) -> int:
         bad += 1
     print(f"{tag} {label}: {bt:.3f} -> raw {nt_raw:.3f} / norm {nt:.3f} "
           f"({relt:+.0%} normalized, {relt_raw:+.0%} raw)")
+
+    # NON-GATING extras (r10 verdict task 1): cache-isolated figures
+    # for queries deliberately outside the headline set — printed for
+    # the record, never counted toward the exit code.
+    be, ne = base.get("extras") or {}, new.get("extras") or {}
+    for q in sorted(set(be) | set(ne)):
+        if q in be and q in ne:
+            norm = ne[q] / factor
+            rel = (norm - be[q]) / be[q]
+            print(f"xtra {q}: {be[q]:.3f} -> raw {ne[q]:.3f} / "
+                  f"norm {norm:.3f} ({rel:+.0%}, non-gating)")
+        elif q in ne:
+            print(f"xtra {q}: {ne[q]:.3f} "
+                  "(non-gating baseline established this round)")
+        else:
+            print(f"xtra {q}: was {be[q]:.3f} (dropped, non-gating)")
     return bad
 
 
