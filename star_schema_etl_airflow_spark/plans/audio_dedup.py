@@ -11,11 +11,14 @@ state it closed-form).
 
 Pipeline:
 
-1. synthesize a REAL RIFF/WAVE payload per document (deterministic
-   16-bit PCM from ``doc_id`` — the multimodal-oracle pattern) and
-   decode it with the production decoder
-   (``sources/multimodal._wav_decode``), exercising the binary-column
-   plumbing end to end;
+1. read a REAL RIFF/WAVE blob per document from the materialized
+   ``media(doc_id, png, wav)`` parquet table
+   (``sources/media_fixture.py`` — 16-bit PCM deterministic in
+   ``doc_id``, so the DuckDB oracle stays closed-form) and decode it
+   with the production decoder (``sources/multimodal._wav_decode``):
+   parquet binary column → Arrow batch → decode end to end.  Callers
+   without stored media (the amplified curation corpus) fall back to
+   in-kernel synthesis of the identical bytes;
 2. frame the samples (33 frames × 8 samples) and take integer frame
    energies E(f) = Σ s²;
 3. fingerprint: bit(f) = E(f) > E(f+1) for f ∈ 0..31 → 32 bits packed
@@ -50,7 +53,6 @@ from pyspark.sql import functions as F
 
 from star_schema_etl_airflow_spark.functions.caching import persist_once
 from star_schema_etl_airflow_spark.registry import QuerySpec, register
-from star_schema_etl_airflow_spark.sources.fixtures import load_table
 
 FRAME = 8                      # samples per frame
 N_FRAMES = 33                  # → 32 adjacent-energy comparisons
@@ -78,8 +80,12 @@ def _synth_samples(doc_id: int) -> list[int]:
 
 
 def _fp_kernel(batches):
-    """Arrow batch kernel: synthesize → decode (production decoder) →
-    integer frame energies → 32-bit fingerprint as four 8-bit bands."""
+    """Arrow batch kernel: blob (or synthesized fallback) → decode
+    (production decoder) → integer frame energies → 32-bit fingerprint
+    as four 8-bit bands.  A ``wav`` binary column, when present, is the
+    Arrow-delivered media-fixture blob (``sources/media_fixture.py``);
+    without it the identical RIFF bytes are synthesized from doc_id
+    (the amplified curation corpus has no stored media)."""
     import struct
 
     import numpy as np
@@ -95,11 +101,12 @@ def _fp_kernel(batches):
 
     for pdf in batches:
         rows = []
-        for doc_id in pdf["doc_id"]:
+        blobs = pdf["wav"] if "wav" in pdf.columns else None
+        for i, doc_id in enumerate(pdf["doc_id"]):
             doc_id = int(doc_id)
-            dec = _wav_decode(
-                _raw_wav_encode(_synth_samples(doc_id), WAV_RATE)
-            )
+            blob = bytes(blobs.iloc[i]) if blobs is not None \
+                else _raw_wav_encode(_synth_samples(doc_id), WAV_RATE)
+            dec = _wav_decode(blob)
             vals = np.array(
                 struct.unpack(f"<{dec['n_frames']}h", dec["frames"]),
                 dtype=np.int64,
@@ -119,7 +126,9 @@ def _fp_kernel(batches):
 def fingerprint_of(docs: DataFrame) -> DataFrame:
     """Fingerprint relation (doc_id, b0..b3) for ANY doc_id relation —
     the per-clip decode+hash pass, reusable by the multimodal curation
-    composition."""
+    composition.  A ``wav`` binary column, when present, is decoded as
+    the payload (the media-fixture blob path); otherwise the payload is
+    synthesized from doc_id (identical bytes by construction)."""
     from pyspark.sql import types as T
 
     from star_schema_etl_airflow_spark.plans.multimodal_queries import (
@@ -130,14 +139,21 @@ def fingerprint_of(docs: DataFrame) -> DataFrame:
         [T.StructField("doc_id", T.LongType())]
         + [T.StructField(f"b{k}", T.LongType()) for k in range(FP_BANDS)]
     )
+    cols = ["doc_id"] + (["wav"] if "wav" in docs.columns else [])
     return persist_once(
-        _spread(docs.select("doc_id")).mapInPandas(
+        _spread(docs.select(*cols)).mapInPandas(
             _fp_kernel, schema=schema)
     )
 
 
 def _fp_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return fingerprint_of(load_table(spark, sf_dir, "documents"))
+    # parquet binary column → Arrow batch → production decode: the
+    # registered query runs the blob-scan read path end to end
+    from star_schema_etl_airflow_spark.sources.media_fixture import (
+        load_media,
+    )
+
+    return fingerprint_of(load_media(spark, sf_dir).select("doc_id", "wav"))
 
 
 def audio_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -12,12 +12,15 @@ key where a byte hash is an exact-dup key.
 
 Pipeline (all sizes in cells, integer-exact end to end):
 
-1. synthesize a REAL 18×16 grayscale PNG per document (deterministic
-   pixels from ``doc_id`` — the multimodal-oracle pattern of
-   ``plans/multimodal_queries.py``: payload synthesis in the kernel,
-   closed-form expectation in DuckDB) and decode it with the
-   production decoder (``sources/multimodal._png_decode``), so the
-   whole binary-column plumbing is exercised;
+1. read a REAL 18×16 grayscale PNG blob per document from the
+   materialized ``media(doc_id, png, wav)`` parquet table
+   (``sources/media_fixture.py`` — pixels are a deterministic
+   function of ``doc_id``, so the DuckDB oracle stays closed-form)
+   and decode it with the production decoder
+   (``sources/multimodal._png_decode``): parquet binary column →
+   Arrow batch → decode, the read path a 100 TB pipeline stresses.
+   Callers without stored media (the amplified curation corpus)
+   fall back to in-kernel synthesis of the identical bytes;
 2. area-reduce to a 9×8 grid of 2×2-block SUMS (integer sums, not
    float means — equal block sizes make the comparison identical and
    keep both engines bit-exact);
@@ -61,7 +64,6 @@ from pyspark.sql import functions as F
 
 from star_schema_etl_airflow_spark.functions.caching import persist_once
 from star_schema_etl_airflow_spark.registry import QuerySpec, register
-from star_schema_etl_airflow_spark.sources.fixtures import load_table
 
 GRID_W, GRID_H = 9, 8          # dHash grid (9 cols → 8 comparisons/row)
 CELL = 2                       # pixels per cell edge → 18×16 image
@@ -97,8 +99,16 @@ def _synth_png(doc_id: int) -> bytes:
 
 
 def _dhash_kernel(batches):
-    """Arrow batch kernel: synthesize → decode (production decoder) →
-    integer area-reduce → 64-bit dHash as four 16-bit bands."""
+    """Arrow batch kernel: blob (or synthesized fallback) → decode
+    (production decoder) → integer area-reduce → 64-bit dHash as four
+    16-bit bands.
+
+    When the batch carries a ``png`` binary column (the materialized
+    ``media`` fixture — ``sources/media_fixture.py``) the payload is
+    the Arrow-delivered blob, exercising the parquet-binary → Arrow →
+    decode path a real pipeline stresses; without it (the amplified
+    curation corpus, whose offset doc_ids have no stored media) the
+    kernel synthesizes the identical bytes from doc_id."""
     import numpy as np
     import pandas as pd
 
@@ -108,9 +118,12 @@ def _dhash_kernel(batches):
 
     for pdf in batches:
         rows = []
-        for doc_id in pdf["doc_id"]:
+        blobs = pdf["png"] if "png" in pdf.columns else None
+        for i, doc_id in enumerate(pdf["doc_id"]):
             doc_id = int(doc_id)
-            img = _png_decode(_synth_png(doc_id))
+            blob = bytes(blobs.iloc[i]) if blobs is not None \
+                else _synth_png(doc_id)
+            img = _png_decode(blob)
             arr = (
                 np.frombuffer(img["pixels"], dtype=np.uint8)
                 .reshape(img["height"], img["width"])
@@ -134,7 +147,9 @@ def _dhash_kernel(batches):
 def dhash_of(docs: DataFrame) -> DataFrame:
     """dHash relation (doc_id, b0..b3) for ANY doc_id relation — the
     per-image decode+hash pass, reusable by the multimodal curation
-    composition."""
+    composition.  A ``png`` binary column, when present, is decoded as
+    the payload (the media-fixture blob path); otherwise the payload is
+    synthesized from doc_id (identical bytes by construction)."""
     from pyspark.sql import types as T
 
     from star_schema_etl_airflow_spark.plans.multimodal_queries import (
@@ -146,16 +161,23 @@ def dhash_of(docs: DataFrame) -> DataFrame:
         + [T.StructField(f"b{k}", T.LongType())
            for k in range(DHASH_BANDS)]
     )
+    cols = ["doc_id"] + (["png"] if "png" in docs.columns else [])
     # feeds both the band explode and the two verify joins — one decode
     # pass per image, the llm_dedup persist_once pattern
     return persist_once(
-        _spread(docs.select("doc_id")).mapInPandas(
+        _spread(docs.select(*cols)).mapInPandas(
             _dhash_kernel, schema=schema)
     )
 
 
 def _dhash_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dhash_of(load_table(spark, sf_dir, "documents"))
+    # parquet binary column → Arrow batch → production decode: the
+    # registered query runs the blob-scan read path end to end
+    from star_schema_etl_airflow_spark.sources.media_fixture import (
+        load_media,
+    )
+
+    return dhash_of(load_media(spark, sf_dir).select("doc_id", "png"))
 
 
 def image_dedup_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:

