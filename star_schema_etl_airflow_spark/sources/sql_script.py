@@ -452,6 +452,8 @@ def _null_of(df: DataFrame, col: str):
 
 def _exec_insert(spark, stmt, args):
     m = re.match(r"INSERT\s+INTO\s+(\S+)\s*(.*)$", stmt, re.I | re.S)
+    if m is None or not m.group(2).strip():
+        raise ValueError(f"cannot parse INSERT statement: {stmt[:80]!r}")
     target, rest = m.group(1).strip("`"), m.group(2).strip()
     cols: list[str] | None = None
     if rest.startswith("("):
@@ -472,7 +474,13 @@ def _exec_insert(spark, stmt, args):
             rest = rest[close + 1:].strip()
     tdf = spark.table(target)
     ins = _run(spark, rest, args)
-    ins = ins.toDF(*(cols if cols else tdf.columns))
+    expect = cols if cols else tdf.columns
+    if len(ins.columns) != len(expect):
+        raise ValueError(
+            f"INSERT INTO {target}: {len(expect)} target columns but the "
+            f"source produces {len(ins.columns)} (reference bug §2.11 #1 "
+            f"is exactly this arity mismatch — rejected, not guessed)")
+    ins = ins.toDF(*expect)
     proj = [F.col(c) if c in ins.columns else _null_of(tdf, c)
             for c in tdf.columns]
     tdf.unionByName(ins.select(*proj)).createOrReplaceTempView(target)
@@ -481,7 +489,11 @@ def _exec_insert(spark, stmt, args):
 def _exec_delete(spark, stmt):
     m = re.match(r"DELETE\s+FROM\s+(\S+)(?:\s+WHERE\s+(.*))?$",
                  stmt, re.I | re.S)
+    if m is None:
+        raise ValueError(f"cannot parse DELETE statement: {stmt[:80]!r}")
     target, cond = m.group(1).strip("`"), (m.group(2) or "TRUE").strip()
+    if not cond:
+        raise ValueError(f"DELETE FROM {target}: empty WHERE condition")
     spark.table(target).filter(
         F.expr(f"({cond}) IS NOT TRUE")).createOrReplaceTempView(target)
 
@@ -489,12 +501,19 @@ def _exec_delete(spark, stmt):
 def _exec_update(spark, stmt, args):
     m = re.match(r"UPDATE\s+(\S+)(?:\s+AS)?\s*(\w+)?\s+SET\s+(.*)$",
                  stmt, re.I | re.S)
+    if m is None:
+        raise ValueError(f"cannot parse UPDATE statement: {stmt[:80]!r}")
     target = m.group(1).strip("`")
     alias = m.group(2) or target
     rest = m.group(3)
     iw = _find_keyword(rest, "WHERE")
     cond = "TRUE" if iw < 0 else rest[iw + len("WHERE"):].strip()
+    if not cond:
+        raise ValueError(f"UPDATE {target}: empty WHERE condition")
     assigns = _split_assignments(rest if iw < 0 else rest[:iw])
+    if not assigns or any(not e for e in assigns.values()):
+        raise ValueError(
+            f"UPDATE {target}: malformed SET assignment list")
     tdf = spark.table(target)
     sel = []
     for c in tdf.columns:
@@ -542,7 +561,11 @@ def run_sql_script(
         elif word == "UPDATE":
             _exec_update(spark, stmt, args)
         elif word == "TRUNCATE":
-            t = re.match(r"TRUNCATE\s+TABLE\s+(\S+)", stmt, re.I).group(1)
+            mt = re.match(r"TRUNCATE\s+TABLE\s+(\S+)", stmt, re.I)
+            if mt is None:
+                raise ValueError(
+                    f"cannot parse TRUNCATE statement: {stmt[:80]!r}")
+            t = mt.group(1)
             spark.table(t.strip("`")).filter(
                 F.lit(False)).createOrReplaceTempView(t.strip("`"))
         elif word in ("SELECT", "WITH", "VALUES", "TABLE"):

@@ -296,3 +296,186 @@ def test_lexer_fuzz_split_and_comments():
         for i, s in enumerate(out):
             assert s.startswith("SELECT"), s
             assert "-- tail" not in s and "/* b" not in s
+
+
+# --------------------------------------------------------------------------
+# DELETE / UPDATE / INSERT rewrites (r10 verdict task 8): the same
+# accept-vs-reject + pure-Python reference evaluator pattern, extended
+# to the script runner's other three statement rewrites.  Scripts chain
+# 2-5 random DML statements against one target view so the rewrites are
+# exercised COMPOSED (each statement reads the previous one's view
+# swap), with SQL three-valued logic modeled in the evaluator (INSERTed
+# NULLs flow into later WHERE conditions: DELETE keeps rows whose
+# condition is NULL, UPDATE applies only where it is TRUE).
+# --------------------------------------------------------------------------
+
+
+def _ev3(expr, row):
+    """Three-valued evaluation over one row dict (None = SQL NULL)."""
+    kind = expr[0]
+    if kind == "lit":
+        return expr[1]
+    if kind == "col":
+        return row[expr[2]]
+    if kind == "add":
+        a, b = _ev3(expr[1], row), _ev3(expr[2], row)
+        return None if a is None or b is None else a + b
+    if kind == "cmp":
+        a, b = _ev3(expr[1], row), _ev3(expr[3], row)
+        if a is None or b is None:
+            return None
+        op = expr[2]
+        return {"<": a < b, ">": a > b, "<=": a <= b, ">=": a >= b,
+                "=": a == b, "<>": a != b}[op]
+    raise AssertionError(kind)
+
+
+def _render1(expr, alias):
+    """Render a single-table AST; ``alias=None`` → bare column names
+    (DELETE conditions run on the table itself, no alias in scope)."""
+    kind = expr[0]
+    if kind == "lit":
+        v = expr[1]
+        if v is None:
+            return "NULL"
+        return f"'{v}'" if isinstance(v, str) else str(v)
+    if kind == "col":
+        return expr[2] if alias is None else f"{alias}.{expr[2]}"
+    if kind == "add":
+        return f"({_render1(expr[1], alias)} + {_render1(expr[2], alias)})"
+    if kind == "cmp":
+        return (f"{_render1(expr[1], alias)} {expr[2]} "
+                f"{_render1(expr[3], alias)}")
+    raise AssertionError(kind)
+
+
+DML_CONDS = [
+    ("cmp", ("col", "t", "v"), "<", ("lit", 25)),
+    ("cmp", ("col", "t", "k"), ">=", ("lit", 4)),
+    ("cmp", ("add", ("col", "t", "v"), ("col", "t", "k")), "<>",
+     ("lit", 23)),
+    ("cmp", ("col", "t", "tag"), "=", ("lit", "b")),
+    None,
+]
+DML_SETS = [
+    {"v": ("add", ("col", "t", "v"), ("lit", 100))},
+    {"tag": ("lit", "u; WHERE v < 0 -- not a clause"),
+     "v": ("lit", 9)},
+    {"v": ("col", "t", "k")},
+]
+# (collist or None, rows of full-AST values matching the collist)
+DML_INSERTS = [
+    (["k", "v"], [[("lit", 101), ("lit", 7)],
+                  [("lit", 102), ("lit", None)]]),
+    (["k", "v", "tag"], [[("lit", 103), ("lit", -3), ("lit", "ins")]]),
+    (None, [[("lit", 104), ("lit", 12), ("lit", "full; not a cut")]]),
+]
+
+
+def gen_dml(rng, seq):
+    """One random DML statement: (sql_text, python_effect) where
+    python_effect(rows) -> rows."""
+    kind = rng.choice(["delete", "update", "insert"])
+    tgt = "`ssr_fuzz_t`" if rng.random() < 0.3 else "ssr_fuzz_t"
+    if kind == "delete":
+        cond = rng.choice(DML_CONDS)
+        sql = f"{_kw(rng, 'DELETE')}{_ws(rng)}{_kw(rng, 'FROM')} {tgt}"
+        if cond is not None:
+            sql += f"{_ws(rng)}{_kw(rng, 'WHERE')} {_render1(cond, None)}"
+
+        def eff(rows, cond=cond):
+            if cond is None:
+                return []
+            return [r for r in rows if _ev3(cond, r) is not True]
+        return sql, eff
+    if kind == "update":
+        alias = rng.choice([None, "u"])
+        a = alias or tgt.strip("`")
+        assigns = rng.choice(DML_SETS)
+        cond = rng.choice(DML_CONDS)
+        sets = ", ".join(
+            f"{c} = {_render1(e, alias)}" for c, e in assigns.items())
+        sql = f"{_kw(rng, 'UPDATE')} {tgt}"
+        if alias:
+            sql += f" {rng.choice(['AS ', ''])}{alias}"
+        sql += f"{_ws(rng)}{_kw(rng, 'SET')} {sets}"
+        if cond is not None:
+            sql += f"{_ws(rng)}{_kw(rng, 'WHERE')} {_render1(cond, alias)}"
+
+        def eff(rows, assigns=assigns, cond=cond):
+            out = []
+            for r in rows:
+                if cond is None or _ev3(cond, r) is True:
+                    new = dict(r)
+                    new.update(
+                        {c: _ev3(e, r) for c, e in assigns.items()})
+                    out.append(new)
+                else:
+                    out.append(dict(r))
+            return out
+        return sql, eff
+    cols, vrows = rng.choice(DML_INSERTS)
+    vals = ", ".join(
+        "(" + ", ".join(_render1(e, None) for e in vr) + ")"
+        for vr in vrows)
+    collist = f" ({', '.join(cols)})" if cols else ""
+    body = f"VALUES{_ws(rng)}{vals}"
+    if rng.random() < 0.4:
+        width = len(cols) if cols else len(TCOLS)
+        names = ", ".join(f"c{i}" for i in range(width))
+        body = f"SELECT * FROM (VALUES {vals}) AS __v({names})"
+    sql = (f"{_kw(rng, 'INSERT')}{_ws(rng)}{_kw(rng, 'INTO')} {tgt}"
+           f"{collist}{_ws(rng)}{body}")
+
+    def eff(rows, cols=cols, vrows=vrows):
+        out = [dict(r) for r in rows]
+        names = cols if cols else list(TCOLS)
+        for vr in vrows:
+            row = {c: None for c in TCOLS}
+            row.update({c: _ev3(e, {}) for c, e in zip(names, vr)})
+            out.append(row)
+        return out
+    return sql, eff
+
+
+def test_dml_fuzz_scripts_match_reference(spark):
+    rng = random.Random(20260816)
+    for case in range(N_CASES):
+        n = rng.randint(2, 5)
+        stmts, effects = zip(*(gen_dml(rng, i) for i in range(n)))
+        spark.createDataFrame(
+            TARGET_ROWS, "k INT, v INT, tag STRING"
+        ).createOrReplaceTempView("ssr_fuzz_t")
+        rows = [dict(zip(TCOLS, r)) for r in TARGET_ROWS]
+        for eff in effects:
+            rows = eff(rows)
+        script = ";\n".join(stmts) + ";\nSELECT * FROM ssr_fuzz_t"
+        out = run_sql_script(spark, script)
+        got = [r.asDict() for r in out.collect()]
+        assert _norm(got) == _norm(rows), f"case {case}:\n{script}"
+
+
+DML_REJECTS = [
+    "DELETE ssr_fuzz_t WHERE v < 0",                      # missing FROM
+    "DELETE FROM ssr_fuzz_t WHERE",                       # empty WHERE
+    "UPDATE ssr_fuzz_t v = 5",                            # missing SET
+    "UPDATE ssr_fuzz_t SET v = 5 WHERE",                  # empty WHERE
+    "UPDATE ssr_fuzz_t SET v, tag",                       # no assignment
+    "INSERT ssr_fuzz_t VALUES (1, 2, 'x')",               # missing INTO
+    "INSERT INTO ssr_fuzz_t",                             # no source
+    "INSERT INTO ssr_fuzz_t (k, v) VALUES (1, 2, 'x')",   # collist arity
+    "INSERT INTO ssr_fuzz_t SELECT 1, 2",                 # target arity
+    "TRUNCATE ssr_fuzz_t",                                # missing TABLE
+]
+
+
+@pytest.mark.parametrize("stmt", DML_REJECTS)
+def test_dml_fuzz_rejects_raise_cleanly(spark, stmt):
+    spark.createDataFrame(
+        TARGET_ROWS, "k INT, v INT, tag STRING"
+    ).createOrReplaceTempView("ssr_fuzz_t")
+    before = _norm(r.asDict() for r in spark.table("ssr_fuzz_t").collect())
+    with pytest.raises(ValueError):
+        run_sql_script(spark, stmt)
+    after = _norm(r.asDict() for r in spark.table("ssr_fuzz_t").collect())
+    assert before == after, "rejected statement mutated the target view"
