@@ -86,17 +86,11 @@ def _fp_kernel(batches):
     Arrow-delivered media-fixture blob (``sources/media_fixture.py``);
     without it the identical RIFF bytes are synthesized from doc_id
     (the amplified curation corpus has no stored media)."""
-    import struct
-
-    import numpy as np
     import pandas as pd
 
     from star_schema_etl_airflow_spark.plans.multimodal_queries import (
         WAV_RATE,
         _raw_wav_encode,
-    )
-    from star_schema_etl_airflow_spark.sources.multimodal import (
-        _wav_decode,
     )
 
     for pdf in batches:
@@ -106,21 +100,36 @@ def _fp_kernel(batches):
             doc_id = int(doc_id)
             blob = bytes(blobs.iloc[i]) if blobs is not None \
                 else _raw_wav_encode(_synth_samples(doc_id), WAV_RATE)
-            dec = _wav_decode(blob)
-            vals = np.array(
-                struct.unpack(f"<{dec['n_frames']}h", dec["frames"]),
-                dtype=np.int64,
-            )
-            energy = (vals * vals).reshape(N_FRAMES, FRAME).sum(axis=1)
-            bits = (energy[:-1] > energy[1:]).astype(np.int64)  # 32
-            bands = []
-            for k in range(FP_BANDS):
-                seg = bits[k * BAND_BITS:(k + 1) * BAND_BITS]
-                bands.append(int((seg << np.arange(BAND_BITS)).sum()))
-            rows.append((doc_id, *bands))
+            rows.append((doc_id, *fp_bands_from_wav(blob)))
         yield pd.DataFrame(
             rows, columns=["doc_id", "b0", "b1", "b2", "b3"]
         )
+
+
+def fp_bands_from_wav(blob: bytes) -> tuple[int, ...]:
+    """Production decode → integer frame energies → fingerprint as 4
+    bands — the per-clip hash step, shared with the cross-modal
+    cluster operator (``plans/curation_clusters.py``)."""
+    import struct
+
+    import numpy as np
+
+    from star_schema_etl_airflow_spark.sources.multimodal import (
+        _wav_decode,
+    )
+
+    dec = _wav_decode(blob)
+    vals = np.array(
+        struct.unpack(f"<{dec['n_frames']}h", dec["frames"]),
+        dtype=np.int64,
+    )
+    energy = (vals * vals).reshape(N_FRAMES, FRAME).sum(axis=1)
+    bits = (energy[:-1] > energy[1:]).astype(np.int64)  # 32
+    return tuple(
+        int((bits[k * BAND_BITS:(k + 1) * BAND_BITS]
+             << np.arange(BAND_BITS)).sum())
+        for k in range(FP_BANDS)
+    )
 
 
 def fingerprint_of(docs: DataFrame) -> DataFrame:

@@ -1,0 +1,330 @@
+"""Cross-modal transitive cluster resolution (union-graph closure).
+
+``curation_multimodal`` composes per-modality keep/drop *decisions* —
+deliberately, because the original synthetic image/audio motifs are
+coprime residues of doc_id and closing over their union would collapse
+the corpus by CRT (a fixture artifact).  This operator is the
+transitive variant the r10 verdict asked for, over a fixture whose
+modality keys genuinely co-occur: the media assets are derived from
+the TEXT group id (``base = doc_id % NEAR_DUP_OFFSET`` — re-crawled
+copies of a page carry the same assets), and adjacent text groups are
+linked through single shared assets:
+
+    slot = base % 16
+    image asset shared  ⇔ slot ∈ {0, 1}:  img_key = "i{base div 16}"
+    audio asset shared  ⇔ slot ∈ {1, 2}:  aud_key = "a{base div 16}"
+    (all other slots get per-base unique assets)
+
+so bases 16j and 16j+2 share NO modality directly, yet belong to one
+cluster through 16j+1 — image edge then audio edge: exactly the
+cross-modal 2-hop transitivity a union-decision policy cannot see.
+
+The media are REAL: each asset key is md5-hashed to a target
+perceptual hash, a PNG/WAV is constructed whose dHash / energy
+fingerprint IS that value (difference-walk cells / amplitude-walk
+frames), and the operator runs the full encode → production decode →
+hash → banded-join pipeline from ``plans/image_dedup.py`` /
+``plans/audio_dedup.py``.  Distinct md5 hashes collide within the
+hamming thresholds with probability ~2⁻⁴⁸ per pair — and the oracle
+computes the identical hash values, so even a collision could not
+diverge the two engines.
+
+Pipeline: exact-text pairs (canonical content-hash groups, star edges
+to the group minimum) ∪ image pairs ∪ audio pairs → symmetrized edge
+set → min-label connected components (``operators/components.py``)
+over every corpus doc → ``(doc_id, cluster_id, cluster_size)`` with
+cluster_id = the smallest member doc_id.
+
+Why exact text and not SimHash here: measured on the fixture, the
+SimHash hamming≤4 pair graph already chains 181 of 650 corpus docs
+into one component — transitive closure over a *near*-dup graph is
+the textbook chaining failure (A~B~C…~Z with A and Z unrelated), which
+is exactly why the decision-composition variant
+(``curation_multimodal``) treats near-dup pairs as drop decisions, not
+merge edges.  Closure is the right tool for *identity* relations:
+exact text (this operator's text modality) and the asset-identity
+media edges.  Near-dup media edges stay safe because distinct asset
+hashes are md5-far apart by construction.
+
+Oracle: a DuckDB ``WITH RECURSIVE`` reachability closure over the same
+three pair relations (brute-force hamming for image/audio — legal, the
+banding is pigeonhole-complete at threshold 3; hash-group star edges
+for text).
+
+Scale shape: three banded self-joins (never all-pairs), one
+symmetrized union, and a label-propagation loop whose per-round
+shuffle is proportional to the MATCH GRAPH (vastly smaller than the
+corpus) with lineage truncated per round; cluster sizes ride one
+count window partitioned by cluster id.  Nothing quadratic in the
+corpus anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from star_schema_etl_airflow_spark.functions.caching import persist_once
+from star_schema_etl_airflow_spark.functions.text import (
+    md5_long_duck,
+    md5_long_spark,
+)
+from star_schema_etl_airflow_spark.operators.components import (
+    connected_components,
+)
+from star_schema_etl_airflow_spark.plans.audio_dedup import (
+    HAMMING_T as AUD_T,
+)
+from star_schema_etl_airflow_spark.plans.audio_dedup import (
+    fingerprint_pairs,
+    fp_bands_from_wav,
+)
+from star_schema_etl_airflow_spark.plans.image_dedup import (
+    HAMMING_T as IMG_T,
+)
+from star_schema_etl_airflow_spark.plans.image_dedup import (
+    CELL,
+    GRID_H,
+    GRID_W,
+    IMG_H,
+    IMG_W,
+    dhash_bands_from_png,
+    dhash_pairs,
+)
+from star_schema_etl_airflow_spark.plans.llm_dedup import (
+    CORPUS_DUCK,
+    NEAR_DUP_OFFSET,
+    build_corpus,
+)
+from star_schema_etl_airflow_spark.registry import QuerySpec, register
+
+GROUP = 16           # text-group bases per asset neighborhood
+AUD_MASK = (1 << 32) - 1
+
+
+def _png_from_dhash(h: int) -> bytes:
+    """An 18×16 grayscale PNG whose dHash is exactly ``h``: each cell
+    row walks ±1 from 128 (bit set ⇒ step down ⇒ left cell > right
+    cell), so the 64 adjacent-cell comparisons reproduce ``h``'s bits
+    at positions gy*8+gx.  Range stays in [120, 136]."""
+    from star_schema_etl_airflow_spark.sources.multimodal import (
+        _png_encode,
+    )
+
+    cells = [[0] * GRID_W for _ in range(GRID_H)]
+    for gy in range(GRID_H):
+        c = 128
+        cells[gy][0] = c
+        for gx in range(GRID_W - 1):
+            bit = (h >> (gy * (GRID_W - 1) + gx)) & 1
+            c = c - 1 if bit else c + 1
+            cells[gy][gx + 1] = c
+    px = bytearray()
+    for y in range(IMG_H):
+        for x in range(IMG_W):
+            px.append(cells[y // CELL][x // CELL])
+    return _png_encode(bytes(px), IMG_W, IMG_H, color_type=0)
+
+
+def _wav_from_fp(h: int) -> bytes:
+    """A RIFF/WAVE clip whose energy fingerprint is exactly ``h``
+    (32 bits): constant-amplitude frames walking ±1 from 40 (bit set ⇒
+    step down ⇒ E(f) > E(f+1); amplitudes stay in [8, 72] > 0, so the
+    squared-energy comparison equals the amplitude comparison)."""
+    from star_schema_etl_airflow_spark.plans.audio_dedup import (
+        FRAME,
+        N_FRAMES,
+    )
+    from star_schema_etl_airflow_spark.plans.multimodal_queries import (
+        WAV_RATE,
+        _raw_wav_encode,
+    )
+
+    c = 40
+    amps = [c]
+    for f in range(N_FRAMES - 1):
+        bit = (h >> f) & 1
+        c = c - 1 if bit else c + 1
+        amps.append(c)
+    samples = [a for a in amps for _ in range(FRAME)]
+    return _raw_wav_encode(samples, WAV_RATE)
+
+
+def _img_hash_kernel(batches):
+    """(doc_id, h) → (doc_id, b0..b3) through the FULL media pipeline:
+    construct PNG for h, encode, production-decode, dHash."""
+    import pandas as pd
+
+    for pdf in batches:
+        rows = []
+        for doc_id, h in zip(pdf["doc_id"], pdf["h"]):
+            rows.append((
+                int(doc_id),
+                *dhash_bands_from_png(_png_from_dhash(int(h))),
+            ))
+        yield pd.DataFrame(rows, columns=["doc_id", "b0", "b1", "b2", "b3"])
+
+
+def _aud_hash_kernel(batches):
+    import pandas as pd
+
+    for pdf in batches:
+        rows = []
+        for doc_id, h in zip(pdf["doc_id"], pdf["h"]):
+            rows.append((
+                int(doc_id),
+                *fp_bands_from_wav(_wav_from_fp(int(h))),
+            ))
+        yield pd.DataFrame(rows, columns=["doc_id", "b0", "b1", "b2", "b3"])
+
+
+_IMG_KEY_SPARK = (
+    f"CASE WHEN (doc_id % {NEAR_DUP_OFFSET}) % {GROUP} IN (0, 1) "
+    f"THEN concat('i', cast((doc_id % {NEAR_DUP_OFFSET}) div {GROUP} "
+    f"as string)) "
+    f"ELSE concat('u', cast(doc_id % {NEAR_DUP_OFFSET} as string)) END"
+)
+_AUD_KEY_SPARK = (
+    f"CASE WHEN (doc_id % {NEAR_DUP_OFFSET}) % {GROUP} IN (1, 2) "
+    f"THEN concat('a', cast((doc_id % {NEAR_DUP_OFFSET}) div {GROUP} "
+    f"as string)) "
+    f"ELSE concat('w', cast(doc_id % {NEAR_DUP_OFFSET} as string)) END"
+)
+
+
+def _hashed_media(keyed: DataFrame, col: str, kernel) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from star_schema_etl_airflow_spark.plans.multimodal_queries import (
+        _spread,
+    )
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType())]
+        + [T.StructField(f"b{k}", T.LongType()) for k in range(4)]
+    )
+    return persist_once(
+        _spread(keyed.select("doc_id", F.col(col).alias("h")))
+        .mapInPandas(kernel, schema=schema)
+    )
+
+
+def curation_multimodal_clusters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    corpus = persist_once(build_corpus(spark, sf_dir))
+    keyed = corpus.select(
+        "doc_id",
+        F.expr(md5_long_spark(f"({_IMG_KEY_SPARK})")).alias("img_h"),
+        F.expr(
+            f"{md5_long_spark(f'({_AUD_KEY_SPARK})')} & {AUD_MASK}"
+        ).alias("aud_h"),
+    )
+    img_hashed = _hashed_media(keyed, "img_h", _img_hash_kernel)
+    aud_hashed = _hashed_media(keyed, "aud_h", _aud_hash_kernel)
+
+    # exact-text identity groups as star edges (group-min ↔ member):
+    # connectivity-equivalent to the full within-group clique at |group|
+    # edges instead of |group|², and one groupBy+join instead of a
+    # self-join
+    canon = corpus.select(
+        "doc_id", F.expr(md5_long_spark("text")).alias("ch"))
+    gmin = canon.groupBy("ch").agg(F.min("doc_id").alias("mn"))
+    text_pairs = (
+        canon.join(gmin, "ch")
+        .filter(F.col("doc_id") != F.col("mn"))
+        .select(F.col("mn").alias("a"), F.col("doc_id").alias("b"))
+    )
+    img_pairs = dhash_pairs(img_hashed).select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    aud_pairs = fingerprint_pairs(aud_hashed).select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+
+    edges = text_pairs.unionByName(img_pairs).unionByName(aud_pairs)
+    comp = connected_components(
+        edges, src="a", dst="b",
+        nodes=corpus.select("doc_id"), node_col="doc_id")
+    return (
+        comp.select(
+            F.col("node").alias("doc_id"),
+            F.col("component").alias("cluster_id"),
+        )
+        .withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(
+                Window.partitionBy("cluster_id")).cast("long"),
+        )
+    )
+
+
+_IMG_KEY_DUCK = (
+    f"CASE WHEN (doc_id % {NEAR_DUP_OFFSET}) % {GROUP} IN (0, 1) "
+    f"THEN 'i' || CAST((doc_id % {NEAR_DUP_OFFSET}) // {GROUP} AS VARCHAR) "
+    f"ELSE 'u' || CAST(doc_id % {NEAR_DUP_OFFSET} AS VARCHAR) END"
+)
+_AUD_KEY_DUCK = (
+    f"CASE WHEN (doc_id % {NEAR_DUP_OFFSET}) % {GROUP} IN (1, 2) "
+    f"THEN 'a' || CAST((doc_id % {NEAR_DUP_OFFSET}) // {GROUP} AS VARCHAR) "
+    f"ELSE 'w' || CAST(doc_id % {NEAR_DUP_OFFSET} AS VARCHAR) END"
+)
+
+
+def _oracle() -> str:
+    from star_schema_etl_airflow_spark.functions.text import (
+        md5_long_duck as _d,
+    )
+
+    return f"""
+WITH RECURSIVE corpus AS ({CORPUS_DUCK}),
+ch AS (
+  SELECT doc_id, {_d('text')} AS h FROM corpus
+),
+text_pairs AS (
+  SELECT g.mn AS ia, c.doc_id AS ib
+  FROM ch c JOIN (SELECT h, MIN(doc_id) AS mn FROM ch GROUP BY h) g
+    ON c.h = g.h
+  WHERE c.doc_id <> g.mn
+),
+mh AS (
+  SELECT doc_id,
+         {md5_long_duck(f'({_IMG_KEY_DUCK})')} AS ih,
+         {md5_long_duck(f'({_AUD_KEY_DUCK})')} & {AUD_MASK} AS ah
+  FROM corpus
+),
+img_pairs AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib
+  FROM mh a JOIN mh b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.ih, b.ih)) <= {IMG_T}
+),
+aud_pairs AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib
+  FROM mh a JOIN mh b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.ah, b.ah)) <= {AUD_T}
+),
+edges AS (
+  SELECT ia AS a, ib AS b FROM text_pairs
+  UNION SELECT ib, ia FROM text_pairs
+  UNION SELECT ia, ib FROM img_pairs
+  UNION SELECT ib, ia FROM img_pairs
+  UNION SELECT ia, ib FROM aud_pairs
+  UNION SELECT ib, ia FROM aud_pairs
+),
+reach AS (
+  SELECT doc_id AS node, doc_id AS r FROM corpus
+  UNION
+  SELECT e.b AS node, reach.r AS r FROM reach JOIN edges e
+    ON e.a = reach.node
+),
+labels AS (
+  SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM labels
+"""
+
+
+register(QuerySpec(
+    "curation_multimodal_clusters", curation_multimodal_clusters,
+    _oracle(), tags=("LLM-PIPELINE", "multimodal")))

@@ -109,12 +109,7 @@ def _dhash_kernel(batches):
     decode path a real pipeline stresses; without it (the amplified
     curation corpus, whose offset doc_ids have no stored media) the
     kernel synthesizes the identical bytes from doc_id."""
-    import numpy as np
     import pandas as pd
-
-    from star_schema_etl_airflow_spark.sources.multimodal import (
-        _png_decode,
-    )
 
     for pdf in batches:
         rows = []
@@ -123,25 +118,38 @@ def _dhash_kernel(batches):
             doc_id = int(doc_id)
             blob = bytes(blobs.iloc[i]) if blobs is not None \
                 else _synth_png(doc_id)
-            img = _png_decode(blob)
-            arr = (
-                np.frombuffer(img["pixels"], dtype=np.uint8)
-                .reshape(img["height"], img["width"])
-                .astype(np.int64)
-            )
-            # 2×2 block sums: equal-sized blocks, so comparing sums is
-            # comparing means without ever leaving integer arithmetic
-            cells = arr.reshape(GRID_H, CELL, GRID_W, CELL).sum(axis=(1, 3))
-            bits = (cells[:, :-1] > cells[:, 1:]).astype(np.int64)  # 8×8
-            flat = bits.reshape(-1)  # bitpos = gy*8 + gx
-            bands = []
-            for k in range(DHASH_BANDS):
-                seg = flat[k * BAND_BITS:(k + 1) * BAND_BITS]
-                bands.append(int((seg << np.arange(BAND_BITS)).sum()))
-            rows.append((doc_id, *bands))
+            rows.append((doc_id, *dhash_bands_from_png(blob)))
         yield pd.DataFrame(
             rows, columns=["doc_id", "b0", "b1", "b2", "b3"]
         )
+
+
+def dhash_bands_from_png(blob: bytes) -> tuple[int, ...]:
+    """Production decode → integer area-reduce → dHash as 4 bands —
+    the per-image hash step, shared with the cross-modal cluster
+    operator (``plans/curation_clusters.py``)."""
+    import numpy as np
+
+    from star_schema_etl_airflow_spark.sources.multimodal import (
+        _png_decode,
+    )
+
+    img = _png_decode(blob)
+    arr = (
+        np.frombuffer(img["pixels"], dtype=np.uint8)
+        .reshape(img["height"], img["width"])
+        .astype(np.int64)
+    )
+    # 2×2 block sums: equal-sized blocks, so comparing sums is
+    # comparing means without ever leaving integer arithmetic
+    cells = arr.reshape(GRID_H, CELL, GRID_W, CELL).sum(axis=(1, 3))
+    bits = (cells[:, :-1] > cells[:, 1:]).astype(np.int64)  # 8×8
+    flat = bits.reshape(-1)  # bitpos = gy*8 + gx
+    return tuple(
+        int((flat[k * BAND_BITS:(k + 1) * BAND_BITS]
+             << np.arange(BAND_BITS)).sum())
+        for k in range(DHASH_BANDS)
+    )
 
 
 def dhash_of(docs: DataFrame) -> DataFrame:

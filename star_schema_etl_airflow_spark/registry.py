@@ -70,6 +70,7 @@ def _ensure_loaded() -> None:
         bm25,
         clustering_queries,
         core_queries,
+        curation_clusters,
         curation_multimodal,
         dsir,
         events_queries,
