@@ -411,12 +411,7 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (batch_id, corpus_id, jaccard) per verified match; fresh
     docs appear in no row (kept), mutants match their source (dropped
     or routed to re-crawl dedup policy)."""
-    from star_schema_etl_airflow_spark.plans.llm_dedup import (
-        JACCARD_THRESHOLD,
-        band_buckets,
-        signature_of,
-    )
-    from star_schema_etl_airflow_spark.functions.text import jaccard_spark
+    from star_schema_etl_airflow_spark.plans.llm_dedup import signature_of
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     batch = (
@@ -434,6 +429,23 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # artifacts of the full pass (persist_once stands in for the
     # at-rest tables); the delta side is computed fresh per batch
     csig = persist_once(signature_of(docs))
+    return minhash_batch_probe(batch, csig)
+
+
+def minhash_batch_probe(batch: DataFrame, csig: DataFrame) -> DataFrame:
+    """The probe itself, factored for reuse (the two-axis scale curve,
+    ``tools/incremental_curve.py``, feeds it independently-sized
+    corpora and deltas): delta docs are shingled/banded fresh; the
+    corpus participates only through its signature relation ``csig``
+    (and the band index derived from it — at rest, both are the full
+    pass's materialized tables, bucketed by band key)."""
+    from star_schema_etl_airflow_spark.functions.text import jaccard_spark
+    from star_schema_etl_airflow_spark.plans.llm_dedup import (
+        JACCARD_THRESHOLD,
+        band_buckets,
+        signature_of,
+    )
+
     bsig = persist_once(signature_of(batch))
     cband = band_buckets(csig).select(
         F.col("doc_id").alias("corpus_id"), "band_idx", "band_key"

@@ -198,6 +198,24 @@ def dedup_substring_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_index = docs.select(
         F.explode(F.expr(positional_gram_hashes("text", _N))).alias("g")
     ).distinct()
+    return substring_batch_probe(batch, corpus_index)
+
+
+def substring_batch_probe(
+    batch: DataFrame, corpus_index: DataFrame
+) -> DataFrame:
+    """The probe itself, factored for reuse (the two-axis scale curve,
+    ``tools/incremental_curve.py``): the batch is gram-hashed fresh
+    (delta-sized shuffles only); the corpus participates solely through
+    its distinct gram-hash index — at rest a bucketed 8-byte-key table
+    the probe co-locates to without shuffling it."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from star_schema_etl_airflow_spark.operators.decontaminate import (
+        positional_gram_hashes,
+    )
+
     pos = batch.select(
         "doc_id",
         F.posexplode(

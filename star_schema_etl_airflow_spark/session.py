@@ -124,10 +124,17 @@ def get_spark(app_name: str = "star-schema-etl-spark",
         # Throughput GC for the local batch JVM: short-lived tiny tasks
         # at a high allocation rate favor ParallelGC over the JDK-17
         # default G1 (latency-oriented, pays region bookkeeping) —
-        # measured 14% faster across five headline queries at sf0.1.
-        # Same reasoning a cluster deployment applies per-executor via
-        # spark.executor.extraJavaOptions; only the local launch is ours
-        # to decide here, and extra_conf below can still override.
+        # measured 14% faster across five headline queries at sf0.1,
+        # and 1.8× faster on the allocation-heaviest stage we have (the
+        # PPJoin verify at ×16 of sf0.1, jvmGCTime up to 75% of task
+        # time under G1 — SCALE_CURVE.md round-10 deep cells).  The
+        # same measurements showed a BIGGER heap is not a substitute:
+        # 96g was WORSE than 48g for that stage (larger old regions,
+        # longer collections), which is why the default heap above
+        # clamps at 48g.  A cluster deployment applies the same pair
+        # per-executor via spark.executor.extraJavaOptions /
+        # spark.executor.memory; only the local launch is ours to
+        # decide here, and extra_conf below can still override.
         conf["spark.driver.extraJavaOptions"] = "-XX:+UseParallelGC"
 
     conf |= {

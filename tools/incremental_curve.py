@@ -1,0 +1,273 @@
+#!/usr/bin/env python
+"""Two-axis scale curves for the incremental dedup probes
+(r10 verdict task 5).
+
+`dedup_incremental_minhash` and `dedup_substring_incremental` are the
+operators whose 100 TB story is "probe the at-rest index, never
+re-scan the corpus": a daily crawl cannot re-shingle and re-band the
+corpus to ingest a delta.  This tool measures that claim directly on
+the factored probe builders (``minhash_batch_probe``,
+``substring_batch_probe``) over two independent axes:
+
+- **delta axis**: corpus FIXED at ×8 of sf0.1 (52k docs), delta grown
+  ×1→×8 (mutated recrawls + reversed-new docs, the registered
+  queries' mix).  Expected exponent ≈ 1.0 — probe work is
+  delta-proportional.
+- **corpus axis**: delta FIXED (~9.7k docs), corpus grown ×4→×32.
+  Expected ≈ flat — the corpus participates only through its
+  materialized index.
+
+At-rest emulation: a production deployment stores the band index /
+gram index BUCKETED by probe key, so probing co-locates the delta to
+the index without shuffling the index.  A local session has no
+bucketed catalog tables, so the indexes are persisted pre-partitioned
+on their join keys with numPartitions = spark.sql.shuffle.partitions —
+cached relations retain their partitioning, and Catalyst reuses it:
+each probe then shuffles ONLY the delta side (the same guarantee
+bucketing gives; verified by the absence of an Exchange over the
+index in the probe plan).  Index build times are reported alongside —
+they are the cost the probe AVOIDS paying per batch.
+
+Per-cell protocol: the index is materialized once per corpus
+(untimed); every timed trial probes with a FRESH delta plan (per-trial
+id salt, so the delta is re-shingled cold each time — the production
+shape) against the warm index; min-of-3.
+
+Usage: python tools/incremental_curve.py >> SCALE_CURVE.md
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+BASE = "/root/testdata/sf0.1"
+WORK = "/tmp/scale_curve"
+DELTA_SALT_BASE = 5_000_000_000
+
+
+def pyloop() -> float:
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(10_000_000):
+        x += i * i
+    return round(time.perf_counter() - t0, 3)
+
+
+def build_docs_only(spark, factor: int) -> str:
+    """Same construction (and output path) as scale_curve.deep_main:
+    disjoint per-copy vocabularies, doc-ids offset per copy."""
+    from pyspark.sql import functions as F
+
+    out = f"{WORK}/deep_x{factor}"
+    if os.path.isdir(out):
+        return out
+    os.makedirs(out)
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    parts = []
+    for c in range(factor):
+        if c == 0:
+            parts.append(docs)
+        else:
+            parts.append(docs.select(
+                (F.col("doc_id") + c * 10_000_000).alias("doc_id"),
+                F.regexp_replace("text", r"(\S+)", f"c{c}$1").alias("text"),
+                *[col for col in docs.columns
+                  if col not in ("doc_id", "text")],
+            ))
+    d = parts[0]
+    for p in parts[1:]:
+        d = d.unionByName(p)
+    d.write.parquet(f"{out}/documents.parquet")
+    return out
+
+
+def make_delta(docs, m: int, salt: int):
+    """The registered queries' batch mix at tunable density: every m-th
+    doc lightly mutated (near-dup recrawl) + every 2m-th reversed
+    (genuinely new).  ``salt`` offsets the ids so each trial is a fresh
+    plan (cold delta shingling against the warm index)."""
+    from pyspark.sql import functions as F
+
+    from star_schema_etl_airflow_spark.plans.llm_dedup2 import (
+        _LIGHT_MUTATE_S,
+        _REV_S,
+    )
+
+    off = DELTA_SALT_BASE + salt * 100_000_000
+    return (
+        docs.filter(F.col("doc_id") % m == 0)
+        .select((F.col("doc_id") + off).alias("doc_id"),
+                F.expr(_LIGHT_MUTATE_S).alias("text"))
+        .unionByName(
+            docs.filter(F.col("doc_id") % (2 * m) == 0).select(
+                (F.col("doc_id") + off + 50_000_000).alias("doc_id"),
+                F.expr(_REV_S).alias("text"),
+            )
+        )
+    )
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from star_schema_etl_airflow_spark.plans.llm_dedup import signature_of
+    from star_schema_etl_airflow_spark.plans.llm_dedup2 import (
+        minhash_batch_probe,
+    )
+    from star_schema_etl_airflow_spark.plans.substring_queries import (
+        _N,
+        substring_batch_probe,
+    )
+    from star_schema_etl_airflow_spark.operators.decontaminate import (
+        positional_gram_hashes,
+    )
+    from star_schema_etl_airflow_spark.session import get_spark
+
+    spark = get_spark("incremental-curve")
+    spark.sparkContext.setLogLevel("ERROR")
+    nshuf = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cal = [pyloop()]
+
+    def materialize(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    def docs_of(factor: int):
+        d = build_docs_only(spark, factor)
+        return spark.read.parquet(f"{d}/documents.parquet") \
+            .select("doc_id", "text")
+
+    def build_minhash_index(corpus):
+        """At-rest band index + signature table, pre-partitioned on
+        their probe keys (bucketed-table emulation) and cached."""
+        csig = corpus  # signature relation
+        csig = signature_of(corpus).repartition(nshuf, "doc_id").persist()
+        n = csig.count()
+        return csig, n
+
+    def build_gram_index(corpus):
+        idx = (
+            corpus.select(
+                F.explode(
+                    F.expr(positional_gram_hashes("text", _N))).alias("g"))
+            .distinct()
+            .repartition(nshuf, "g")
+            .persist()
+        )
+        n = idx.count()
+        return idx, n
+
+    def timed_probe(probe_fn, corpus_docs, m: int, trials: int = 3):
+        best = None
+        for t in range(trials):
+            delta = make_delta(corpus_docs, m, salt=t)
+            t0 = time.perf_counter()
+            materialize(probe_fn(delta))
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        return round(best, 3)
+
+    def delta_size(corpus_docs, m: int) -> int:
+        return make_delta(corpus_docs, m, 0).count()
+
+    def expo(tl, th, ratio) -> float:
+        return math.log(th / tl) / math.log(ratio)
+
+    # ---- axis A: fixed corpus (×8), growing delta ----------------------
+    fixed = docs_of(8).persist()
+    fixed.count()
+    ms = [56, 28, 14, 7]
+    rows_a = []
+    csig, _ = build_minhash_index(fixed)
+    gidx, _ = build_gram_index(fixed)
+    # JIT/codegen warmup on the smallest delta
+    materialize(minhash_batch_probe(make_delta(fixed, ms[0], 9), csig))
+    materialize(substring_batch_probe(make_delta(fixed, ms[0], 9), gidx))
+    for m in ms:
+        nd = delta_size(fixed, m)
+        tm = timed_probe(lambda d: minhash_batch_probe(d, csig), fixed, m)
+        ts = timed_probe(lambda d: substring_batch_probe(d, gidx), fixed, m)
+        rows_a.append((m, nd, tm, ts))
+        print(f"  delta-axis m={m}: {nd} docs, minhash {tm}s, "
+              f"substr {ts}s", file=sys.stderr)
+    cal.append(pyloop())
+    csig.unpersist()
+    gidx.unpersist()
+
+    # ---- axis B: fixed delta (from the ×4 corpus), growing corpus ------
+    small = docs_of(4).persist()
+    small.count()
+    factors = [4, 8, 16, 32]
+    rows_b = []
+    nd_fixed = delta_size(small, 7)
+    for f in factors:
+        corpus = docs_of(f)
+        t0 = time.perf_counter()
+        csig, nsig = build_minhash_index(corpus)
+        t_sig = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        gidx, ngram = build_gram_index(corpus)
+        t_gram = round(time.perf_counter() - t0, 3)
+        tm = timed_probe(lambda d: minhash_batch_probe(d, csig), small, 7)
+        ts = timed_probe(lambda d: substring_batch_probe(d, gidx), small, 7)
+        rows_b.append((f, nsig, ngram, t_sig, t_gram, tm, ts))
+        print(f"  corpus-axis x{f}: minhash {tm}s (index build {t_sig}s), "
+              f"substr {ts}s (index build {t_gram}s)", file=sys.stderr)
+        csig.unpersist()
+        gidx.unpersist()
+        cal.append(pyloop())
+
+    # ---- report ---------------------------------------------------------
+    print()
+    print("## Incremental-probe two-axis curve (r10 verdict task 5)")
+    print()
+    print("Probe the at-rest index, never re-scan the corpus — measured on")
+    print("the factored probe builders with the index persisted")
+    print("pre-partitioned on its probe key (the local emulation of the")
+    print("bucketed at-rest table: each probe shuffles only the delta).")
+    print("Every timed trial re-shingles a fresh delta plan (per-trial id")
+    print("salt) against the warm index; min-of-3.")
+    print()
+    print(f"Host pyloop stamps: {cal}.")
+    print()
+    print("### Delta axis — corpus fixed at ×8 of sf0.1 (52k docs)")
+    print()
+    print("| delta docs | minhash probe | substring probe |")
+    print("|---|---|---|")
+    for m, nd, tm, ts in rows_a:
+        print(f"| {nd} | {tm:.2f}s | {ts:.2f}s |")
+    ratio = rows_a[-1][1] / rows_a[0][1]
+    em = expo(rows_a[0][2], rows_a[-1][2], ratio)
+    es = expo(rows_a[0][3], rows_a[-1][3], ratio)
+    print()
+    print(f"Delta-axis exponents over the ×{ratio:.1f} delta growth: "
+          f"minhash {em:.2f}, substring {es:.2f} (≈1.0 = probe cost "
+          "tracks the delta).")
+    print()
+    print(f"### Corpus axis — delta fixed at {nd_fixed} docs")
+    print()
+    print("| corpus | sig rows | gram rows | sig-index build | "
+          "gram-index build | minhash probe | substring probe |")
+    print("|---|---|---|---|---|---|---|")
+    for f, nsig, ngram, t_sig, t_gram, tm, ts in rows_b:
+        print(f"| ×{f} | {nsig} | {ngram} | {t_sig:.2f}s | {t_gram:.2f}s "
+              f"| {tm:.2f}s | {ts:.2f}s |")
+    em = expo(rows_b[0][5], rows_b[-1][5], factors[-1] / factors[0])
+    es = expo(rows_b[0][6], rows_b[-1][6], factors[-1] / factors[0])
+    bm = expo(rows_b[0][3], rows_b[-1][3], factors[-1] / factors[0])
+    bs = expo(rows_b[0][4], rows_b[-1][4], factors[-1] / factors[0])
+    print()
+    print(f"Corpus-axis probe exponents ×4→×32: minhash {em:.2f}, "
+          f"substring {es:.2f} (≈0 = the corpus participates only via "
+          f"its at-rest index).  The index BUILDS scale with the corpus "
+          f"as expected (minhash {bm:.2f}, gram {bs:.2f}) — that is the "
+          "full-pass cost the probe amortizes to once.")
+
+
+if __name__ == "__main__":
+    main()
