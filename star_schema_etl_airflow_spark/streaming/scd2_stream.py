@@ -219,3 +219,50 @@ def run_scd2_stream(
             f"keeps the resume exact)"
         )
     return spark.read.parquet(dim_path)
+
+
+def rebuild_dimension(
+    spark: SparkSession,
+    landing_dir: str,
+    dim_path: str,
+    source_schema: T.StructType,
+    key: str,
+    tracked: list[str],
+    sk_col: str = "sk",
+    run_date_col: str = "run_date",
+) -> DataFrame:
+    """The operator decision the late-data dead-letter defers to: a
+    **targeted backfill rebuild**.  Re-folds the ENTIRE landing history
+    in run_date order (late files included — chronological replay makes
+    their position irrelevant), swaps the dimension, resets the
+    applied-dates ledger, and clears the dead letter.  Cost is
+    proportional to the retained landing history — the price of
+    rewriting committed history, paid explicitly and atomically rather
+    than silently per late file.
+
+    Scale note: each day's fold is the same set-based ``apply_scd2``
+    the stream runs; a 100 TB deployment bounds this by landing-dir
+    retention (rebuild windows), exactly like any warehouse backfill.
+    """
+    import shutil
+
+    all_rows = spark.read.schema(source_schema).parquet(landing_dir)
+    dates = [
+        r[0]
+        for r in all_rows.select(run_date_col)
+        .distinct().orderBy(run_date_col).collect()
+    ]
+    dim = empty_dim(spark, source_schema, key, tracked, sk_col)
+    for d in dates:
+        day = all_rows.filter(
+            F.col(run_date_col) == d).drop(run_date_col)
+        # lineage grows per day; truncate so the plan stays O(1)
+        dim = apply_scd2(dim, day, key, tracked, str(d), sk_col) \
+            .localCheckpoint()
+    write_swap(dim, dim_path)
+    _write_applied(dim_path, {str(d) for d in dates})
+    shutil.rmtree(dim_path.rstrip("/") + "__dead_letter",
+                  ignore_errors=True)
+    log.info("scd2 rebuild of %s: %d run_dates re-folded from %s",
+             dim_path, len(dates), landing_dir)
+    return spark.read.parquet(dim_path)

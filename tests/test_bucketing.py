@@ -97,3 +97,78 @@ def test_incremental_dedup_probe_corpus_never_shuffles(spark):
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_corpus_hash_index")
+
+
+def test_minhash_probe_band_index_never_shuffles(spark):
+    """The at-rest claim behind ``dedup_incremental_minhash`` and its
+    two-axis curve (r10 verdict task 5): with the corpus band index
+    stored bucketed by (band_idx, band_key), the delta-vs-corpus
+    candidate join carries exactly ONE Exchange — the freshly banded
+    delta repartitioning to the index's bucketing — while the corpus
+    band index reads in place."""
+    from pyspark.sql import functions as F
+
+    from star_schema_etl_airflow_spark.plans.llm_dedup import (
+        band_buckets,
+        signature_of,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    cband = band_buckets(signature_of(docs)).select(
+        F.col("doc_id").alias("corpus_id"), "band_idx", "band_key")
+    write_bucketed(cband, "b_band_index", ["band_idx", "band_key"],
+                   n_buckets=8)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        batch = docs.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 123).alias("doc_id"), "text")
+        bband = band_buckets(signature_of(batch)).select(
+            F.col("doc_id").alias("batch_id"), "band_idx", "band_key")
+        probe = bband.join(
+            spark.table("b_band_index"), ["band_idx", "band_key"]
+        ).select("batch_id", "corpus_id")
+        plan = _plan(probe)
+        assert plan.count("Exchange") == 1, plan
+        corpus_scan = plan[plan.index("b_band_index"):]
+        assert "Bucketed: true" in corpus_scan, plan
+        assert probe.count() > 0  # mutant recrawls land in shared bands
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_band_index")
+
+
+def test_substring_probe_gram_index_never_shuffles(spark):
+    """Same at-rest claim for ``dedup_substring_incremental``: the
+    corpus distinct-gram index bucketed by g, the batch's positional
+    grams repartition to it — one Exchange, index in place."""
+    from pyspark.sql import functions as F
+
+    from star_schema_etl_airflow_spark.operators.decontaminate import (
+        positional_gram_hashes,
+    )
+    from star_schema_etl_airflow_spark.plans.substring_queries import _N
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    cidx = docs.select(
+        F.explode(F.expr(positional_gram_hashes("text", _N))).alias("g")
+    ).distinct()
+    write_bucketed(cidx, "b_gram_index", "g", n_buckets=8)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        batch = docs.filter(F.col("doc_id") % 4 == 0).select(
+            (F.col("doc_id") + 777).alias("doc_id"), "text")
+        pos = batch.select(
+            "doc_id",
+            F.posexplode(
+                F.expr(positional_gram_hashes("text", _N))
+            ).alias("pos", "g"),
+        )
+        probe = pos.join(spark.table("b_gram_index"), "g", "left_semi")
+        plan = _plan(probe)
+        assert plan.count("Exchange") == 1, plan
+        corpus_scan = plan[plan.index("b_gram_index"):]
+        assert "Bucketed: true" in corpus_scan, plan
+        assert probe.count() > 0  # recrawled copies span entirely
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_gram_index")
