@@ -301,3 +301,116 @@ WHERE {ham} <= {HAMMING_T}
 
 register(QuerySpec("image_dedup_dhash", image_dedup_dhash, _oracle(),
                    tags=("LLM-dedup", "multimodal")))
+
+
+# --- hamming-space k-NN retrieval over the perceptual hashes ---------------
+
+KNN_K = 5
+KNN_QUERY_MOD = 97    # every 97th doc is a query image
+
+
+def image_knn_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k nearest corpus images per query image in dHash hamming
+    space — the multimodal member of the similarity-search family
+    (brute cosine / LSH / IVF / PQ / SQ8 cover embeddings; this covers
+    perceptual hashes).
+
+    Semantics are multi-probe LSH retrieval: candidates are the images
+    sharing ≥ 1 of the 4 hash bands with the query (the same
+    pigeonhole banding as the dedup join — exhaustive within hamming
+    ≤ 3, high-recall beyond), then EXACT 64-bit hamming re-rank with a
+    deterministic (hamming, doc_id) tie-break and row_number ≤ k.  The
+    banded candidate generation is part of the operator's definition —
+    the oracle mirrors it — so the result is engine-exact, like
+    ``embed_jl_rerank``'s shortlist contract.
+
+    Scale shape: the query side is a filtered sliver of the hash
+    relation (broadcastable); candidates shuffle 4 band rows per image
+    against the query bands; the re-rank is a WindowGroupLimit-prunable
+    top-k per query over the candidate set, never over the corpus.
+    The hash relation reads the binary media fixture (decode once,
+    persist_once shared with the dedup join)."""
+    from pyspark.sql.window import Window
+
+    from star_schema_etl_airflow_spark.sources.media_fixture import (
+        load_media,
+    )
+
+    hashed = dhash_of(load_media(spark, sf_dir).select("doc_id", "png"))
+    band_pairs = ", ".join(f"{k}, b{k}" for k in range(DHASH_BANDS))
+    buckets = hashed.select(
+        "doc_id",
+        F.expr(f"stack({DHASH_BANDS}, {band_pairs}) "
+               "as (band_idx, band_key)"),
+    )
+    qbuckets = buckets.filter(
+        F.col("doc_id") % KNN_QUERY_MOD == 0
+    ).select(F.col("doc_id").alias("query_id"), "band_idx", "band_key")
+    cand = (
+        qbuckets.join(buckets, ["band_idx", "band_key"])
+        .filter(F.col("query_id") != F.col("doc_id"))
+        .select("query_id", "doc_id")
+        .distinct()
+    )
+    qh = hashed.select(
+        F.col("doc_id").alias("query_id"),
+        *[F.col(f"b{k}").alias(f"q{k}") for k in range(DHASH_BANDS)],
+    )
+    ch = hashed.select(
+        "doc_id",
+        *[F.col(f"b{k}").alias(f"c{k}") for k in range(DHASH_BANDS)],
+    )
+    hamming = sum(
+        F.expr(f"bit_count(q{k} ^ c{k})") for k in range(DHASH_BANDS)
+    )
+    w = Window.partitionBy("query_id").orderBy("hamming", "doc_id")
+    return (
+        cand.join(qh, "query_id")
+        .join(ch, "doc_id")
+        .withColumn("hamming", hamming.cast("int"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+        .select("query_id", "doc_id", "hamming", "rank")
+    )
+
+
+def _knn_oracle(src: str = "documents") -> str:
+    """Banding-mirrored twin: the candidate set (≥ 1 shared band) is
+    operator definition on both engines; the re-rank and tie-break are
+    stated identically."""
+    band_union = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {k} AS band_idx, b{k} AS band_key "
+        f"FROM img_hashes"
+        for k in range(DHASH_BANDS)
+    )
+    ham = " + ".join(
+        f"bit_count(xor(a.b{k}, b.b{k}))" for k in range(DHASH_BANDS)
+    )
+    return f"""
+WITH {dhash_duck_ctes(src)},
+bands AS (
+{band_union}
+),
+cand AS (
+  SELECT DISTINCT q.doc_id AS query_id, c.doc_id AS doc_id
+  FROM bands q JOIN bands c
+    ON q.band_idx = c.band_idx AND q.band_key = c.band_key
+  WHERE q.doc_id % {KNN_QUERY_MOD} = 0 AND q.doc_id <> c.doc_id
+),
+scored AS (
+  SELECT cd.query_id, cd.doc_id,
+         CAST({ham} AS INTEGER) AS hamming
+  FROM cand cd
+  JOIN img_hashes a ON a.doc_id = cd.query_id
+  JOIN img_hashes b ON b.doc_id = cd.doc_id
+)
+SELECT query_id, doc_id, hamming, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY hamming, doc_id) AS rank
+  FROM scored
+) WHERE rank <= {KNN_K}
+"""
+
+
+register(QuerySpec("image_knn_dhash", image_knn_dhash, _knn_oracle(),
+                   tags=("similarity", "multimodal")))

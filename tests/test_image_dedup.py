@@ -132,3 +132,46 @@ def test_plan_has_no_cartesian(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_knn_rank_semantics_and_pigeonhole_recall(spark):
+    """image_knn_dhash: ranks are dense per query ordered by (hamming,
+    doc_id); within hamming <= HAMMING_T the candidate set is EXHAUSTIVE
+    (pigeonhole: <= 3 differing bits cannot touch all 4 bands), so any
+    corpus image that close to a query MUST appear among the neighbors
+    unless k closer ones exist."""
+    from star_schema_etl_airflow_spark.plans.image_dedup import (
+        KNN_K,
+        KNN_QUERY_MOD,
+        image_knn_dhash,
+    )
+    from star_schema_etl_airflow_spark.sources.fixtures import load_table
+
+    out = image_knn_dhash(spark, SF_DIR).collect()
+    by_q: dict[int, list] = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert by_q, "no query produced neighbors"
+    for qid, rows in by_q.items():
+        assert qid % KNN_QUERY_MOD == 0
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= KNN_K
+        ordered = [(r["hamming"], r["doc_id"]) for r in rows]
+        assert ordered == sorted(ordered), "rank order violates tie-break"
+
+    # pigeonhole recall: brute-force all corpus hashes locally
+    ids = [r["doc_id"] for r in
+           load_table(spark, SF_DIR, "documents").select("doc_id").collect()]
+    h = _hash_of(ids)
+    for qid, rows in by_q.items():
+        kth = rows[-1]["hamming"]
+        got = {r["doc_id"] for r in rows}
+        for d in ids:
+            if d == qid:
+                continue
+            dist = _hamming(h[qid], h[d])
+            if dist <= min(3, kth - 1):
+                # strictly closer than the kth neighbor and within the
+                # exhaustive-banding radius -> must have been returned
+                assert d in got, (qid, d, dist, kth)
