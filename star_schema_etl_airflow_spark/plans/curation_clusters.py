@@ -29,11 +29,12 @@ hamming thresholds with probability ~2⁻⁴⁸ per pair — and the oracle
 computes the identical hash values, so even a collision could not
 diverge the two engines.
 
-Pipeline: exact-text pairs (canonical content-hash groups, star edges
-to the group minimum) ∪ image pairs ∪ audio pairs → symmetrized edge
-set → min-label connected components (``operators/components.py``)
-over every corpus doc → ``(doc_id, cluster_id, cluster_size)`` with
-cluster_id = the smallest member doc_id.
+Pipeline: exact-text star edges ∪ shared-image star edges ∪
+shared-audio star edges (each modality: group by its identity hash,
+link members to the group minimum) → symmetrized edge set → min-label
+connected components (``operators/components.py``) over every corpus
+doc → ``(doc_id, cluster_id, cluster_size)`` with cluster_id = the
+smallest member doc_id.
 
 Why exact text and not SimHash here: measured on the fixture, the
 SimHash hamming≤4 pair graph already chains 181 of 650 corpus docs
@@ -43,13 +44,30 @@ is exactly why the decision-composition variant
 (``curation_multimodal``) treats near-dup pairs as drop decisions, not
 merge edges.  Closure is the right tool for *identity* relations:
 exact text (this operator's text modality) and the asset-identity
-media edges.  Near-dup media edges stay safe because distinct asset
-hashes are md5-far apart by construction.
+media edges.
+
+Why the media edges are IDENTITY (full-hash equality groups → star
+edges), not the dedup family's hamming-banded pair joins — both
+measured, round 11:
+
+1. *The tolerance adds nothing here.*  Distinct asset keys hash
+   md5-far apart (≳16 bits — property-pinned), so hamming≤3 pairs and
+   equality pairs are the SAME edge set on asset hashes; a banded join
+   could only pay, never match more.
+2. *The banded join's cost explodes on random hashes.*  The ×4→×32
+   curve of the first (hamming-banded) implementation stepped
+   15.3s → 108.6s between ×8 and ×16: the audio fingerprint's 8-bit
+   bands put ~N/256 random hashes in every bucket, so banded
+   candidates grow ~N²/512 — quadratic with a small constant that the
+   sf0.1 fixture hides and ×16 exposes.  (For the *near-dup* operators
+   this narrowness is semantic — 32 fingerprint bits, pigeonhole-exact
+   at T=3 — and their corpora are NOT uniform-random in band space;
+   at 100 TB the banded-join answer is a wider fingerprint, e.g.
+   64-bit/4×16 like dHash.)  Identity grouping is one hash-groupBy —
+   linear — and is also the honest semantics for "same asset".
 
 Oracle: a DuckDB ``WITH RECURSIVE`` reachability closure over the same
-three pair relations (brute-force hamming for image/audio — legal, the
-banding is pigeonhole-complete at threshold 3; hash-group star edges
-for text).
+three star-edge relations (hash-group minimum per modality).
 
 Scale shape: three banded self-joins (never all-pairs), one
 symmetrized union, and a label-propagation loop whose per-round
@@ -74,14 +92,7 @@ from star_schema_etl_airflow_spark.operators.components import (
     connected_components,
 )
 from star_schema_etl_airflow_spark.plans.audio_dedup import (
-    HAMMING_T as AUD_T,
-)
-from star_schema_etl_airflow_spark.plans.audio_dedup import (
-    fingerprint_pairs,
     fp_bands_from_wav,
-)
-from star_schema_etl_airflow_spark.plans.image_dedup import (
-    HAMMING_T as IMG_T,
 )
 from star_schema_etl_airflow_spark.plans.image_dedup import (
     CELL,
@@ -90,7 +101,6 @@ from star_schema_etl_airflow_spark.plans.image_dedup import (
     IMG_H,
     IMG_W,
     dhash_bands_from_png,
-    dhash_pairs,
 )
 from star_schema_etl_airflow_spark.plans.llm_dedup import (
     CORPUS_DUCK,
@@ -224,22 +234,25 @@ def curation_multimodal_clusters(
     img_hashed = _hashed_media(keyed, "img_h", _img_hash_kernel)
     aud_hashed = _hashed_media(keyed, "aud_h", _aud_hash_kernel)
 
-    # exact-text identity groups as star edges (group-min ↔ member):
-    # connectivity-equivalent to the full within-group clique at |group|
-    # edges instead of |group|², and one groupBy+join instead of a
-    # self-join
+    # identity groups as star edges (group-min ↔ member), one per
+    # modality: connectivity-equivalent to the within-group clique at
+    # |group| edges instead of |group|², one hash-groupBy + join each
+    # — linear in the corpus (see module docstring for the measured
+    # reason banded hamming joins are NOT used here)
+    def star_edges(rel: DataFrame, *keys: str) -> DataFrame:
+        gmin = rel.groupBy(*keys).agg(F.min("doc_id").alias("mn"))
+        return (
+            rel.join(gmin, list(keys))
+            .filter(F.col("doc_id") != F.col("mn"))
+            .select(F.col("mn").alias("a"), F.col("doc_id").alias("b"))
+        )
+
     canon = corpus.select(
         "doc_id", F.expr(md5_long_spark("text")).alias("ch"))
-    gmin = canon.groupBy("ch").agg(F.min("doc_id").alias("mn"))
-    text_pairs = (
-        canon.join(gmin, "ch")
-        .filter(F.col("doc_id") != F.col("mn"))
-        .select(F.col("mn").alias("a"), F.col("doc_id").alias("b"))
-    )
-    img_pairs = dhash_pairs(img_hashed).select(
-        F.col("id_a").alias("a"), F.col("id_b").alias("b"))
-    aud_pairs = fingerprint_pairs(aud_hashed).select(
-        F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    bcols = [f"b{k}" for k in range(4)]
+    text_pairs = star_edges(canon, "ch")
+    img_pairs = star_edges(img_hashed, *bcols)
+    aud_pairs = star_edges(aud_hashed, *bcols)
 
     edges = text_pairs.unionByName(img_pairs).unionByName(aud_pairs)
     comp = connected_components(
@@ -293,14 +306,16 @@ mh AS (
   FROM corpus
 ),
 img_pairs AS (
-  SELECT a.doc_id AS ia, b.doc_id AS ib
-  FROM mh a JOIN mh b ON a.doc_id < b.doc_id
-  WHERE bit_count(xor(a.ih, b.ih)) <= {IMG_T}
+  SELECT g.mn AS ia, m.doc_id AS ib
+  FROM mh m JOIN (SELECT ih, MIN(doc_id) AS mn FROM mh GROUP BY ih) g
+    ON m.ih = g.ih
+  WHERE m.doc_id <> g.mn
 ),
 aud_pairs AS (
-  SELECT a.doc_id AS ia, b.doc_id AS ib
-  FROM mh a JOIN mh b ON a.doc_id < b.doc_id
-  WHERE bit_count(xor(a.ah, b.ah)) <= {AUD_T}
+  SELECT g.mn AS ia, m.doc_id AS ib
+  FROM mh m JOIN (SELECT ah, MIN(doc_id) AS mn FROM mh GROUP BY ah) g
+    ON m.ah = g.ah
+  WHERE m.doc_id <> g.mn
 ),
 edges AS (
   SELECT ia AS a, ib AS b FROM text_pairs
