@@ -106,6 +106,7 @@ def _ensure_loaded() -> None:
         substring_queries,
         text_classify,
         unimax,
+        winnow,
         timeseries,
         tpch_queries,
         tpch_queries2,

@@ -1,0 +1,110 @@
+"""Winnowing fingerprint invariants (plans/winnow.py).
+
+The sweep differentially checks Spark vs the DuckDB twin; these tests
+pin the ALGORITHM against an independent pure-Python winnower (the
+BPE-style third opinion) and the paper's guarantee: any substring
+match of length >= W + K - 1 tokens shares a fingerprint, and exact
+copies share their entire fingerprint set.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+from star_schema_etl_airflow_spark.functions.text import UHASH_M
+from star_schema_etl_airflow_spark.plans.winnow import (
+    POS_BITS,
+    SHARED_T,
+    WINNOW_K,
+    WINNOW_W,
+    doc_winnow_overlap,
+    winnow_fingerprints,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _py_winnow(text: str) -> set[tuple[int, int]]:
+    """Independent reference: token k-grams -> md5 hashes -> per-window
+    (ROWS CURRENT..W-1 FOLLOWING over full windows) min of
+    g*2^POS_BITS+pos -> decoded (g, pos) set."""
+    toks = re.split(r"\s+", text)
+    if len(toks) < WINNOW_K:
+        return set()
+    grams = [
+        int(hashlib.md5(
+            " ".join(toks[i:i + WINNOW_K]).encode()
+        ).hexdigest()[:15], 16) % UHASH_M
+        for i in range(len(toks) - WINNOW_K + 1)
+    ]
+    n = len(grams)
+    out = set()
+    for p in range(0, n - WINNOW_W + 1):
+        key = min(grams[p + j] * (1 << POS_BITS) + (p + j)
+                  for j in range(WINNOW_W))
+        out.add((key >> POS_BITS, key % (1 << POS_BITS)))
+    return out
+
+
+def test_matches_pure_python_reference(spark):
+    from star_schema_etl_airflow_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, SF_DIR, "documents") \
+        .select("doc_id", "text").limit(25)
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    got: dict[int, set] = {d: set() for d in texts}
+    for r in winnow_fingerprints(docs).collect():
+        got[r["doc_id"]].add((r["g"], r["pos"]))
+    for d, text in texts.items():
+        assert got[d] == _py_winnow(text), f"doc {d}"
+
+
+def test_paper_guarantee_shared_long_substring_shares_a_fingerprint(
+    spark
+):
+    """Theorem 1 (Schleimer et al.): a shared token run of length
+    W + K - 1 contains a full window of identical gram VALUES on both
+    sides; the window minima may select different positions but at
+    least one selected gram VALUE from the run is common.  Construct
+    pairs embedding one long shared run inside distinct noise."""
+    run = " ".join(f"shared{i}" for i in range(WINNOW_W + WINNOW_K - 1))
+    rows = []
+    for j in range(6):
+        left = " ".join(f"a{j}x{i}" for i in range(10))
+        right = " ".join(f"b{j}y{i}" for i in range(10))
+        rows.append((2 * j, f"{left} {run} {right}"))
+        rows.append((2 * j + 1, f"{right} {run} {left}"))
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    fps = winnow_fingerprints(df).collect()
+    by_doc: dict[int, set[int]] = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["g"])
+    for j in range(6):
+        shared = by_doc[2 * j] & by_doc[2 * j + 1]
+        assert shared, f"pair {j} shares no fingerprint value"
+
+
+def test_overlap_contains_every_exact_copy_pair(spark):
+    """Exact copies (doc d and d + EXACT_DUP_OFFSET in the amplified
+    corpus) have identical fingerprint VALUE sets, so every such pair
+    with >= SHARED_T fingerprints must appear in the overlap join."""
+    from star_schema_etl_airflow_spark.plans.llm_dedup import (
+        EXACT_DUP_OFFSET,
+    )
+    from star_schema_etl_airflow_spark.sources.fixtures import load_table
+
+    out = {(r["doc_a"], r["doc_b"]): r["shared_fps"]
+           for r in doc_winnow_overlap(spark, SF_DIR).collect()}
+    docs = load_table(spark, SF_DIR, "documents") \
+        .select("doc_id", "text").collect()
+    for r in docs:
+        if r["doc_id"] % 10 != 0:
+            continue
+        values = {g for g, _ in _py_winnow(r["text"])}
+        if len(values) < SHARED_T:
+            continue
+        pair = (r["doc_id"], r["doc_id"] + EXACT_DUP_OFFSET)
+        assert pair in out, pair
+        # DF-capped grams can only LOWER the shared count
+        assert out[pair] <= len(values)
