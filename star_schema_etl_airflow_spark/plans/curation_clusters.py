@@ -24,10 +24,25 @@ perceptual hash, a PNG/WAV is constructed whose dHash / energy
 fingerprint IS that value (difference-walk cells / amplitude-walk
 frames), and the operator runs the full encode → production decode →
 hash → banded-join pipeline from ``plans/image_dedup.py`` /
-``plans/audio_dedup.py``.  Distinct md5 hashes collide within the
-hamming thresholds with probability ~2⁻⁴⁸ per pair — and the oracle
-computes the identical hash values, so even a collision could not
-diverge the two engines.
+``plans/audio_dedup.py``.
+
+Identity-key collision bounds (r11 ADVICE — the widths differ by
+modality, so state them separately): the IMAGE asset key carries the
+full 60-bit ``md5_long`` into the 64-bit dHash — equality collisions
+at ~2⁻⁶⁰ per pair, immaterial at any corpus size.  The AUDIO asset
+key is truncated to 32 bits (``AUD_MASK``) because the audio
+pipeline's energy fingerprint IS 32 bits (``N_FRAMES-1``
+comparisons) — equality collisions at ~2⁻³² per pair, so by the
+birthday bound spurious cross-asset merges reach ~1 expected pair at
+≈ 2^16.5 ≈ 93k DISTINCT audio assets (n²/2³³ expected pairs).  At
+sf0.1 (≲6.5k assets) that is ~2⁻⁹ per run; at 100 TB corpus scale it
+is material, and the remedy is widening the audio fingerprint itself
+(``audio_dedup.N_FRAMES``/``BAND_BITS`` — e.g. 65 frames/16-bit
+bands gives 64 bits and restores ~2⁻⁶⁴), not a change to this
+operator: any identity key is exactly as wide as the perceptual hash
+the decode pipeline produces.  Either way the oracle computes the
+identical (truncated) hash values, so even a collision could not
+diverge the two engines — it would merge the same clusters on both.
 
 Pipeline: exact-text star edges ∪ shared-image star edges ∪
 shared-audio star edges (each modality: group by its identity hash,
@@ -110,7 +125,7 @@ from star_schema_etl_airflow_spark.plans.llm_dedup import (
 from star_schema_etl_airflow_spark.registry import QuerySpec, register
 
 GROUP = 16           # text-group bases per asset neighborhood
-AUD_MASK = (1 << 32) - 1
+AUD_MASK = (1 << 32) - 1   # audio fp width; birthday bound in docstring
 
 
 def _png_from_dhash(h: int) -> bytes:

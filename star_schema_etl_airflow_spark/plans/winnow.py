@@ -18,7 +18,10 @@ the identical ``ROWS BETWEEN CURRENT ROW AND W-1 FOLLOWING`` frame on
 both engines; only FULL windows select (``pos <= n_grams - W``, the
 paper's definition — docs shorter than W+K-1 tokens yield no
 fingerprints).  POS_BITS=20 bounds documents at 2^20 grams (~1M
-tokens); raise it for longer documents.
+tokens); an explicit guard in the key expression RAISES (with the
+offending doc_id) on any longer document rather than silently
+aliasing position bits into the gram hash — raise POS_BITS for
+longer documents.
 
 Overlap join scale shape: fingerprints are an inverted index keyed by
 gram hash; the pair join is per-gram-group quadratic, so grams seen in
@@ -75,10 +78,21 @@ def winnow_fingerprints(docs: DataFrame) -> DataFrame:
         .rowsBetween(0, WINNOW_W - 1)
     )
     whole = Window.partitionBy("doc_id")
+    # Positions beyond 2^POS_BITS would alias into the gram-hash bits of
+    # the packed key and corrupt selection identically on both engines —
+    # invisible to the oracle sweep (r11 ADVICE).  Guard in the key
+    # expression itself (not a separate asserted column, which column
+    # pruning could drop): any out-of-range position raises with the
+    # offending doc_id instead of silently mis-selecting.
+    guarded_key = F.when(
+        F.col("pos") >= F.lit(1 << POS_BITS),
+        F.raise_error(F.concat(
+            F.lit("winnow: document "), F.col("doc_id").cast("string"),
+            F.lit(f" exceeds 2^{POS_BITS} grams; raise POS_BITS "
+                  "for longer documents"))).cast("long"),
+    ).otherwise(F.col("g") * F.lit(1 << POS_BITS) + F.col("pos"))
     return (
-        pos.withColumn(
-            "key",
-            F.col("g") * F.lit(1 << POS_BITS) + F.col("pos"))
+        pos.withColumn("key", guarded_key)
         .withColumn("wmin", F.min("key").over(wframe))
         .withColumn("n", F.count(F.lit(1)).over(whole))
         .filter(F.col("pos") <= F.col("n") - WINNOW_W)  # full windows only

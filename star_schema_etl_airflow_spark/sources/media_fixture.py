@@ -25,6 +25,7 @@ collecting a payload to the driver.
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -32,9 +33,31 @@ from pyspark.sql import DataFrame, SparkSession
 DERIVED_ROOT = "/tmp/spark_graft_media"
 
 
+def _source_fingerprint(sf_dir: str) -> str:
+    """Cache key binding the derived table to its exact source.
+
+    Keyed on the *resolved* fixture path plus the documents.parquet
+    stat signature (size + mtime_ns of the file, or of every part file
+    when it is a directory).  Two fixture dirs that merely share a
+    basename get distinct keys, and regenerating a fixture in place
+    bumps the mtime and therefore the key — the stale derived table is
+    simply never addressed again (r11 ADVICE, medium)."""
+    docs = os.path.join(sf_dir, "documents.parquet")
+    parts = [os.path.realpath(sf_dir)]
+    if os.path.isdir(docs):
+        for name in sorted(os.listdir(docs)):
+            st = os.stat(os.path.join(docs, name))
+            parts.append(f"{name}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(docs):
+        st = os.stat(docs)
+        parts.append(f"{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.sha1("|".join(parts).encode()).hexdigest()[:12]
+
+
 def media_path(sf_dir: str) -> str:
+    base = os.path.basename(sf_dir.rstrip("/"))
     return os.path.join(
-        DERIVED_ROOT, os.path.basename(sf_dir.rstrip("/")), "media")
+        DERIVED_ROOT, f"{base}-{_source_fingerprint(sf_dir)}", "media")
 
 
 def _media_kernel(batches):
@@ -97,5 +120,23 @@ def materialize_media(spark: SparkSession, sf_dir: str) -> str:
 
 def load_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The binary media relation for a fixture scale (materializing it
-    on first use)."""
-    return spark.read.parquet(materialize_media(spark, sf_dir))
+    on first use).
+
+    Belt-and-braces behind the fingerprint key: validate cardinality
+    against the live documents table (parquet footer counts — no data
+    scan) and rebuild on mismatch, so even a cache entry corrupted by
+    an interrupted writer cannot silently serve a wrong doc set."""
+    from star_schema_etl_airflow_spark.sources.fixtures import load_table
+
+    path = materialize_media(spark, sf_dir)
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    if spark.read.parquet(path).count() != n_docs:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        path = materialize_media(spark, sf_dir)
+        if spark.read.parquet(path).count() != n_docs:
+            raise RuntimeError(
+                f"media fixture at {path} does not match documents "
+                f"cardinality ({n_docs}) even after rebuild")
+    return spark.read.parquet(path)

@@ -32,9 +32,10 @@ Replay vs late data (the two ways a run_date can arrive "old"):
   Dropping it silently loses inserts for brand-new keys forever.
 
 An effective-date high-water mark cannot tell these apart, so the fold
-keeps an explicit **applied-run_date ledger** — a sidecar JSON next to
-the dimension, written atomically (tmp + rename) right after each
-``write_swap``:
+keeps an explicit **applied-run_date ledger** — a JSON file INSIDE the
+dimension directory (underscore-prefixed, invisible to parquet
+readers), committed by the SAME rename as the dimension swap, so dim
+and ledger can never be observed out of step:
 
 - run_date in the ledger          → replay   → skip (logged at DEBUG).
 - run_date not in the ledger and >= every applied date → normal fold.
@@ -46,12 +47,14 @@ the dimension, written atomically (tmp + rename) right after each
   applying them would rewrite committed history, which is an operator
   decision (targeted backfill rebuild), not something to do silently.
 
-Crash between swap and ledger write re-delivers the date as a "replay
-the ledger doesn't know about"; it re-folds, which is idempotent for
-the dimension's newest date (identical delta → zero changes detected —
-pinned by ``tests/test_scd2_stream.py``).  A pre-ledger dimension
-(upgrade path) falls back to the old effective-date HWM semantics, now
-logged instead of silent.
+There is no swap/ledger crash window (they publish in one rename); the
+one remaining at-least-once edge is the dead-letter append itself,
+which commits before the swap — so the append is deduplicated on
+(run_date, key) against the existing dead letter, making a replayed
+late date a no-op there too (pinned by ``tests/test_scd2_stream.py``).
+A pre-ledger dimension (upgrade path: legacy sidecar ledger, or none —
+then the effective-date HWM heuristic) is read once and migrated into
+the in-dir layout at the next fold, logged instead of silent.
 """
 
 from __future__ import annotations
@@ -65,7 +68,6 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from star_schema_etl_airflow_spark.operators.scd2 import apply_scd2
-from star_schema_etl_airflow_spark.sources.io import write_swap
 
 log = logging.getLogger(__name__)
 
@@ -90,25 +92,51 @@ def empty_dim(
 
 
 def _ledger_path(dim_path: str) -> str:
+    # INSIDE the dimension directory (underscore-prefixed files are
+    # invisible to parquet readers) so the swap rename carries dim and
+    # ledger in ONE atomic step — no crash window between them (r11
+    # ADVICE: a swap-then-ledger gap made late-date replay spuriously
+    # dead-letter keys the crashed fold had already inserted)
+    return os.path.join(dim_path.rstrip("/"), "_applied_dates.json")
+
+
+def _legacy_ledger_path(dim_path: str) -> str:
     return dim_path.rstrip("/") + "__applied_dates.json"
 
 
 def _read_applied(dim_path: str) -> set[str]:
-    try:
-        with open(_ledger_path(dim_path)) as f:
-            return set(json.load(f))
-    except (OSError, ValueError):
-        return set()
+    for path in (_ledger_path(dim_path), _legacy_ledger_path(dim_path)):
+        try:
+            with open(path) as f:
+                return set(json.load(f))
+        except (OSError, ValueError):
+            continue
+    return set()
 
 
-def _write_applied(dim_path: str, applied: set[str]) -> None:
-    # atomic: a crash mid-write must not corrupt the ledger (a corrupt
-    # ledger reads as empty → worst case one idempotent re-fold)
-    path = _ledger_path(dim_path)
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
+def _swap_with_ledger(
+    dim: DataFrame, dim_path: str, applied: set[str]
+) -> None:
+    """``write_swap`` plus the applied-dates ledger, committed together:
+    parquet lands in the temp sibling, the ledger JSON is dropped inside
+    it, and the single rename publishes both — a crash leaves either the
+    old (dim, ledger) pair or the new one, never a mix."""
+    import shutil
+
+    path = dim_path.rstrip("/")
+    tmp = path + "__tmp_swap"
+    dim.write.mode("overwrite").parquet(tmp)
+    with open(os.path.join(tmp, "_applied_dates.json"), "w") as f:
         json.dump(sorted(applied), f)
-    os.replace(tmp, path)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.rename(tmp, path)
+    # legacy sidecar (pre-in-dir layout) must not shadow future reads
+    try:
+        os.remove(_legacy_ledger_path(dim_path))
+    except OSError:
+        pass
+    dim.sparkSession.catalog.refreshByPath(path)
 
 
 def run_scd2_stream(
@@ -187,9 +215,20 @@ def run_scd2_stream(
                 n_stale = stale_rows.count()
                 if n_stale:
                     dl = dim_path.rstrip("/") + "__dead_letter"
-                    stale_rows.withColumn(
-                        run_date_col, F.lit(ds)
-                    ).write.mode("append").parquet(dl)
+                    dl_rows = stale_rows.withColumn(
+                        run_date_col, F.lit(ds))
+                    # the append is at-least-once relative to the swap
+                    # (a crash between them replays the date) — dedupe
+                    # on (run_date, key) so replays cannot accumulate
+                    # duplicate dead-letter rows (r11 ADVICE)
+                    if os.path.isdir(dl):
+                        seen = (
+                            spark.read.parquet(dl)
+                            .filter(F.col(run_date_col) == ds)
+                            .select(key)
+                        )
+                        dl_rows = dl_rows.join(seen, key, "left_anti")
+                    dl_rows.write.mode("append").parquet(dl)
                     log.warning(
                         "scd2 stream %s: late run_date %s touches %d "
                         "already-versioned key rows — dead-lettered to "
@@ -201,8 +240,7 @@ def run_scd2_stream(
             newest = ds if newest is None or ds > newest else newest
             changed = True
         if changed:
-            write_swap(dim, dim_path)
-            _write_applied(dim_path, applied)
+            _swap_with_ledger(dim, dim_path, applied)
 
     q = (
         stream.writeStream.foreachBatch(fold_batch)
@@ -259,8 +297,7 @@ def rebuild_dimension(
         # lineage grows per day; truncate so the plan stays O(1)
         dim = apply_scd2(dim, day, key, tracked, str(d), sk_col) \
             .localCheckpoint()
-    write_swap(dim, dim_path)
-    _write_applied(dim_path, {str(d) for d in dates})
+    _swap_with_ledger(dim, dim_path, {str(d) for d in dates})
     shutil.rmtree(dim_path.rstrip("/") + "__dead_letter",
                   ignore_errors=True)
     log.info("scd2 rebuild of %s: %d run_dates re-folded from %s",

@@ -63,3 +63,46 @@ def test_materialization_is_idempotent(spark):
     again = materialize_media(spark, SF_DIR)
     assert again == path
     assert os.path.getmtime(path) == mtime, "second call rewrote the table"
+
+
+def test_cache_key_binds_to_source_not_basename(tmp_path, spark):
+    """r11 ADVICE (medium): two fixture dirs sharing a basename must not
+    collide, and regenerating documents.parquet in place must produce a
+    fresh cache key (the stale derived table is never addressed)."""
+    import shutil
+
+    from star_schema_etl_airflow_spark.sources.media_fixture import (
+        media_path,
+    )
+
+    a = tmp_path / "a" / "sfX"
+    b = tmp_path / "b" / "sfX"
+    for d in (a, b):
+        d.mkdir(parents=True)
+        shutil.copy(
+            os.path.join(SF_DIR, "documents.parquet"),
+            d / "documents.parquet")
+    pa, pb = media_path(str(a)), media_path(str(b))
+    assert pa != pb, "same-basename fixtures collided in the media cache"
+
+    # regenerate in place: bump mtime -> new key
+    os.utime(a / "documents.parquet")
+    assert media_path(str(a)) != pa, "in-place regeneration reused stale key"
+
+
+def test_load_media_rebuilds_on_cardinality_mismatch(tmp_path, spark):
+    """A cache entry whose row count disagrees with the live documents
+    table (e.g. an interrupted writer) is torn down and rebuilt."""
+    path = materialize_media(spark, SF_DIR)
+    n = spark.read.parquet(path).count()
+    # corrupt: replace with a 1-row table at the same path
+    import shutil
+
+    one = spark.read.parquet(path).limit(1)
+    tmp = str(tmp_path / "one")
+    one.write.parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    assert spark.read.parquet(path).count() == 1
+    media = load_media(spark, SF_DIR)
+    assert media.count() == n, "load_media served the corrupted cache"

@@ -134,6 +134,85 @@ def test_late_arriving_date_inserts_new_keys_dead_letters_rest(
     assert rows[0]["run_date"] == "2024-01-02"
 
 
+def test_dead_letter_replay_does_not_duplicate(spark, tmp_path):
+    """r11 ADVICE: the dead-letter append commits BEFORE the swap, so a
+    crash between them replays the late date with its stale rows already
+    dead-lettered.  The replay must dedupe on (run_date, key) — the dead
+    letter holds exactly one copy — and still fold the fresh keys."""
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    _stage_delta(spark, tmp_path, landing, "2024-01-01",
+                 [(1, "a@x.com", "nyc")], 0)
+    _stage_delta(spark, tmp_path, landing, "2024-01-03",
+                 [(1, "a@y.com", "nyc")], 1)
+    dim_path = str(tmp_path / "dim")
+    run_scd2_stream(spark, landing, dim_path, SRC_SCHEMA,
+                    key="customer_id", tracked=TRACKED)
+
+    # the "crashed run": its dead-letter append for the late 01-02 date
+    # landed, but the swap (and therefore the ledger) did not
+    dl = dim_path + "__dead_letter"
+    spark.createDataFrame(
+        [(1, "STALE@x.com", "nyc", "2024-01-02")], SRC_SCHEMA
+    ).write.mode("append").parquet(dl)
+
+    # restart delivers the late file; its stale row is already in the DL
+    _stage_delta(spark, tmp_path, landing, "2024-01-02",
+                 [(9, "z@x.com", "akl"), (1, "STALE@x.com", "nyc")], 2)
+    dim = run_scd2_stream(spark, landing, dim_path, SRC_SCHEMA,
+                          key="customer_id", tracked=TRACKED)
+
+    rows = spark.read.parquet(dl).collect()
+    assert len(rows) == 1, "replayed late date duplicated dead-letter rows"
+    assert rows[0]["customer_id"] == 1
+    assert rows[0]["run_date"] == "2024-01-02"
+    # and the fresh key still folded in
+    nine = dim.filter("customer_id = 9").collect()
+    assert len(nine) == 1 and str(nine[0]["effective_date"]) == "2024-01-02"
+
+
+def test_ledger_swaps_atomically_and_legacy_sidecar_migrates(
+    spark, tmp_path
+):
+    """The applied-dates ledger lives INSIDE the dimension directory
+    (one rename publishes both — no swap/ledger crash window), is
+    invisible to parquet readers, and a legacy sidecar ledger is read
+    once and migrated on the next fold."""
+    import json
+    import shutil
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    _stage_delta(spark, tmp_path, landing, "2024-01-01",
+                 [(1, "a@x.com", "nyc")], 0)
+    dim_path = str(tmp_path / "dim")
+    run_scd2_stream(spark, landing, dim_path, SRC_SCHEMA,
+                    key="customer_id", tracked=TRACKED)
+    in_dir = os.path.join(dim_path, "_applied_dates.json")
+    sidecar = dim_path + "__applied_dates.json"
+    assert os.path.exists(in_dir)
+    assert not os.path.exists(sidecar)
+    with open(in_dir) as f:
+        assert json.load(f) == ["2024-01-01"]
+    # the underscore file is invisible to the parquet reader
+    assert spark.read.parquet(dim_path).count() == 1
+
+    # simulate the pre-in-dir layout: ledger as sidecar only
+    shutil.move(in_dir, sidecar)
+    spark.catalog.refreshByPath(dim_path)
+    _stage_delta(spark, tmp_path, landing, "2024-01-02",
+                 [(1, "a@x.com", "sf")], 1)
+    # wipe the checkpoint: both files re-deliver; 01-01 must be skipped
+    # on the strength of the LEGACY ledger alone
+    shutil.rmtree(dim_path + "__ckpt", ignore_errors=True)
+    dim = run_scd2_stream(spark, landing, dim_path, SRC_SCHEMA,
+                          key="customer_id", tracked=TRACKED)
+    assert dim.count() == 2  # one fold of each day, no double-apply
+    with open(os.path.join(dim_path, "_applied_dates.json")) as f:
+        assert json.load(f) == ["2024-01-01", "2024-01-02"]
+    assert not os.path.exists(sidecar), "legacy sidecar not migrated"
+
+
 def test_drain_timeout_raises_not_partial_silence(spark, tmp_path):
     """Verdict r10 task 3: a drain that exceeds the bound must RAISE —
     returning normally with the landing dir partially folded was the

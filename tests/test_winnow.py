@@ -85,6 +85,20 @@ def test_paper_guarantee_shared_long_substring_shares_a_fingerprint(
         assert shared, f"pair {j} shares no fingerprint value"
 
 
+def test_position_overflow_raises_instead_of_aliasing(spark):
+    """A document with more than 2^POS_BITS grams must trip the guard
+    (r11 ADVICE): silent aliasing of position bits into the gram hash
+    would corrupt selection identically on both engines, invisible to
+    the oracle sweep."""
+    import pytest
+
+    n_toks = (1 << POS_BITS) + WINNOW_K  # n_grams = 2^POS_BITS + 1
+    text = " ".join(["t"] * n_toks)
+    df = spark.createDataFrame([(1, text)], "doc_id LONG, text STRING")
+    with pytest.raises(Exception, match=r"exceeds 2\^20 grams"):
+        winnow_fingerprints(df).collect()
+
+
 def test_overlap_contains_every_exact_copy_pair(spark):
     """Exact copies (doc d and d + EXACT_DUP_OFFSET in the amplified
     corpus) have identical fingerprint VALUE sets, so every such pair
