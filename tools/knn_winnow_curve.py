@@ -1,0 +1,186 @@
+#!/usr/bin/env python
+"""×4→×32 scale cells for the two round-11 candidate-join operators
+(r11 verdict task 1): ``doc_winnow_overlap`` and ``image_knn_dhash``.
+
+Both are candidate-GENERATING joins — exactly the operator class whose
+hidden quadratic constants the deep curve exposed in r10 (PPJoin
+fan-out) and r11 (banded identity edges):
+
+- winnow overlap's per-gram groups are DF_CAP-bounded, but the bound's
+  COST curve (grams kept × group width) was unmeasured;
+- k-NN's banded candidate buckets hold every doc sharing a 16-bit band
+  with a query — their growth must be verified sub-quadratic, because
+  on a corpus whose hash DIVERSITY does not grow with its size (the
+  fixture: 41 motifs → ~82 distinct hashes at every factor) bucket
+  population is Θ(N) and candidate pairs Θ(N²).
+
+Uses the shared docs-only deep corpora (``/tmp/scale_curve/deep_x{f}``,
+disjoint per-copy vocabularies — winnow gram sets stay per-copy, so
+its candidate growth is honest; the image hashes REPEAT across copies
+because base = doc_id % 41, which is the adversarial-but-real skew
+case: popular perceptual hashes exist in every crawl).
+
+Also prints the candidate-count axis for both operators, because the
+wall-clock exponent alone can hide a quadratic under a small constant
+(the r11 closure lesson).
+
+Usage: python tools/knn_winnow_curve.py >> SCALE_CURVE.md
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+WORK = "/tmp/scale_curve"
+FACTORS = [4, 8, 16, 32]
+
+
+def pyloop() -> float:
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(10_000_000):
+        x += i * i
+    return round(time.perf_counter() - t0, 3)
+
+
+def main() -> None:
+    from incremental_curve import build_docs_only
+
+    from star_schema_etl_airflow_spark import registry
+    from star_schema_etl_airflow_spark.session import get_spark
+
+    spark = get_spark("knn-winnow-curve")
+    spark.sparkContext.setLogLevel("ERROR")
+    cal = [pyloop()]
+
+    def materialize(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    qmap = registry.queries()
+    names = ["doc_winnow_overlap", "image_knn_dhash"]
+    dirs = {f: build_docs_only(spark, f) for f in FACTORS}
+
+    # pre-materialize the binary media fixtures OUTSIDE the timed cells
+    # (one-time per corpus; the operators' own runs decode the blobs)
+    from star_schema_etl_airflow_spark.sources.media_fixture import (
+        materialize_media,
+    )
+    for f in FACTORS:
+        materialize_media(spark, dirs[f])
+
+    for name in names:  # JIT warmup at the smallest factor
+        materialize(qmap[name](spark, dirs[4]))
+
+    times: dict[str, dict[int, float]] = {}
+    cands: dict[str, dict[int, int]] = {}
+    for f in FACTORS:
+        trials = 2 if f <= 8 else 1
+        for name in names:
+            spark.catalog.clearCache()
+            best = None
+            for _ in range(trials):
+                t0 = time.perf_counter()
+                materialize(qmap[name](spark, dirs[f]))
+                dt = time.perf_counter() - t0
+                best = dt if best is None or dt < best else best
+            times.setdefault(name, {})[f] = round(best, 3)
+            print(f"  x{f} {name}: {best:.3f}s", file=sys.stderr)
+        # candidate axes (computed once per factor, untimed)
+        spark.catalog.clearCache()
+        cands.setdefault("winnow_capped_pairs", {})[f] = \
+            _winnow_pairs(spark, dirs[f])
+        cands.setdefault("knn_candidates", {})[f] = \
+            _knn_candidates(spark, dirs[f])
+        print(f"  x{f} candidates: winnow="
+              f"{cands['winnow_capped_pairs'][f]} "
+              f"knn={cands['knn_candidates'][f]}", file=sys.stderr)
+        cal.append(pyloop())
+
+    lo, hi = FACTORS[0], FACTORS[-1]
+    print()
+    print("## Candidate-join curves: winnow overlap + hamming k-NN "
+          "(round 12)")
+    print()
+    print(f"Host pyloop stamps around the cells: {cal}.")
+    print()
+    header = "| operator | " + " | ".join(f"×{f}" for f in FACTORS) \
+        + f" | exponent ×{lo}→×{hi} |"
+    print(header)
+    print("|---|" + "---|" * (len(FACTORS) + 1))
+    for name in names:
+        row = times[name]
+        ex = math.log(row[hi] / row[lo]) / math.log(hi / lo)
+        cells = " | ".join(f"{row[f]:.2f}s" for f in FACTORS)
+        print(f"| {name} | {cells} | {ex:.2f} |")
+    for name, row in cands.items():
+        ex = math.log(max(row[hi], 1) / max(row[lo], 1)) \
+            / math.log(hi / lo)
+        cells = " | ".join(f"{row[f]}" for f in FACTORS)
+        print(f"| {name} (count) | {cells} | {ex:.2f} |")
+
+
+def _winnow_pairs(spark, sf_dir: str) -> int:
+    """The overlap join's input width: Σ over kept (DF-capped) grams of
+    C(df, 2) — the exact pair count the per-gram self-join produces."""
+    from pyspark.sql import functions as F
+
+    from star_schema_etl_airflow_spark.functions.caching import (
+        persist_once,
+    )
+    from star_schema_etl_airflow_spark.plans.llm_dedup import build_corpus
+    from star_schema_etl_airflow_spark.plans.winnow import (
+        DF_CAP,
+        winnow_fingerprints,
+    )
+
+    fps = persist_once(
+        winnow_fingerprints(build_corpus(spark, sf_dir))
+        .select("doc_id", "g").distinct())
+    row = (
+        fps.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= DF_CAP)
+        .agg(F.sum(F.expr("df * (df - 1) / 2")).alias("pairs"))
+        .collect()[0]
+    )
+    return int(row["pairs"] or 0)
+
+
+def _knn_candidates(spark, sf_dir: str) -> int:
+    """The k-NN re-rank's input width: distinct (query, doc) pairs
+    sharing ≥ 1 band."""
+    from pyspark.sql import functions as F
+
+    from star_schema_etl_airflow_spark.plans.image_dedup import (
+        DHASH_BANDS,
+        KNN_QUERY_MOD,
+        dhash_of,
+    )
+    from star_schema_etl_airflow_spark.sources.media_fixture import (
+        load_media,
+    )
+
+    hashed = dhash_of(load_media(spark, sf_dir).select("doc_id", "png"))
+    band_pairs = ", ".join(f"{k}, b{k}" for k in range(DHASH_BANDS))
+    buckets = hashed.select(
+        "doc_id",
+        F.expr(f"stack({DHASH_BANDS}, {band_pairs}) "
+               "as (band_idx, band_key)"),
+    )
+    q = buckets.filter(F.col("doc_id") % KNN_QUERY_MOD == 0).select(
+        F.col("doc_id").alias("query_id"), "band_idx", "band_key")
+    return (
+        q.join(buckets, ["band_idx", "band_key"])
+        .filter(F.col("query_id") != F.col("doc_id"))
+        .select("query_id", "doc_id").distinct().count()
+    )
+
+
+if __name__ == "__main__":
+    main()
