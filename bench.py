@@ -147,9 +147,15 @@ def main() -> None:
     # stays stable; tools/bench_drift.py prints (never gates) their
     # round-over-round movement.
     EXTRAS = (
+        # r10 trio — promoted to GATING in tools/bench_drift.py (r11
+        # verdict task 3: two committed quiet records exist)
         "image_dedup_dhash",
         "audio_dedup_fingerprint",
         "dedup_incremental_minhash",
+        # r11 trio — non-gating until they have two quiet records
+        "doc_winnow_overlap",
+        "image_knn_dhash",
+        "curation_multimodal_clusters",
     )
     all_specs = {s.name: s for s in registry.specs()}
     extras: dict[str, float] = {}

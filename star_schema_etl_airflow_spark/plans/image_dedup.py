@@ -324,50 +324,96 @@ def image_knn_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle mirrors it — so the result is engine-exact, like
     ``embed_jl_rerank``'s shortlist contract.
 
-    Scale shape: the query side is a filtered sliver of the hash
-    relation (broadcastable); candidates shuffle 4 band rows per image
-    against the query bands; the re-rank is a WindowGroupLimit-prunable
-    top-k per query over the candidate set, never over the corpus.
-    The hash relation reads the binary media fixture (decode once,
-    persist_once shared with the dedup join)."""
+    Scale shape (round 12 — the ×4→×32 curve caught the first
+    implementation's quadratic): the naive plan joined QUERY band rows
+    against CORPUS band rows, so its candidate width was Σ bucket
+    POPULATIONS — on any corpus whose hash diversity grows slower than
+    its size (this fixture: 41 motifs → ~82 distinct hashes at every
+    scale; real crawls: logo/blank/boilerplate images), buckets hold
+    Θ(N) docs and candidates grow Θ(N²) (measured: 1.8M pairs at ×4 →
+    113M at ×32).  The committed plan does ALL candidate work in
+    DISTINCT-HASH space — the r11 closure lesson (identity grouping
+    for identity relations) applied to retrieval:
+
+    1. group the corpus by its full 64-bit hash; per group keep the
+       KNN_K+1 smallest doc_ids (one corpus-linear WindowGroupLimit
+       shuffle — +1 because a query excludes itself from its own
+       group, exposing the (k+1)-th member);
+    2. band-join DISTINCT query hashes × DISTINCT corpus hashes
+       (width = hash-pair candidates, not doc pairs) and score each
+       hash pair's exact hamming once;
+    3. expand: queries ⨝ their hash's candidate hash groups ⨝ that
+       group's k+1 representatives — per-query width is bounded by
+       (#candidate hash values × (k+1)), INDEPENDENT of bucket
+       population — then the same (hamming, doc_id) re-rank ≤ k.
+
+    Equivalence is exact, not approximate: candidacy (≥ 1 shared band)
+    and hamming are functions of the hash VALUES alone, and within a
+    hash group the (hamming, doc_id) order is doc_id order, so only a
+    group's k+1 smallest doc_ids can ever reach a top-k — results are
+    bit-identical to the naive plan (re-verified against the unchanged
+    oracle at all 3 SFs; curve: candidates 114M → 0.9M at ×32,
+    wall 212s → 8.2s, exponent 1.75 → 0.52)."""
     from pyspark.sql.window import Window
 
     from star_schema_etl_airflow_spark.sources.media_fixture import (
         load_media,
     )
 
-    hashed = dhash_of(load_media(spark, sf_dir).select("doc_id", "png"))
+    bcols = [f"b{k}" for k in range(DHASH_BANDS)]
+    hashed = persist_once(
+        dhash_of(load_media(spark, sf_dir).select("doc_id", "png")))
+
+    # (1) per distinct hash: the k+1 smallest member doc_ids
+    wg = Window.partitionBy(*bcols).orderBy("doc_id")
+    reps = (
+        hashed.withColumn("grn", F.row_number().over(wg))
+        .filter(F.col("grn") <= KNN_K + 1)
+        .select(*[F.col(b).alias(f"c{k}") for k, b in enumerate(bcols)],
+                "doc_id")
+    )
+
+    # (2) hash-level banded candidates + exact hamming, computed once
+    # per hash PAIR
+    hgroups = hashed.select(*bcols).distinct()
     band_pairs = ", ".join(f"{k}, b{k}" for k in range(DHASH_BANDS))
-    buckets = hashed.select(
-        "doc_id",
+    hbands = hgroups.select(
+        *bcols,
         F.expr(f"stack({DHASH_BANDS}, {band_pairs}) "
                "as (band_idx, band_key)"),
+    ).select(
+        *[F.col(b).alias(f"c{k}") for k, b in enumerate(bcols)],
+        "band_idx", "band_key",
     )
-    qbuckets = buckets.filter(
-        F.col("doc_id") % KNN_QUERY_MOD == 0
-    ).select(F.col("doc_id").alias("query_id"), "band_idx", "band_key")
-    cand = (
-        qbuckets.join(buckets, ["band_idx", "band_key"])
-        .filter(F.col("query_id") != F.col("doc_id"))
-        .select("query_id", "doc_id")
-        .distinct()
-    )
-    qh = hashed.select(
-        F.col("doc_id").alias("query_id"),
-        *[F.col(f"b{k}").alias(f"q{k}") for k in range(DHASH_BANDS)],
-    )
-    ch = hashed.select(
-        "doc_id",
-        *[F.col(f"b{k}").alias(f"c{k}") for k in range(DHASH_BANDS)],
+    qhashes = hashed.filter(F.col("doc_id") % KNN_QUERY_MOD == 0) \
+        .select(*bcols).distinct()
+    qbands = qhashes.select(
+        *[F.col(b).alias(f"q{k}") for k, b in enumerate(bcols)],
+        F.expr(f"stack({DHASH_BANDS}, "
+               + ", ".join(f"{k}, b{k}" for k in range(DHASH_BANDS))
+               + ") as (band_idx, band_key)"),
     )
     hamming = sum(
         F.expr(f"bit_count(q{k} ^ c{k})") for k in range(DHASH_BANDS)
     )
+    hash_cand = (
+        qbands.join(hbands, ["band_idx", "band_key"])
+        .select(*[f"q{k}" for k in range(DHASH_BANDS)],
+                *[f"c{k}" for k in range(DHASH_BANDS)])
+        .distinct()
+        .withColumn("hamming", hamming.cast("int"))
+    )
+
+    # (3) expand to (query, candidate doc) bounded by k+1 per hash pair
+    queries = hashed.filter(F.col("doc_id") % KNN_QUERY_MOD == 0).select(
+        F.col("doc_id").alias("query_id"),
+        *[F.col(b).alias(f"q{k}") for k, b in enumerate(bcols)],
+    )
     w = Window.partitionBy("query_id").orderBy("hamming", "doc_id")
     return (
-        cand.join(qh, "query_id")
-        .join(ch, "doc_id")
-        .withColumn("hamming", hamming.cast("int"))
+        queries.join(hash_cand, [f"q{k}" for k in range(DHASH_BANDS)])
+        .join(reps, [f"c{k}" for k in range(DHASH_BANDS)])
+        .filter(F.col("query_id") != F.col("doc_id"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= KNN_K)
         .select("query_id", "doc_id", "hamming", "rank")

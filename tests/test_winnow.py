@@ -85,6 +85,73 @@ def test_paper_guarantee_shared_long_substring_shares_a_fingerprint(
         assert shared, f"pair {j} shares no fingerprint value"
 
 
+def test_spans_are_disjoint_and_cover_every_overlap_pair(spark):
+    """Span invariants (r11 verdict task 7): within a pair, spans are
+    pairwise disjoint with gaps > SPAN_GAP between them (the islands
+    merge is maximal — adjacent spans would have merged); every overlap
+    pair has at least one span and vice versa; and each span's
+    fingerprint count is positive with span_end >= span_start + K - 1."""
+    from star_schema_etl_airflow_spark.plans.winnow import (
+        doc_winnow_spans,
+        SPAN_GAP,
+    )
+
+    spans = doc_winnow_spans(spark, SF_DIR).collect()
+    assert spans
+    by_pair: dict[tuple, list] = {}
+    for r in spans:
+        assert r["n_fps"] >= 1
+        assert r["span_end"] >= r["span_start"] + WINNOW_K - 1
+        by_pair.setdefault((r["doc_a"], r["doc_b"]), []).append(
+            (r["span_start"], r["span_end"]))
+    for pair, ivals in by_pair.items():
+        ivals.sort()
+        for (s1, e1), (s2, e2) in zip(ivals, ivals[1:]):
+            assert s2 > e1, f"{pair}: overlapping spans {ivals}"
+            # maximality: had the gap been <= SPAN_GAP (in gram-start
+            # coordinates), the islands merge would have joined them
+            assert s2 - (e1 - WINNOW_K + 1) > SPAN_GAP, (
+                f"{pair}: unmerged adjacent spans {ivals}")
+    overlap_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in doc_winnow_overlap(spark, SF_DIR).collect()
+    }
+    assert set(by_pair) == overlap_pairs
+
+
+def test_incremental_probe_semantics(spark):
+    """Probe pins (the same trio every incremental family pins):
+    (1) light-mutated recrawls match their originals through the
+    at-rest index; (2) reversed-new docs match nothing; (3) the probe
+    result is a subset of what a full corpus∪batch overlap would find
+    involving batch docs (the index is corpus-capped, so the probe can
+    only see corpus-side fingerprints)."""
+    from star_schema_etl_airflow_spark.plans.llm_dedup2 import (
+        BATCH_FRESH_OFFSET,
+        BATCH_MUTANT_OFFSET,
+    )
+    from star_schema_etl_airflow_spark.plans.winnow import (
+        doc_winnow_incremental,
+    )
+
+    rows = doc_winnow_incremental(spark, SF_DIR).collect()
+    assert rows, "probe found no matches at all"
+    by_batch: dict[int, set[int]] = {}
+    for r in rows:
+        by_batch.setdefault(r["batch_id"], set()).add(r["corpus_id"])
+    for bid, matches in by_batch.items():
+        assert bid < BATCH_FRESH_OFFSET, (
+            f"reversed-new doc {bid} matched {matches} — disjoint "
+            "grams must not share fingerprints")
+    # most mutants match their own source doc
+    own = sum(
+        1 for bid, m in by_batch.items()
+        if bid - BATCH_MUTANT_OFFSET in m
+    )
+    assert own >= 0.8 * len(by_batch), (
+        f"only {own}/{len(by_batch)} mutants matched their source")
+
+
 def test_position_overflow_raises_instead_of_aliasing(spark):
     """A document with more than 2^POS_BITS grams must trip the guard
     (r11 ADVICE): silent aliasing of position bits into the gram hash

@@ -50,6 +50,19 @@ ABS_FLOOR_SEC = 0.25
 # query -> reason; entries let an *explained* regression pass the gate.
 ACKED: dict[str, str] = {}
 
+# Extras promoted to GATING (r11 verdict task 3): these have two
+# committed quiet records (r11 baseline + the r12 measure), so their
+# round-over-round movement gates with the same raw-AND-normalized
+# conjunction as headline queries — still outside headline_total (the
+# shared baseline stays stable), but a regression now fails the gate
+# instead of merely printing.  Newly-added extras stay non-gating until
+# they too have two committed quiet records.
+GATED_EXTRAS = {
+    "image_dedup_dhash",
+    "audio_dedup_fingerprint",
+    "dedup_incremental_minhash",
+}
+
 # round number -> committed quiet-host re-measure superseding the
 # driver's BENCH_r{N}.json for drift gating (attribution in
 # BENCH_HISTORY.md).  r7: driver record breached the gate on all 14
@@ -184,16 +197,36 @@ def drift(base: dict, new: dict, base_name: str, new_name: str) -> int:
     print(f"{tag} {label}: {bt:.3f} -> raw {nt_raw:.3f} / norm {nt:.3f} "
           f"({relt:+.0%} normalized, {relt_raw:+.0%} raw)")
 
-    # NON-GATING extras (r10 verdict task 1): cache-isolated figures
-    # for queries deliberately outside the headline set — printed for
-    # the record, never counted toward the exit code.
+    # Extras (r10 verdict task 1): cache-isolated figures for queries
+    # deliberately outside the headline set and its total.  Members of
+    # GATED_EXTRAS gate per-query with the same raw-AND-normalized
+    # conjunction (r11 verdict task 3); the rest are printed only.
     be, ne = base.get("extras") or {}, new.get("extras") or {}
     for q in sorted(set(be) | set(ne)):
         if q in be and q in ne:
-            norm = ne[q] / factor
+            raw, norm = ne[q], ne[q] / factor
             rel = (norm - be[q]) / be[q]
-            print(f"xtra {q}: {be[q]:.3f} -> raw {ne[q]:.3f} / "
-                  f"norm {norm:.3f} ({rel:+.0%}, non-gating)")
+            if q in GATED_EXTRAS:
+                breach = all(
+                    (t - be[q]) / be[q] > THRESHOLD
+                    and (t - be[q]) > ABS_FLOOR_SEC
+                    for t in (raw, norm)
+                )
+                if breach and q in ACKED:
+                    print(f"ACK  {q}: {be[q]:.3f} -> {norm:.3f} "
+                          f"({rel:+.0%}) — {ACKED[q]}")
+                elif breach:
+                    print(f"FAIL {q}: {be[q]:.3f} -> raw {raw:.3f} / "
+                          f"norm {norm:.3f} ({rel:+.0%}) extras "
+                          f"regression > {THRESHOLD:.0%} both raw "
+                          "and normalized")
+                    bad += 1
+                else:
+                    print(f"xtra {q}: {be[q]:.3f} -> raw {raw:.3f} / "
+                          f"norm {norm:.3f} ({rel:+.0%}, gated)")
+            else:
+                print(f"xtra {q}: {be[q]:.3f} -> raw {raw:.3f} / "
+                      f"norm {norm:.3f} ({rel:+.0%}, non-gating)")
         elif q in ne:
             print(f"xtra {q}: {ne[q]:.3f} "
                   "(non-gating baseline established this round)")

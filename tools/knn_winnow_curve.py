@@ -81,11 +81,20 @@ def main() -> None:
     times: dict[str, dict[int, float]] = {}
     cands: dict[str, dict[int, int]] = {}
     for f in FACTORS:
-        trials = 2 if f <= 8 else 1
+        # COLD cells, min-of-3 (clearCache before EVERY trial): both
+        # operators persist their expensive linear stage (winnow's
+        # fingerprint selection, k-NN's blob decode+hash), so a
+        # warm-riding best-of-N measures only the residual join — flat
+        # at every factor and blind to the corpus axis (measured: warm
+        # winnow 2.1-2.3s at ×8/×16/×32 alike).  A cold cell pays the
+        # operator's full pipeline, which is the per-batch cost a real
+        # deployment pays; cold-to-cold host jitter is the noise the
+        # min-of-3 beats.
+        trials = 3
         for name in names:
-            spark.catalog.clearCache()
             best = None
             for _ in range(trials):
+                spark.catalog.clearCache()
                 t0 = time.perf_counter()
                 materialize(qmap[name](spark, dirs[f]))
                 dt = time.perf_counter() - t0
@@ -96,11 +105,15 @@ def main() -> None:
         spark.catalog.clearCache()
         cands.setdefault("winnow_capped_pairs", {})[f] = \
             _winnow_pairs(spark, dirs[f])
-        cands.setdefault("knn_candidates", {})[f] = \
+        cands.setdefault("knn_bucket_pairs_naive", {})[f] = \
             _knn_candidates(spark, dirs[f])
+        cands.setdefault("knn_expanded_rows_committed", {})[f] = \
+            _knn_expanded(spark, dirs[f])
         print(f"  x{f} candidates: winnow="
               f"{cands['winnow_capped_pairs'][f]} "
-              f"knn={cands['knn_candidates'][f]}", file=sys.stderr)
+              f"knn_naive={cands['knn_bucket_pairs_naive'][f]} "
+              f"knn_committed={cands['knn_expanded_rows_committed'][f]}",
+              file=sys.stderr)
         cal.append(pyloop())
 
     lo, hi = FACTORS[0], FACTORS[-1]
@@ -152,9 +165,70 @@ def _winnow_pairs(spark, sf_dir: str) -> int:
     return int(row["pairs"] or 0)
 
 
+def _knn_expanded(spark, sf_dir: str) -> int:
+    """The COMMITTED plan's re-rank input width: queries ⨝ candidate
+    hash pairs ⨝ per-hash (k+1) representatives, after self-exclusion —
+    bounded per query by #candidate-hash-values × (k+1), independent of
+    bucket population."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from star_schema_etl_airflow_spark.plans.image_dedup import (
+        DHASH_BANDS,
+        KNN_K,
+        KNN_QUERY_MOD,
+        dhash_of,
+    )
+    from star_schema_etl_airflow_spark.sources.media_fixture import (
+        load_media,
+    )
+
+    bcols = [f"b{k}" for k in range(DHASH_BANDS)]
+    hashed = dhash_of(load_media(spark, sf_dir).select("doc_id", "png"))
+    wg = Window.partitionBy(*bcols).orderBy("doc_id")
+    reps = (
+        hashed.withColumn("grn", F.row_number().over(wg))
+        .filter(F.col("grn") <= KNN_K + 1)
+        .select(*[F.col(b).alias(f"c{k}") for k, b in enumerate(bcols)],
+                "doc_id")
+    )
+    hgroups = hashed.select(*bcols).distinct()
+    band_pairs = ", ".join(f"{k}, b{k}" for k in range(DHASH_BANDS))
+    hbands = hgroups.select(
+        *bcols,
+        F.expr(f"stack({DHASH_BANDS}, {band_pairs}) "
+               "as (band_idx, band_key)"),
+    ).select(*[F.col(b).alias(f"c{k}") for k, b in enumerate(bcols)],
+             "band_idx", "band_key")
+    qhashes = hashed.filter(F.col("doc_id") % KNN_QUERY_MOD == 0) \
+        .select(*bcols).distinct()
+    qbands = qhashes.select(
+        *[F.col(b).alias(f"q{k}") for k, b in enumerate(bcols)],
+        F.expr(f"stack({DHASH_BANDS}, {band_pairs}) "
+               "as (band_idx, band_key)"),
+    )
+    hash_cand = (
+        qbands.join(hbands, ["band_idx", "band_key"])
+        .select(*[f"q{k}" for k in range(DHASH_BANDS)],
+                *[f"c{k}" for k in range(DHASH_BANDS)])
+        .distinct()
+    )
+    queries = hashed.filter(F.col("doc_id") % KNN_QUERY_MOD == 0).select(
+        F.col("doc_id").alias("query_id"),
+        *[F.col(b).alias(f"q{k}") for k, b in enumerate(bcols)],
+    )
+    return (
+        queries.join(hash_cand, [f"q{k}" for k in range(DHASH_BANDS)])
+        .join(reps, [f"c{k}" for k in range(DHASH_BANDS)])
+        .filter(F.col("query_id") != F.col("doc_id"))
+        .count()
+    )
+
+
 def _knn_candidates(spark, sf_dir: str) -> int:
-    """The k-NN re-rank's input width: distinct (query, doc) pairs
-    sharing ≥ 1 band."""
+    """The NAIVE plan's re-rank input width: distinct (query, doc)
+    pairs sharing ≥ 1 band — Σ bucket populations, Θ(N²) on a corpus
+    whose hash diversity does not grow with its size."""
     from pyspark.sql import functions as F
 
     from star_schema_etl_airflow_spark.plans.image_dedup import (
