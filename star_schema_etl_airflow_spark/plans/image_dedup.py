@@ -352,8 +352,9 @@ def image_knn_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash group the (hamming, doc_id) order is doc_id order, so only a
     group's k+1 smallest doc_ids can ever reach a top-k — results are
     bit-identical to the naive plan (re-verified against the unchanged
-    oracle at all 3 SFs; curve: candidates 114M → 0.9M at ×32,
-    wall 212s → 8.2s, exponent 1.75 → 0.52)."""
+    oracle at all 3 SFs; curve: re-rank input 112.5M → 335k rows at
+    ×32 with count exponent 2.00 → 1.00, cold wall 36.3s → 2.4s,
+    wall exponent 1.44 → 0.03 — SCALE_CURVE.md round 12)."""
     from pyspark.sql.window import Window
 
     from star_schema_etl_airflow_spark.sources.media_fixture import (

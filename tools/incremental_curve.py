@@ -161,6 +161,17 @@ def main() -> None:
         n = idx.count()
         return idx, n
 
+    def build_winnow_index(corpus):
+        """The winnow probe's at-rest artifact: the DF-capped
+        fingerprint inverted index, pre-partitioned on its probe key."""
+        from star_schema_etl_airflow_spark.plans.winnow import (
+            winnow_capped_index,
+        )
+
+        idx = winnow_capped_index(corpus).repartition(nshuf, "g").persist()
+        n = idx.count()
+        return idx, n
+
     def timed_build(build_fn, corpus, trials: int = 2):
         """Best-of-N index build (single-shot build times on this host
         carry multi-second stalls — same jitter bench.py documents)."""
@@ -195,25 +206,33 @@ def main() -> None:
     # ~1.1s (fixed stage latency dominates — the same overhead regime
     # the deep curve documents), so the committed cells span the
     # work-dominated range 4.9k→39k docs.
+    from star_schema_etl_airflow_spark.plans.winnow import (
+        winnow_batch_probe,
+    )
+
     fixed = docs_of(8).persist()
     fixed.count()
     ms = [16, 8, 4, 2]
     rows_a = []
     csig, _, _ = timed_build(build_minhash_index, fixed)
     gidx, _, _ = timed_build(build_gram_index, fixed)
+    widx, _, _ = timed_build(build_winnow_index, fixed)
     # JIT/codegen warmup on the smallest delta
     materialize(minhash_batch_probe(make_delta(fixed, ms[0], 9), csig))
     materialize(substring_batch_probe(make_delta(fixed, ms[0], 9), gidx))
+    materialize(winnow_batch_probe(make_delta(fixed, ms[0], 9), widx))
     for m in ms:
         nd = delta_size(fixed, m)
         tm = timed_probe(lambda d: minhash_batch_probe(d, csig), fixed, m)
         ts = timed_probe(lambda d: substring_batch_probe(d, gidx), fixed, m)
-        rows_a.append((m, nd, tm, ts))
+        tw = timed_probe(lambda d: winnow_batch_probe(d, widx), fixed, m)
+        rows_a.append((m, nd, tm, ts, tw))
         print(f"  delta-axis m={m}: {nd} docs, minhash {tm}s, "
-              f"substr {ts}s", file=sys.stderr)
+              f"substr {ts}s, winnow {tw}s", file=sys.stderr)
     cal.append(pyloop())
     csig.unpersist()
     gidx.unpersist()
+    widx.unpersist()
 
     # ---- axis B: fixed delta (from the ×4 corpus), growing corpus ------
     small = docs_of(4).persist()
@@ -225,13 +244,18 @@ def main() -> None:
         corpus = docs_of(f)
         csig, nsig, t_sig = timed_build(build_minhash_index, corpus)
         gidx, ngram, t_gram = timed_build(build_gram_index, corpus)
+        widx, nwin, t_win = timed_build(build_winnow_index, corpus)
         tm = timed_probe(lambda d: minhash_batch_probe(d, csig), small, 7)
         ts = timed_probe(lambda d: substring_batch_probe(d, gidx), small, 7)
-        rows_b.append((f, nsig, ngram, t_sig, t_gram, tm, ts))
+        tw = timed_probe(lambda d: winnow_batch_probe(d, widx), small, 7)
+        rows_b.append((f, nsig, ngram, nwin, t_sig, t_gram, t_win,
+                       tm, ts, tw))
         print(f"  corpus-axis x{f}: minhash {tm}s (index build {t_sig}s), "
-              f"substr {ts}s (index build {t_gram}s)", file=sys.stderr)
+              f"substr {ts}s (index build {t_gram}s), "
+              f"winnow {tw}s (index build {t_win}s)", file=sys.stderr)
         csig.unpersist()
         gidx.unpersist()
+        widx.unpersist()
         cal.append(pyloop())
 
     # ---- report ---------------------------------------------------------
@@ -249,43 +273,53 @@ def main() -> None:
     print()
     print("### Delta axis — corpus fixed at ×8 of sf0.1 (52k docs)")
     print()
-    print("| delta docs | minhash probe | substring probe |")
-    print("|---|---|---|")
-    for m, nd, tm, ts in rows_a:
-        print(f"| {nd} | {tm:.2f}s | {ts:.2f}s |")
+    print("| delta docs | minhash probe | substring probe | "
+          "winnow probe |")
+    print("|---|---|---|---|")
+    for m, nd, tm, ts, tw in rows_a:
+        print(f"| {nd} | {tm:.2f}s | {ts:.2f}s | {tw:.2f}s |")
     ratio = rows_a[-1][1] / rows_a[0][1]
     em = expo(rows_a[0][2], rows_a[-1][2], ratio)
     es = expo(rows_a[0][3], rows_a[-1][3], ratio)
+    ew = expo(rows_a[0][4], rows_a[-1][4], ratio)
     ratio2 = rows_a[-1][1] / rows_a[-2][1]
     em2 = expo(rows_a[-2][2], rows_a[-1][2], ratio2)
     es2 = expo(rows_a[-2][3], rows_a[-1][3], ratio2)
+    ew2 = expo(rows_a[-2][4], rows_a[-1][4], ratio2)
     print()
     print(f"Delta-axis exponents over the ×{ratio:.1f} delta growth: "
-          f"minhash {em:.2f}, substring {es:.2f}; over the largest "
-          f"doubling (work-dominated segment): minhash {em2:.2f}, "
-          f"substring {es2:.2f} (≈1.0 = probe cost tracks the delta; "
-          "the full-range fit reads low exactly as the deep curve's "
-          "small cells do — fixed stage latency under the small "
-          "deltas).")
+          f"minhash {em:.2f}, substring {es:.2f}, winnow {ew:.2f}; "
+          f"over the largest doubling (work-dominated segment): "
+          f"minhash {em2:.2f}, substring {es2:.2f}, winnow {ew2:.2f} "
+          "(≈1.0 = probe cost tracks the delta; the full-range fit "
+          "reads low exactly as the deep curve's small cells do — "
+          "fixed stage latency under the small deltas).")
     print()
     print(f"### Corpus axis — delta fixed at {nd_fixed} docs")
     print()
-    print("| corpus | sig rows | gram rows | sig-index build | "
-          "gram-index build | minhash probe | substring probe |")
-    print("|---|---|---|---|---|---|---|")
-    for f, nsig, ngram, t_sig, t_gram, tm, ts in rows_b:
-        print(f"| ×{f} | {nsig} | {ngram} | {t_sig:.2f}s | {t_gram:.2f}s "
-              f"| {tm:.2f}s | {ts:.2f}s |")
-    em = expo(rows_b[0][5], rows_b[-1][5], factors[-1] / factors[0])
-    es = expo(rows_b[0][6], rows_b[-1][6], factors[-1] / factors[0])
-    bm = expo(rows_b[0][3], rows_b[-1][3], factors[-1] / factors[0])
-    bs = expo(rows_b[0][4], rows_b[-1][4], factors[-1] / factors[0])
+    print("| corpus | sig rows | gram rows | winnow-idx rows | "
+          "sig-index build | gram-index build | winnow-index build | "
+          "minhash probe | substring probe | winnow probe |")
+    print("|---|---|---|---|---|---|---|---|---|---|")
+    for (f, nsig, ngram, nwin, t_sig, t_gram, t_win,
+         tm, ts, tw) in rows_b:
+        print(f"| ×{f} | {nsig} | {ngram} | {nwin} | {t_sig:.2f}s "
+              f"| {t_gram:.2f}s | {t_win:.2f}s | {tm:.2f}s | {ts:.2f}s "
+              f"| {tw:.2f}s |")
+    ratio_f = factors[-1] / factors[0]
+    em = expo(rows_b[0][7], rows_b[-1][7], ratio_f)
+    es = expo(rows_b[0][8], rows_b[-1][8], ratio_f)
+    ew = expo(rows_b[0][9], rows_b[-1][9], ratio_f)
+    bm = expo(rows_b[0][4], rows_b[-1][4], ratio_f)
+    bs = expo(rows_b[0][5], rows_b[-1][5], ratio_f)
+    bw = expo(rows_b[0][6], rows_b[-1][6], ratio_f)
     print()
     print(f"Corpus-axis probe exponents ×4→×32: minhash {em:.2f}, "
-          f"substring {es:.2f} (≈0 = the corpus participates only via "
-          f"its at-rest index).  The index BUILDS scale with the corpus "
-          f"as expected (minhash {bm:.2f}, gram {bs:.2f}) — that is the "
-          "full-pass cost the probe amortizes to once.")
+          f"substring {es:.2f}, winnow {ew:.2f} (≈0 = the corpus "
+          f"participates only via its at-rest index).  The index BUILDS "
+          f"scale with the corpus as expected (minhash {bm:.2f}, gram "
+          f"{bs:.2f}, winnow {bw:.2f}) — that is the full-pass cost the "
+          "probe amortizes to once.")
 
 
 if __name__ == "__main__":
