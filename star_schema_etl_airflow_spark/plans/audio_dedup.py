@@ -64,6 +64,17 @@ BUMP = 40                      # frame-0 offset (≤ 1 fingerprint bit)
 FP_BANDS, BAND_BITS = 4, 8
 HAMMING_T = 3                  # < FP_BANDS ⇒ pigeonhole-exact recall
 
+# Wide (64-bit) fingerprint — the corpus-scale remedy the r11 ADVICE
+# birthday-bound analysis prescribes (identity-key collisions at 2⁻³²
+# per pair become material near 93k distinct assets; 64 bits restores
+# ~2⁻⁶⁰ for md5-derived keys).  SAME 264-sample clips, re-framed: 66
+# frames × 4 samples → 65 adjacent-energy comparisons, first 64 kept,
+# packed as four 16-bit bands.  Band width matched to corpus scale is
+# the round-11 closure lesson (SCALE_CURVE.md): 16-bit bands hold
+# ~N/65k random hashes per bucket where 8-bit bands hold ~N/256.
+FRAME64, N_FRAMES64 = 4, 66    # same N_SAMPLES = 264
+BAND_BITS64 = 16               # 4 bands × 16 bits = 64
+
 
 def _synth_samples(doc_id: int) -> list[int]:
     base = doc_id % N_BASES
@@ -130,6 +141,91 @@ def fp_bands_from_wav(blob: bytes) -> tuple[int, ...]:
              << np.arange(BAND_BITS)).sum())
         for k in range(FP_BANDS)
     )
+
+
+def fp64_bands_from_wav(blob: bytes) -> tuple[int, ...]:
+    """Wide-fingerprint decode+hash: the SAME production decode, the
+    same clip bytes, re-framed 66×4 → 64 comparison bits as four
+    16-bit bands.  Shared with the cross-modal cluster operator's
+    audio identity key (full 60-bit md5 keys fit without truncation)."""
+    import struct
+
+    import numpy as np
+
+    from star_schema_etl_airflow_spark.sources.multimodal import (
+        _wav_decode,
+    )
+
+    dec = _wav_decode(blob)
+    vals = np.array(
+        struct.unpack(f"<{dec['n_frames']}h", dec["frames"]),
+        dtype=np.int64,
+    )
+    energy = (vals * vals).reshape(N_FRAMES64, FRAME64).sum(axis=1)
+    bits = (energy[:-1] > energy[1:]).astype(np.int64)[:64]
+    return tuple(
+        int((bits[k * BAND_BITS64:(k + 1) * BAND_BITS64]
+             << np.arange(BAND_BITS64)).sum())
+        for k in range(FP_BANDS)
+    )
+
+
+def _fp64_kernel(batches):
+    import pandas as pd
+
+    from star_schema_etl_airflow_spark.plans.multimodal_queries import (
+        WAV_RATE,
+        _raw_wav_encode,
+    )
+
+    for pdf in batches:
+        rows = []
+        blobs = pdf["wav"] if "wav" in pdf.columns else None
+        for i, doc_id in enumerate(pdf["doc_id"]):
+            doc_id = int(doc_id)
+            blob = bytes(blobs.iloc[i]) if blobs is not None \
+                else _raw_wav_encode(_synth_samples(doc_id), WAV_RATE)
+            rows.append((doc_id, *fp64_bands_from_wav(blob)))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "b0", "b1", "b2", "b3"]
+        )
+
+
+def fingerprint64_of(docs: DataFrame) -> DataFrame:
+    """Wide-fingerprint relation (doc_id, b0..b3 as 16-bit bands) —
+    same contract as :func:`fingerprint_of`, 64-bit hash space."""
+    from pyspark.sql import types as T
+
+    from star_schema_etl_airflow_spark.plans.multimodal_queries import (
+        _spread,
+    )
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType())]
+        + [T.StructField(f"b{k}", T.LongType()) for k in range(FP_BANDS)]
+    )
+    cols = ["doc_id"] + (["wav"] if "wav" in docs.columns else [])
+    return persist_once(
+        _spread(docs.select(*cols)).mapInPandas(
+            _fp64_kernel, schema=schema)
+    )
+
+
+def audio_dedup_fingerprint64(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """All clip pairs with WIDE (64-bit) fingerprint hamming ≤ 3 —
+    exact via the same pigeonhole-complete banding, over 16-bit bands
+    whose buckets hold ~N/65k docs at corpus scale (vs ~N/256 for the
+    8-bit bands — the measured difference between the r11 closure
+    curve's 1.60 and 0.40 exponents)."""
+    from star_schema_etl_airflow_spark.sources.media_fixture import (
+        load_media,
+    )
+
+    hashed = fingerprint64_of(
+        load_media(spark, sf_dir).select("doc_id", "wav"))
+    return fingerprint_pairs(hashed)
 
 
 def fingerprint_of(docs: DataFrame) -> DataFrame:
@@ -214,13 +310,21 @@ def fingerprint_pairs(hashed: DataFrame) -> DataFrame:
     )
 
 
-def fp_duck_ctes(src: str = "documents", p: str = "aud") -> str:
+def fp_duck_ctes(src: str = "documents", p: str = "aud",
+                 frame: int = FRAME, band_bits: int = BAND_BITS) -> str:
     """Prefixed CTE chain computing the fingerprint relation
     ``{p}_fps(doc_id, b0..b3)`` over ``src`` in DuckDB — the composable
-    SQL twin of :func:`fingerprint_of`."""
+    SQL twin of :func:`fingerprint_of` (defaults) or
+    :func:`fingerprint64_of` (``frame=FRAME64, band_bits=BAND_BITS64``).
+    The synthetic sample stream is IDENTICAL in both framings (the same
+    264-sample clip); only the energy grouping and the number of kept
+    comparison bits (``FP_BANDS * band_bits``) differ.  Note the sample
+    formula's frame structure stays keyed to the base framing (FRAME)
+    — it describes the CLIP, not the fingerprint."""
+    n_cmp = FP_BANDS * band_bits
     band_cols = ",\n         ".join(
-        f"SUM(CASE WHEN f >= {k * BAND_BITS} AND f < {(k + 1) * BAND_BITS} "
-        f"THEN bit << (f - {k * BAND_BITS}) ELSE 0 END) AS b{k}"
+        f"SUM(CASE WHEN f >= {k * band_bits} AND f < {(k + 1) * band_bits} "
+        f"THEN bit << (f - {k * band_bits}) ELSE 0 END) AS b{k}"
         for k in range(FP_BANDS)
     )
     return f"""{p}_samples AS (
@@ -233,15 +337,15 @@ def fp_duck_ctes(src: str = "documents", p: str = "aud") -> str:
   FROM {src} d, generate_series(0, {N_SAMPLES - 1}) i(g)
 ),
 {p}_energy AS (
-  SELECT doc_id, i // {FRAME} AS f, SUM(s * s) AS e
-  FROM {p}_samples GROUP BY doc_id, i // {FRAME}
+  SELECT doc_id, i // {frame} AS f, SUM(s * s) AS e
+  FROM {p}_samples GROUP BY doc_id, i // {frame}
 ),
 {p}_bits AS (
   SELECT a.doc_id, a.f,
          CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS bit
   FROM {p}_energy a
   JOIN {p}_energy b ON a.doc_id = b.doc_id AND b.f = a.f + 1
-  WHERE a.f < {N_FRAMES - 1}
+  WHERE a.f < {n_cmp}
 ),
 {p}_fps AS (
   SELECT doc_id,
@@ -270,5 +374,18 @@ WHERE {ham} <= {HAMMING_T}
 """
 
 
+def _oracle64(src: str = "documents") -> str:
+    ham = fp_duck_hamming()
+    return f"""
+WITH {fp_duck_ctes(src, "aud", frame=FRAME64, band_bits=BAND_BITS64)}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST({ham} AS INTEGER) AS hamming
+FROM aud_fps a JOIN aud_fps b ON a.doc_id < b.doc_id
+WHERE {ham} <= {HAMMING_T}
+"""
+
+
 register(QuerySpec("audio_dedup_fingerprint", audio_dedup_fingerprint,
                    _oracle(), tags=("LLM-dedup", "multimodal")))
+register(QuerySpec("audio_dedup_fingerprint64", audio_dedup_fingerprint64,
+                   _oracle64(), tags=("LLM-dedup", "multimodal")))

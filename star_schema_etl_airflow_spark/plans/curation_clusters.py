@@ -26,23 +26,20 @@ frames), and the operator runs the full encode → production decode →
 hash → banded-join pipeline from ``plans/image_dedup.py`` /
 ``plans/audio_dedup.py``.
 
-Identity-key collision bounds (r11 ADVICE — the widths differ by
-modality, so state them separately): the IMAGE asset key carries the
-full 60-bit ``md5_long`` into the 64-bit dHash — equality collisions
-at ~2⁻⁶⁰ per pair, immaterial at any corpus size.  The AUDIO asset
-key is truncated to 32 bits (``AUD_MASK``) because the audio
-pipeline's energy fingerprint IS 32 bits (``N_FRAMES-1``
-comparisons) — equality collisions at ~2⁻³² per pair, so by the
-birthday bound spurious cross-asset merges reach ~1 expected pair at
-≈ 2^16.5 ≈ 93k DISTINCT audio assets (n²/2³³ expected pairs).  At
-sf0.1 (≲6.5k assets) that is ~2⁻⁹ per run; at 100 TB corpus scale it
-is material, and the remedy is widening the audio fingerprint itself
-(``audio_dedup.N_FRAMES``/``BAND_BITS`` — e.g. 65 frames/16-bit
-bands gives 64 bits and restores ~2⁻⁶⁴), not a change to this
-operator: any identity key is exactly as wide as the perceptual hash
-the decode pipeline produces.  Either way the oracle computes the
-identical (truncated) hash values, so even a collision could not
-diverge the two engines — it would merge the same clusters on both.
+Identity-key collision bounds (r11 ADVICE, FIXED in r12): both
+modality keys now carry the full 60-bit ``md5_long`` — images into
+the 64-bit dHash, audio into the WIDE 64-bit energy fingerprint
+(``audio_dedup.fp64_bands_from_wav``: the same 264-sample clips
+re-framed 66×4 → 64 comparison bits as four 16-bit bands).  Equality
+collisions are ~2⁻⁶⁰ per pair for both, immaterial at any corpus
+size.  History: the first implementation truncated the audio key to
+the base fingerprint's 32 bits (``& AUD_MASK``), a ~2⁻³² per-pair
+birthday bound reaching ~1 expected spurious merge at ≈ 93k distinct
+audio assets — material at 100 TB.  The wide fingerprint is exactly
+the remedy the r11 closure curve prescribed (band width matched to
+corpus scale: 16-bit bands hold ~N/65k random hashes vs ~N/256 for
+8-bit) and ships as its own oracle-checked dedup query
+(``audio_dedup_fingerprint64``).
 
 Pipeline: exact-text star edges ∪ shared-image star edges ∪
 shared-audio star edges (each modality: group by its identity hash,
@@ -106,9 +103,6 @@ from star_schema_etl_airflow_spark.functions.text import (
 from star_schema_etl_airflow_spark.operators.components import (
     connected_components,
 )
-from star_schema_etl_airflow_spark.plans.audio_dedup import (
-    fp_bands_from_wav,
-)
 from star_schema_etl_airflow_spark.plans.image_dedup import (
     CELL,
     GRID_H,
@@ -125,7 +119,6 @@ from star_schema_etl_airflow_spark.plans.llm_dedup import (
 from star_schema_etl_airflow_spark.registry import QuerySpec, register
 
 GROUP = 16           # text-group bases per asset neighborhood
-AUD_MASK = (1 << 32) - 1   # audio fp width; birthday bound in docstring
 
 
 def _png_from_dhash(h: int) -> bytes:
@@ -176,6 +169,32 @@ def _wav_from_fp(h: int) -> bytes:
     return _raw_wav_encode(samples, WAV_RATE)
 
 
+def _wav_from_fp64(h: int) -> bytes:
+    """A RIFF/WAVE clip whose WIDE (64-bit) energy fingerprint is
+    exactly ``h``: the same amplitude-walk construction at the 66×4
+    framing (65 walk steps; comparison 64 is discarded by the wide
+    hash, so its step direction is immaterial).  Amplitudes start at
+    70 and stay in [5, 135] > 0, keeping the squared-energy comparison
+    equal to the amplitude comparison."""
+    from star_schema_etl_airflow_spark.plans.audio_dedup import (
+        FRAME64,
+        N_FRAMES64,
+    )
+    from star_schema_etl_airflow_spark.plans.multimodal_queries import (
+        WAV_RATE,
+        _raw_wav_encode,
+    )
+
+    c = 70
+    amps = [c]
+    for f in range(N_FRAMES64 - 1):
+        bit = (h >> f) & 1 if f < 64 else 0
+        c = c - 1 if bit else c + 1
+        amps.append(c)
+    samples = [a for a in amps for _ in range(FRAME64)]
+    return _raw_wav_encode(samples, WAV_RATE)
+
+
 def _img_hash_kernel(batches):
     """(doc_id, h) → (doc_id, b0..b3) through the FULL media pipeline:
     construct PNG for h, encode, production-decode, dHash."""
@@ -192,14 +211,22 @@ def _img_hash_kernel(batches):
 
 
 def _aud_hash_kernel(batches):
+    """WIDE (64-bit) audio pipeline: the asset key's full 60-bit md5
+    fits the fingerprint without truncation (r12 — previously the
+    32-bit fingerprint forced AUD_MASK truncation and a ~2⁻³² per-pair
+    birthday bound; see audio_dedup.fp64_bands_from_wav)."""
     import pandas as pd
+
+    from star_schema_etl_airflow_spark.plans.audio_dedup import (
+        fp64_bands_from_wav,
+    )
 
     for pdf in batches:
         rows = []
         for doc_id, h in zip(pdf["doc_id"], pdf["h"]):
             rows.append((
                 int(doc_id),
-                *fp_bands_from_wav(_wav_from_fp(int(h))),
+                *fp64_bands_from_wav(_wav_from_fp64(int(h))),
             ))
         yield pd.DataFrame(rows, columns=["doc_id", "b0", "b1", "b2", "b3"])
 
@@ -242,9 +269,7 @@ def curation_multimodal_clusters(
     keyed = corpus.select(
         "doc_id",
         F.expr(md5_long_spark(f"({_IMG_KEY_SPARK})")).alias("img_h"),
-        F.expr(
-            f"{md5_long_spark(f'({_AUD_KEY_SPARK})')} & {AUD_MASK}"
-        ).alias("aud_h"),
+        F.expr(md5_long_spark(f"({_AUD_KEY_SPARK})")).alias("aud_h"),
     )
     img_hashed = _hashed_media(keyed, "img_h", _img_hash_kernel)
     aud_hashed = _hashed_media(keyed, "aud_h", _aud_hash_kernel)
@@ -317,7 +342,7 @@ text_pairs AS (
 mh AS (
   SELECT doc_id,
          {md5_long_duck(f'({_IMG_KEY_DUCK})')} AS ih,
-         {md5_long_duck(f'({_AUD_KEY_DUCK})')} & {AUD_MASK} AS ah
+         {md5_long_duck(f'({_AUD_KEY_DUCK})')} AS ah
   FROM corpus
 ),
 img_pairs AS (

@@ -23,11 +23,14 @@ from star_schema_etl_airflow_spark.plans.audio_dedup import (
 from star_schema_etl_airflow_spark.plans.audio_dedup import (
     fp_bands_from_wav,
 )
+from star_schema_etl_airflow_spark.plans.audio_dedup import (
+    fp64_bands_from_wav,
+)
 from star_schema_etl_airflow_spark.plans.curation_clusters import (
-    AUD_MASK,
     GROUP,
     _png_from_dhash,
     _wav_from_fp,
+    _wav_from_fp64,
     curation_multimodal_clusters,
 )
 from star_schema_etl_airflow_spark.plans.image_dedup import (
@@ -60,6 +63,15 @@ def test_wav_construction_round_trips_the_target_fingerprint(h):
     assert fp_bands_from_wav(_wav_from_fp(h)) == _bands(h, 8)
 
 
+@settings(max_examples=40, deadline=None)
+@given(st.integers(min_value=0, max_value=(1 << 64) - 1))
+def test_wav64_construction_round_trips_the_wide_fingerprint(h):
+    """The r12 audio identity key: full 64-bit encode → production
+    decode → wide hash round-trip (closes the AUD_MASK birthday
+    bound)."""
+    assert fp64_bands_from_wav(_wav_from_fp64(h)) == _bands(h, 16)
+
+
 def _md5_60(s: str) -> int:
     return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
 
@@ -77,8 +89,8 @@ def test_2hop_bases_share_no_direct_modality_edge():
         lo, hi = GROUP * j, GROUP * j + 2
         img_lo = _md5_60(f"i{j}")
         img_hi = _md5_60(f"u{hi}")
-        aud_lo = _md5_60(f"w{lo}") & AUD_MASK
-        aud_hi = _md5_60(f"a{j}") & AUD_MASK
+        aud_lo = _md5_60(f"w{lo}")  # full 60-bit keys since r12
+        aud_hi = _md5_60(f"a{j}")
         assert _hamming(img_lo, img_hi) > IMG_T
         assert _hamming(aud_lo, aud_hi) > AUD_T
 
