@@ -54,10 +54,17 @@ DISTRIBUTED_SK_BYTES = 64 * 1024 * 1024
 
 
 def _estimated_bytes(df: DataFrame) -> int:
-    """Catalyst plan-stats size estimate (no job).  BigInt-safe."""
-    return int(
-        str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    )
+    """Catalyst plan-stats size estimate (no job).  BigInt-safe: join
+    estimates are PRODUCTS of child estimates, so a deep plan can carry
+    a sizeInBytes with thousands of digits (the rebuild-loop squaring
+    measured in tools/rebuild_curve.py) — ``int(str(...))`` of such a
+    value trips Python's 4300-digit conversion limit.  Anything longer
+    than a 19-digit long is simply "huge": return a sentinel above any
+    real threshold instead of converting."""
+    s = str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    if len(s) > 18:
+        return 1 << 62
+    return int(s)
 
 
 def assign_surrogate_keys(

@@ -294,9 +294,22 @@ def rebuild_dimension(
     for d in dates:
         day = all_rows.filter(
             F.col(run_date_col) == d).drop(run_date_col)
-        # lineage grows per day; truncate so the plan stays O(1)
-        dim = apply_scd2(dim, day, key, tracked, str(d), sk_col) \
-            .localCheckpoint()
+        # Lineage grows per day; truncate so the plan stays O(1).  But
+        # localCheckpoint alone is NOT enough: Spark 4's LogicalRDD
+        # carries the ORIGIN plan's statistics through the checkpoint,
+        # and each fold's dim ⨝ broadcast(changed-keys) multiplies two
+        # dim-derived estimates — so sizeInBytes SQUARES per fold
+        # (digit count doubles daily: 43 → 89 → 183 → …) until a
+        # BigInteger conversion throws around day 25 (found by
+        # tools/rebuild_curve.py, r11 verdict task 8).  Materializing
+        # the fold in the cache first makes the checkpoint inherit the
+        # ACTUAL byte size (InMemoryRelation recomputes stats from the
+        # cached data), resetting the estimate to ~dim size every day.
+        folded = apply_scd2(dim, day, key, tracked, str(d), sk_col) \
+            .persist()
+        folded.count()
+        dim = folded.localCheckpoint()
+        folded.unpersist()
     _swap_with_ledger(dim, dim_path, {str(d) for d in dates})
     shutil.rmtree(dim_path.rstrip("/") + "__dead_letter",
                   ignore_errors=True)
