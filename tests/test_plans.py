@@ -554,3 +554,21 @@ def test_ngram_lm_single_corpus_scan(spark):
         assert runtime_parquet_scans(plan) == 1, plan
         assert "InMemoryRelation" in plan      # the persist is real
         assert "CartesianProduct" not in plan
+
+
+def test_image_knn_plan_is_group_limit_pruned_with_no_cartesian(spark):
+    """r12 plan pin for the rewritten hamming k-NN: the distinct-hash
+    candidate plan must keep BOTH bounded expansions as WindowGroupLimit
+    (the per-hash k+1 representatives and the final per-query top-k,
+    each as a partial+final pair — 4 nodes), and have no cartesian or
+    broadcast-nested-loop join anywhere (the naive bucket-population
+    expansion the r12 curve killed would reappear as a plain band join
+    feeding the window)."""
+    from star_schema_etl_airflow_spark.plans.image_dedup import (
+        image_knn_dhash,
+    )
+
+    plan = _plan(image_knn_dhash(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("WindowGroupLimit") == 4, plan
