@@ -97,6 +97,7 @@ def _ensure_loaded() -> None:
         operators_basic,
         pq,
         pudf_queries,
+        ql_retrieval,
         scan_pruning,
         sketches,
         spark4_features,

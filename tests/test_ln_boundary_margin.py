@@ -172,6 +172,41 @@ def test_tfidf_idf_margin(con):
     _margin_ok(next(iter(idf.values())), "tfidf idf")
 
 
+def test_ql_retrieval_margin(con):
+    """Dirichlet query-likelihood families (plans/ql_retrieval.py):
+    the present-term weight, the background weight, the length
+    normalizer, and the ln(μ) literal — all carried as
+    round(1e6·ln(·)) BIGINTs."""
+    from star_schema_etl_airflow_spark.plans import ql_retrieval as ql
+
+    terms = ", ".join(
+        f"'{t}'" for _, ts in ql.BM25_QUERIES for t in ts
+    )
+    vals = con.execute(f"""
+        WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term
+                      FROM documents),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+        stats AS (SELECT SUM(dl) AS c_total FROM dl),
+        ctf AS (SELECT term, SUM(tf) AS ctf FROM tf
+                WHERE term IN ({terms}) GROUP BY 1)
+        SELECT {ql.LN_SCALE}.0 * LN(
+          CAST({ql.MU} * c.ctf + t.tf * s.c_total AS DOUBLE)
+          / CAST({ql.MU} * c.ctf AS DOUBLE)) AS v
+        FROM tf t JOIN ctf c ON t.term = c.term CROSS JOIN stats s
+        UNION ALL
+        SELECT {ql.LN_SCALE}.0 * LN(CAST(c.ctf AS DOUBLE)
+                                    / CAST(s.c_total AS DOUBLE))
+        FROM ctf c CROSS JOIN stats s
+        UNION ALL
+        SELECT {ql.LN_SCALE}.0 * LN(CAST(l.dl + {ql.MU} AS DOUBLE))
+        FROM dl l
+        UNION ALL
+        SELECT {ql.LN_SCALE}.0 * LN({ql.MU}.0)
+    """).fetchnumpy()
+    _margin_ok(next(iter(vals.values())), "ql retrieval lns")
+
+
 def test_ngram_lm_logprob_margin(con):
     """Bigram-LM log-probabilities (plans/ngram_lm.py) under the same
     scaled-ln boundary contract."""
