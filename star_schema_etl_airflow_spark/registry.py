@@ -80,6 +80,7 @@ def _ensure_loaded() -> None:
         image_dedup,
         ivm_queries,
         jl_projection,
+        kmv_overlap,
         llm_decontam,
         llm_dedup,
         llm_dedup2,
