@@ -1,0 +1,203 @@
+"""Z-order (Morton curve) layout effectiveness audit — how much scan a
+multi-column predicate skips under a space-filling-curve clustering vs
+the natural single-column (ingest-date) layout.
+
+At 100 TB the dominant cost is the scan, and the dominant scan saver is
+file/row-group min-max skipping (the mechanism operators/skipping.py
+implements).  Skipping on ONE column falls out of date-partitioned
+ingest for free; a predicate that also bounds a SECOND column (here
+``l_extendedprice``) skips nothing on that axis unless the layout
+interleaves both — which is exactly what Z-ordering does: sort by the
+bit-interleaved key of both quantized columns, cut into equal key-range
+files, and every file's min-max box becomes tight in BOTH dimensions.
+
+This operator is the auditor for that decision: it lays the fact table
+out both ways (value-range file cuts — the deterministic equivalent of
+``repartitionByRange``'s sampled boundaries), computes each file's
+min-max stats exactly as a parquet footer would hold them, applies the
+standard interval-intersection pruning rule, and reports files/rows
+scanned per layout for a fixed 2-D predicate.  Everything is
+closed-form integer/IEEE arithmetic, so the DuckDB oracle reproduces it
+exactly.
+
+Quantization: 8 bits per dimension (day index ÷ 10, price ÷ 420 —
+fixed literals clamped to [0, 255]); the 16-bit Morton key interleaves
+x into even and y into odd bit positions.  64 files per layout: linear
+cuts on ``x8 div 4`` (40-day ranges), Z-order on ``z16 div 1024`` (the
+top 3 bits of each dimension, interleaved).
+
+Scale design: ONE corpus scan — each row emits its two (layout, file)
+assignments through a 2-element explode, and the per-file stats are a
+single groupBy(layout, file) with map-side partial aggregation; the
+per-layout rollup then aggregates 128 rows.  No joins, no windows, no
+driver-side iteration.  The same plan shape audits any candidate
+layout list (add a struct to the array), which is how a table-layout
+optimizer would A/B a clustering change before rewriting 100 TB.
+
+Reference parity: beyond-reference (the reference relies on BigQuery's
+implicit clustering; this makes the layout decision measurable).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from star_schema_etl_airflow_spark.registry import QuerySpec, register
+from star_schema_etl_airflow_spark.sources.fixtures import load_table
+
+EPOCH = datetime.date(1995, 1, 1)   # fixture l_shipdate starts 1995-01-02
+DAY_Q = 10                          # days per x-quantum (2500-day span → 250)
+PRICE_Q = 420.0                     # price per y-quantum (105k span → 250)
+BITS = 8
+N_FILES = 64
+
+# 2-D predicate: a ~3-month date window AND a price band
+PRED_D1 = (datetime.date(1996, 3, 1) - EPOCH).days
+PRED_D2 = (datetime.date(1996, 5, 31) - EPOCH).days
+PRED_P1 = 30000.0
+PRED_P2 = 40000.0
+
+
+def _interleave(x: str, y: str, div: str) -> str:
+    """16-bit Morton key: x in even, y in odd bit positions — pure
+    integer div/mod so Spark (``div``) and DuckDB (``//``) agree."""
+    terms = []
+    for i in range(BITS):
+        terms.append(f"(({x} {div} {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"(({y} {div} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+def morton16(x: int, y: int) -> int:
+    """Python twin of :func:`_interleave` (test oracle)."""
+    z = 0
+    for i in range(BITS):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+_CLAMP_S = (
+    f"least({255}, greatest(0, cast(datediff(cast(l_shipdate as date), "
+    f"date'{EPOCH.isoformat()}') as bigint) div {DAY_Q})) as x8",
+    f"least({255}, greatest(0, cast(floor(l_extendedprice / {PRICE_Q}) "
+    f"as bigint))) as y8",
+)
+
+
+def zorder_skip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_shipdate", "l_extendedprice"
+    )
+    base = li.select(
+        F.expr(_CLAMP_S[0]),
+        F.expr(_CLAMP_S[1]),
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.lit(EPOCH.isoformat()).cast("date")
+        ).alias("d"),
+        F.col("l_extendedprice").alias("p"),
+    ).withColumn("z16", F.expr(_interleave("x8", "y8", "div")))
+
+    assigned = base.select(
+        "d",
+        "p",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("linear").alias("layout"),
+                    F.expr(f"x8 div {256 // N_FILES}").alias("file_id"),
+                ),
+                F.struct(
+                    F.lit("zorder").alias("layout"),
+                    F.expr(f"z16 div {65536 // N_FILES}").alias("file_id"),
+                ),
+            )
+        ).alias("a"),
+    ).select("d", "p", "a.layout", "a.file_id")
+
+    match = (
+        (F.col("d") >= PRED_D1)
+        & (F.col("d") <= PRED_D2)
+        & (F.col("p") >= PRED_P1)
+        & (F.col("p") <= PRED_P2)
+    ).cast("long")
+    files = assigned.groupBy("layout", "file_id").agg(
+        F.min("d").alias("min_d"),
+        F.max("d").alias("max_d"),
+        F.min("p").alias("min_p"),
+        F.max("p").alias("max_p"),
+        F.count("*").alias("rows"),
+        F.sum(match).alias("matching"),
+    )
+    scanned = (
+        (F.col("max_d") >= PRED_D1)
+        & (F.col("min_d") <= PRED_D2)
+        & (F.col("max_p") >= PRED_P1)
+        & (F.col("min_p") <= PRED_P2)
+    ).cast("long")
+    return files.groupBy("layout").agg(
+        F.count("*").alias("files_total"),
+        F.sum(scanned).alias("files_scanned"),
+        F.sum("rows").alias("rows_total"),
+        F.sum(F.col("rows") * scanned).alias("rows_scanned"),
+        F.sum("matching").alias("rows_matching"),
+    )
+
+
+_X8_D = (
+    f"LEAST(255, GREATEST(0, date_diff('day', DATE '{EPOCH.isoformat()}', "
+    f"CAST(l_shipdate AS DATE)) // {DAY_Q}))"
+)
+_Y8_D = (
+    f"LEAST(255, GREATEST(0, CAST(FLOOR(l_extendedprice / {PRICE_Q}) "
+    f"AS BIGINT)))"
+)
+
+ZORDER_ORACLE = f"""
+WITH base AS (
+  SELECT {_X8_D} AS x8, {_Y8_D} AS y8,
+         date_diff('day', DATE '{EPOCH.isoformat()}',
+                   CAST(l_shipdate AS DATE)) AS d,
+         l_extendedprice AS p
+  FROM lineitem
+),
+keyed AS (
+  SELECT d, p, x8, y8, {_interleave("x8", "y8", "//")} AS z16 FROM base
+),
+assigned AS (
+  SELECT d, p, 'linear' AS layout, x8 // {256 // N_FILES} AS file_id
+  FROM keyed
+  UNION ALL
+  SELECT d, p, 'zorder' AS layout, z16 // {65536 // N_FILES} AS file_id
+  FROM keyed
+),
+files AS (
+  SELECT layout, file_id,
+         MIN(d) AS min_d, MAX(d) AS max_d,
+         MIN(p) AS min_p, MAX(p) AS max_p,
+         COUNT(*) AS rows,
+         SUM(CASE WHEN d BETWEEN {PRED_D1} AND {PRED_D2}
+                   AND p BETWEEN {PRED_P1} AND {PRED_P2}
+                  THEN 1 ELSE 0 END) AS matching
+  FROM assigned GROUP BY 1, 2
+),
+flagged AS (
+  SELECT *, CASE WHEN max_d >= {PRED_D1} AND min_d <= {PRED_D2}
+                  AND max_p >= {PRED_P1} AND min_p <= {PRED_P2}
+                 THEN 1 ELSE 0 END AS scanned
+  FROM files
+)
+SELECT layout,
+       COUNT(*) AS files_total,
+       CAST(SUM(scanned) AS BIGINT) AS files_scanned,
+       CAST(SUM(rows) AS BIGINT) AS rows_total,
+       CAST(SUM(rows * scanned) AS BIGINT) AS rows_scanned,
+       CAST(SUM(matching) AS BIGINT) AS rows_matching
+FROM flagged GROUP BY 1
+"""
+
+register(QuerySpec("zorder_skip_stats", zorder_skip_stats, ZORDER_ORACLE,
+                   tags=("LAYOUT",)))

@@ -109,6 +109,7 @@ def _ensure_loaded() -> None:
         text_classify,
         unimax,
         winnow,
+        zorder_layout,
         timeseries,
         tpch_queries,
         tpch_queries2,

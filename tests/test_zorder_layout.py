@@ -1,0 +1,80 @@
+"""Z-order layout skipping audit (plans/zorder_layout.py).
+
+The sweep pins engine-vs-oracle value equality; these tests pin the
+semantics: the Morton key construction, pruning soundness (no matching
+row lives in a skipped file), the actual skipping advantage the layout
+exists to provide, and the one-scan plan shape.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from star_schema_etl_airflow_spark.plans import zorder_layout as mod
+from star_schema_etl_airflow_spark.sources.fixtures import load_table
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_morton_key_matches_python_oracle(spark):
+    rows = spark.range(0, 256, 17).selectExpr(
+        "cast(id as bigint) as x8",
+        "cast((id * 31) % 256 as bigint) as y8",
+    )
+    got = rows.withColumn(
+        "z16", F.expr(mod._interleave("x8", "y8", "div"))
+    ).collect()
+    assert got
+    for r in got:
+        assert r["z16"] == mod.morton16(r["x8"], r["y8"])
+
+
+def test_morton_locality():
+    """Interleaving puts both dimensions' high bits on top: quadrant
+    (x_hi, y_hi) determines the key's top bits, which is why key-range
+    file cuts are tight in BOTH dimensions."""
+    assert mod.morton16(0, 0) == 0
+    assert mod.morton16(255, 255) == 65535
+    # top bit of x lands at position 14, top bit of y at 15
+    assert mod.morton16(128, 0) == 1 << 14
+    assert mod.morton16(0, 128) == 1 << 15
+
+
+def test_pruning_is_sound_and_matching_counts_exact(spark):
+    out = {r["layout"]: r for r in mod.zorder_skip_stats(spark, SF_DIR).collect()}
+    assert set(out) == {"linear", "zorder"}
+    li = load_table(spark, SF_DIR, "lineitem")
+    n_total = li.count()
+    n_match = li.filter(
+        (F.datediff(F.col("l_shipdate").cast("date"),
+                    F.lit(mod.EPOCH.isoformat()).cast("date"))
+         .between(mod.PRED_D1, mod.PRED_D2))
+        & F.col("l_extendedprice").between(mod.PRED_P1, mod.PRED_P2)
+    ).count()
+    for layout, r in out.items():
+        assert r["rows_total"] == n_total, layout
+        # soundness: every matching row sits in a scanned file
+        assert r["rows_matching"] == n_match, layout
+        assert r["rows_scanned"] >= n_match, layout
+        assert r["files_scanned"] <= r["files_total"], layout
+
+
+def test_zorder_beats_linear_on_the_2d_predicate(spark):
+    """The reason to Z-order: the same min-max pruning rule skips more
+    under the interleaved layout because files are bounded in BOTH
+    dimensions, not just the ingest-date axis."""
+    out = {r["layout"]: r for r in mod.zorder_skip_stats(spark, SF_DIR).collect()}
+    assert out["zorder"]["rows_scanned"] < out["linear"]["rows_scanned"]
+    assert out["zorder"]["files_scanned"] <= out["linear"]["files_scanned"]
+
+
+def test_single_scan_no_joins(spark):
+    """Both layouts are audited from ONE corpus scan (2-way explode),
+    map-side partial aggregation, and no join of any kind."""
+    df = mod.zorder_skip_stats(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1
+    for node in ("Join", "CartesianProduct", "Window"):
+        assert node not in plan
+    assert "partial_" in plan  # map-side combine before the shuffle
