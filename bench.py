@@ -156,6 +156,10 @@ def main() -> None:
         "doc_winnow_overlap",
         "image_knn_dhash",
         "curation_multimodal_clusters",
+        # r12 trio — non-gating until they have two quiet records
+        "retrieval_rrf",
+        "kmv_source_overlap",
+        "zorder_skip_stats",
     )
     all_specs = {s.name: s for s in registry.specs()}
     extras: dict[str, float] = {}

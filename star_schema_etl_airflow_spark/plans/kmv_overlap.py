@@ -80,13 +80,10 @@ def kmv_sketches(spark: SparkSession, docs: DataFrame) -> DataFrame:
     )
 
 
-def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("source", "text")
-    # the sketch is referenced by four downstream branches (sources,
-    # both pair sides, the membership join) — persist it so the corpus
-    # scan+shingle+hash runs ONCE and everything after is sketch-sized
-    sig = persist_once(kmv_sketches(spark, docs))
-
+def pairwise_overlap(sig: DataFrame) -> DataFrame:
+    """All-pairs estimates from a (source, h) sketch relation — shared
+    by the at-rest operator and the incremental merge path.  ``sig`` is
+    referenced by four downstream branches; callers persist it."""
     srcs = sig.select("source").distinct()
     pairs = (
         srcs.alias("a")
@@ -147,6 +144,42 @@ def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("inter_est"),
     )
+
+
+def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    # one corpus scan builds the sketch; everything after is sketch-sized
+    return pairwise_overlap(persist_once(kmv_sketches(spark, docs)))
+
+
+def _rebottom(sig: DataFrame) -> DataFrame:
+    w = Window.partitionBy("source").orderBy(F.col("h").asc())
+    return (
+        sig.distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= K)
+        .select("source", "h")
+    )
+
+
+def kmv_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INGEST path: yesterday's persisted sketch merged with the
+    delta batch's sketch (union → re-take bottom-K), then the same
+    pairwise estimates.  The oracle is the FULL-corpus rebuild — their
+    exact equality is the KMV mergeability theorem checked
+    differentially, which is what licenses maintaining the sketch
+    incrementally at 100 TB instead of rescanning the corpus per day.
+    (Here the 'old corpus' and 'delta' are the even/odd doc_id halves —
+    a deterministic stand-in for two ingest days.)"""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    old = docs.filter(F.col("doc_id") % 2 == 0).drop("doc_id")
+    delta = docs.filter(F.col("doc_id") % 2 == 1).drop("doc_id")
+    merged = _rebottom(
+        kmv_sketches(spark, old).unionByName(kmv_sketches(spark, delta))
+    )
+    return pairwise_overlap(persist_once(merged))
 
 
 KMV_ORACLE = f"""
@@ -215,3 +248,6 @@ FROM agg
 
 register(QuerySpec("kmv_source_overlap", kmv_source_overlap, KMV_ORACLE,
                    tags=("LLM-SKETCH",)))
+# same oracle ON PURPOSE: merge-then-estimate must equal rebuild exactly
+register(QuerySpec("kmv_incremental_merge", kmv_incremental_merge,
+                   KMV_ORACLE, tags=("LLM-SKETCH", "INCREMENTAL")))

@@ -99,6 +99,7 @@ def _ensure_loaded() -> None:
         pq,
         pudf_queries,
         ql_retrieval,
+        retrieval_eval,
         scan_pruning,
         sketches,
         spark4_features,

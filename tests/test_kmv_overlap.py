@@ -124,6 +124,17 @@ def test_sketches_merge(spark):
     assert direct.exceptAll(merged).isEmpty()
 
 
+def test_incremental_merge_equals_at_rest_operator(spark):
+    """The ingest path (old ∪ delta sketches → re-bottom-K → estimate)
+    returns byte-identical rows to the at-rest operator — the Spark-side
+    half of the mergeability theorem (the oracle pins the cross-engine
+    half by reusing the full-rebuild SQL)."""
+    sf = "/root/testdata/sf0.001"
+    a = mod.kmv_source_overlap(spark, sf)
+    b = mod.kmv_incremental_merge(spark, sf)
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
 def test_sketch_build_plan_shape(spark):
     """The corpus-sized stage carries a map-side partial
     WindowGroupLimit (each partition forwards ≤K rows per source) and
