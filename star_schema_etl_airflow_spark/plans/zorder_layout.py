@@ -22,9 +22,14 @@ exactly.
 
 Quantization: 8 bits per dimension (day index ÷ 10, price ÷ 420 —
 fixed literals clamped to [0, 255]); the 16-bit Morton key interleaves
-x into even and y into odd bit positions.  64 files per layout: linear
-cuts on ``x8 div 4`` (40-day ranges), Z-order on ``z16 div 1024`` (the
-top 3 bits of each dimension, interleaved).
+x into even and y into odd bit positions.  A HILBERT key (order 8,
+the classic xy→d rotation walk unrolled into 8 data-independent
+projection steps — no loop, no UDF) is audited alongside: Hilbert's
+consecutive positions are always grid-adjacent (Morton takes long
+jumps at quadrant boundaries), so its key-range files have
+tighter-or-equal min-max boxes on average.  64 files per layout:
+linear cuts on ``x8 div 4`` (40-day ranges), the curves on
+``key div 1024`` (the top 3 bits of each dimension).
 
 Scale design: ONE corpus scan — each row emits its two (layout, file)
 assignments through a 2-element explode, and the per-file stats are a
@@ -80,6 +85,52 @@ def morton16(x: int, y: int) -> int:
     return z
 
 
+# --- Hilbert curve (order BITS, the locality upgrade over Morton) ----------
+#
+# The classic xy→d walk (Wikipedia's rot() formulation) is 8 data-
+# independent steps of integer arithmetic and CASE rotations, so it
+# unrolls into a staged projection chain both engines evaluate
+# identically — no loops, no UDF.
+
+_N = 1 << BITS  # 256
+
+
+def _hilbert_steps(div: str) -> list[tuple[str, str, str]]:
+    """Per-step (hd, hx, hy) replacement expressions over the previous
+    step's columns of the same names."""
+    steps = []
+    for s in [1 << i for i in range(BITS - 1, -1, -1)]:
+        rx = f"((hx {div} {s}) % 2)"
+        ry = f"((hy {div} {s}) % 2)"
+        q = f"(CASE WHEN {rx} = 1 THEN 3 - {ry} ELSE {ry} END)"
+        flip = f"{ry} = 0 AND {rx} = 1"
+        xf = f"(CASE WHEN {flip} THEN {_N - 1} - hx ELSE hx END)"
+        yf = f"(CASE WHEN {flip} THEN {_N - 1} - hy ELSE hy END)"
+        steps.append((
+            f"hd + {s * s} * {q}",
+            f"(CASE WHEN {ry} = 0 THEN {yf} ELSE hx END)",
+            f"(CASE WHEN {ry} = 0 THEN {xf} ELSE hy END)",
+        ))
+    return steps
+
+
+def hilbert_d(x: int, y: int) -> int:
+    """Python twin of :func:`_hilbert_steps` (test oracle)."""
+    d = 0
+    s = _N // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = _N - 1 - x
+                y = _N - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
 _CLAMP_S = (
     f"least({255}, greatest(0, cast(datediff(cast(l_shipdate as date), "
     f"date'{EPOCH.isoformat()}') as bigint) div {DAY_Q})) as x8",
@@ -92,14 +143,25 @@ def zorder_skip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_shipdate", "l_extendedprice"
     )
-    base = li.select(
-        F.expr(_CLAMP_S[0]),
-        F.expr(_CLAMP_S[1]),
-        F.datediff(
-            F.col("l_shipdate").cast("date"), F.lit(EPOCH.isoformat()).cast("date")
-        ).alias("d"),
-        F.col("l_extendedprice").alias("p"),
-    ).withColumn("z16", F.expr(_interleave("x8", "y8", "div")))
+    base = (
+        li.select(
+            F.expr(_CLAMP_S[0]),
+            F.expr(_CLAMP_S[1]),
+            F.datediff(
+                F.col("l_shipdate").cast("date"),
+                F.lit(EPOCH.isoformat()).cast("date"),
+            ).alias("d"),
+            F.col("l_extendedprice").alias("p"),
+        )
+        .withColumn("z16", F.expr(_interleave("x8", "y8", "div")))
+        .withColumn("hx", F.col("x8"))
+        .withColumn("hy", F.col("y8"))
+        .withColumn("hd", F.lit(0).cast("bigint"))
+    )
+    for d_e, x_e, y_e in _hilbert_steps("div"):
+        base = base.withColumns(
+            {"hd": F.expr(d_e), "hx": F.expr(x_e), "hy": F.expr(y_e)}
+        )
 
     assigned = base.select(
         "d",
@@ -113,6 +175,10 @@ def zorder_skip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.struct(
                     F.lit("zorder").alias("layout"),
                     F.expr(f"z16 div {65536 // N_FILES}").alias("file_id"),
+                ),
+                F.struct(
+                    F.lit("hilbert").alias("layout"),
+                    F.expr(f"hd div {65536 // N_FILES}").alias("file_id"),
                 ),
             )
         ).alias("a"),
@@ -156,6 +222,19 @@ _Y8_D = (
     f"AS BIGINT)))"
 )
 
+def _hilbert_ctes() -> str:
+    """h1..h{BITS} chained CTEs rewriting (hd, hx, hy) per step."""
+    out = []
+    prev = "h0"
+    for i, (d_e, x_e, y_e) in enumerate(_hilbert_steps("//"), start=1):
+        out.append(
+            f"h{i} AS (\n  SELECT d, p, x8, z16, {d_e} AS hd, "
+            f"{x_e} AS hx, {y_e} AS hy FROM {prev}\n)"
+        )
+        prev = f"h{i}"
+    return ",\n".join(out)
+
+
 ZORDER_ORACLE = f"""
 WITH base AS (
   SELECT {_X8_D} AS x8, {_Y8_D} AS y8,
@@ -167,12 +246,20 @@ WITH base AS (
 keyed AS (
   SELECT d, p, x8, y8, {_interleave("x8", "y8", "//")} AS z16 FROM base
 ),
+h0 AS (
+  SELECT d, p, x8, z16, CAST(0 AS BIGINT) AS hd, x8 AS hx, y8 AS hy
+  FROM keyed
+),
+{_hilbert_ctes()},
 assigned AS (
   SELECT d, p, 'linear' AS layout, x8 // {256 // N_FILES} AS file_id
   FROM keyed
   UNION ALL
   SELECT d, p, 'zorder' AS layout, z16 // {65536 // N_FILES} AS file_id
   FROM keyed
+  UNION ALL
+  SELECT d, p, 'hilbert' AS layout, hd // {65536 // N_FILES} AS file_id
+  FROM h{BITS}
 ),
 files AS (
   SELECT layout, file_id,

@@ -100,6 +100,21 @@ def test_rrf_scores_obey_the_fusion_law(spark):
         assert scores == sorted(scores, reverse=True)
 
 
+def test_retrieval_plan_shapes(spark):
+    """QL top-k: partial WindowGroupLimit bounds the per-query top-k
+    map-side and there is no cartesian.  RRF: both rankers' corpus
+    tokenize is served by ONE shared cache entry (the tf relations are
+    plan-identical by construction)."""
+    ql = mod.retrieval_ql_topk(spark, "/root/testdata/sf0.01")
+    p = ql._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in p and "Partial" in p
+    assert "CartesianProduct" not in p
+    rrf = mod.retrieval_rrf(spark, "/root/testdata/sf0.01")
+    p2 = rrf._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in p2
+    assert "CartesianProduct" not in p2
+
+
 def test_rrf_doc_in_both_lists_beats_single_list_peers(spark):
     """A document both rankers retrieve outranks any document only one
     ranker retrieved at an equal-or-worse rank — the reason fusion is

@@ -41,9 +41,49 @@ def test_morton_locality():
     assert mod.morton16(0, 128) == 1 << 15
 
 
+def test_hilbert_key_matches_python_oracle_and_is_bijective(spark):
+    # bijectivity over the full grid (python twin)
+    seen = {mod.hilbert_d(x, y) for x in range(256) for y in range(256)}
+    assert seen == set(range(65536))
+    # staged SQL == python twin on a sample
+    rows = spark.range(0, 256, 13).selectExpr(
+        "cast(id as bigint) as hx",
+        "cast((id * 97) % 256 as bigint) as hy",
+        "cast(0 as bigint) as hd",
+    )
+    import pyspark.sql.functions as SF
+    orig = [(r["hx"], r["hy"]) for r in rows.collect()]
+    for d_e, x_e, y_e in mod._hilbert_steps("div"):
+        rows = rows.withColumns(
+            {"hd": SF.expr(d_e), "hx": SF.expr(x_e), "hy": SF.expr(y_e)}
+        )
+    got = rows.collect()
+    for (x0, y0), r in zip(orig, got):
+        assert r["hd"] == mod.hilbert_d(x0, y0)
+
+
+def test_hilbert_locality_beats_morton_on_adjacency():
+    """The reason Hilbert exists: consecutive curve positions are always
+    grid-adjacent (step distance 1), while Morton takes long jumps —
+    so Hilbert key-range files have tighter min-max boxes on average."""
+    def step_dists(key_fn):
+        pts = sorted(
+            ((key_fn(x, y), x, y) for x in range(256) for y in range(256))
+        )
+        return [
+            abs(a[1] - b[1]) + abs(a[2] - b[2])
+            for a, b in zip(pts, pts[1:])
+        ]
+    h = step_dists(mod.hilbert_d)
+    m = step_dists(mod.morton16)
+    assert max(h) == 1                 # Hilbert: every step is adjacent
+    assert max(m) > 1                  # Morton: long jumps exist
+    assert sum(h) < sum(m)
+
+
 def test_pruning_is_sound_and_matching_counts_exact(spark):
     out = {r["layout"]: r for r in mod.zorder_skip_stats(spark, SF_DIR).collect()}
-    assert set(out) == {"linear", "zorder"}
+    assert set(out) == {"linear", "zorder", "hilbert"}
     li = load_table(spark, SF_DIR, "lineitem")
     n_total = li.count()
     n_match = li.filter(
@@ -65,8 +105,9 @@ def test_zorder_beats_linear_on_the_2d_predicate(spark):
     under the interleaved layout because files are bounded in BOTH
     dimensions, not just the ingest-date axis."""
     out = {r["layout"]: r for r in mod.zorder_skip_stats(spark, SF_DIR).collect()}
-    assert out["zorder"]["rows_scanned"] < out["linear"]["rows_scanned"]
-    assert out["zorder"]["files_scanned"] <= out["linear"]["files_scanned"]
+    for curve in ("zorder", "hilbert"):
+        assert out[curve]["rows_scanned"] < out["linear"]["rows_scanned"]
+        assert out[curve]["files_scanned"] <= out["linear"]["files_scanned"]
 
 
 def test_single_scan_no_joins(spark):
