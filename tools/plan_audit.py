@@ -74,6 +74,17 @@ EXTRA = [
     "sqlfile_fact_orders",
     "sqlfile_dim_customers",
     "flac_decoded",
+    # round-12 structural shapes
+    "retrieval_ql_topk",
+    "retrieval_rrf",
+    "retrieval_eval",
+    "kmv_source_overlap",
+    "kmv_incremental_merge",
+    "zorder_skip_stats",
+    "doc_winnow_overlap",
+    "doc_winnow_spans",
+    "image_knn_dhash",
+    "curation_multimodal_clusters",
 ]
 
 
