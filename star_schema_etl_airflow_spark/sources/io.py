@@ -382,24 +382,66 @@ def compact_parquet(
     )
 
 
+def _swap_publish(tmp: str, path: str) -> None:
+    """Publish a fully-written ``tmp`` dir at ``path`` such that a crash
+    at ANY point leaves at least one complete copy on disk:
+    rename-old-aside → rename-tmp-in → delete-old.  The previous
+    rmtree-then-rename shape had a window (after the rmtree, before the
+    rename) where NO copy existed — a crash there made a restarted
+    streaming job silently rebuild state from one micro-batch
+    (round-12 advice).  ``recover_swap`` is the matching crash-recovery
+    half: it adopts ``tmp`` or restores the aside copy when ``path`` is
+    missing."""
+    import shutil
+
+    old = path + "__old_swap"
+    if os.path.exists(old):  # stale aside from a crash after publish
+        shutil.rmtree(old)
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
+def recover_swap(path: str) -> bool:
+    """Crash-recovery for ``_swap_publish``: if ``path`` is missing but a
+    COMPLETE ``__tmp_swap`` sibling exists (Spark's ``_SUCCESS`` marker
+    committed), adopt it — it holds the full merged state; else restore
+    the ``__old_swap`` aside.  Returns True if a copy was recovered.
+    Callers that treat a missing target as "day 0" (streaming sketch /
+    dim folds) MUST call this before the existence check, or a crash
+    mid-publish silently restarts state from a single micro-batch."""
+    path = path.rstrip("/")
+    if os.path.exists(path):
+        return False
+    tmp, old = path + "__tmp_swap", path + "__old_swap"
+    if os.path.exists(os.path.join(tmp, "_SUCCESS")):
+        os.rename(tmp, path)
+        return True
+    if os.path.exists(old):
+        os.rename(old, path)
+        return True
+    return False
+
+
 def write_swap(df: DataFrame, path: str, partition_by: str | None = None) -> None:
     """Read-modify-write rewrite: write to a temp sibling, then swap.
 
     Required when ``df``'s lineage READS ``path`` (SCD2 dim rewrite, merge
-    upsert) — overwriting a path mid-read self-truncates.  The swap
-    (rename) is atomic on a local/HDFS filesystem; on object stores use a
-    table format (Delta/Iceberg) instead — documented in SURVEY §7.4.
+    upsert) — overwriting a path mid-read self-truncates.  The publish is
+    the rename-aside protocol (``_swap_publish``) so a complete copy
+    exists at every instant; renames are atomic on a local/HDFS
+    filesystem; on object stores use a table format (Delta/Iceberg)
+    instead — documented in SURVEY §7.4.
     """
-    import shutil
-
-    tmp = path.rstrip("/") + "__tmp_swap"
+    path = path.rstrip("/")
+    tmp = path + "__tmp_swap"
     w = df.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(partition_by)
     w.parquet(tmp)
-    if os.path.exists(path):
-        shutil.rmtree(path)
-    os.rename(tmp, path)
+    _swap_publish(tmp, path)
     # the rename happened outside Spark's writers — drop the session's
     # cached file listing for the path or later reads serve deleted files
     df.sparkSession.catalog.refreshByPath(path)

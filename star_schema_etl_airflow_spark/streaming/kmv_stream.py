@@ -12,19 +12,19 @@ Design notes:
   folded sketch is EXACTLY the sketch of all rows ever ingested
   (order- and batching-independent; pinned against the batch operator
   in ``tests/test_kmv_stream.py``).
-- The publish is the scd2_stream swap shape: parquet lands in a temp
-  sibling, one rename publishes — a crash leaves the old sketch or the
-  new one, never a mix, and re-delivery of a batch is a no-op by
-  idempotence of ∪-then-bottom-K.
+- The publish is the shared rename-aside swap (``sources/io.py::
+  _swap_publish``): parquet lands in a temp sibling, the old sketch is
+  renamed aside, the sibling renamed in, the aside deleted — a complete
+  sketch exists at EVERY instant, and ``recover_swap`` at the top of
+  each micro-batch adopts the sibling/aside after a mid-publish crash
+  instead of silently rebuilding from one batch.  Re-delivery of a
+  batch is a no-op by idempotence of ∪-then-bottom-K.
 - At 100 TB the sketch table stays sources×K rows no matter how much
   lands; each micro-batch pays one batch-sized scan and a
   sketch-sized merge.
 """
 
 from __future__ import annotations
-
-import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -33,7 +33,11 @@ from star_schema_etl_airflow_spark.plans.kmv_overlap import (
     K,
     kmv_sketches,
 )
-from star_schema_etl_airflow_spark.sources.io import _target_exists
+from star_schema_etl_airflow_spark.sources.io import (
+    _swap_publish,
+    _target_exists,
+    recover_swap,
+)
 
 
 def merge_sketches(existing: DataFrame | None, delta_sig: DataFrame) -> DataFrame:
@@ -55,9 +59,7 @@ def _publish_swap(df: DataFrame, path: str) -> None:
     path = path.rstrip("/")
     tmp = path + "__tmp_swap"
     df.write.mode("overwrite").parquet(tmp)
-    if os.path.exists(path):
-        shutil.rmtree(path)
-    os.rename(tmp, path)
+    _swap_publish(tmp, path)
     df.sparkSession.catalog.refreshByPath(path)
 
 
@@ -81,7 +83,10 @@ def run_kmv_stream(
             return
         # explicit existence check, not a broad except (the dedup_stream
         # rationale: a transient read error must fail the micro-batch
-        # and retry, not silently restart the sketch from scratch)
+        # and retry, not silently restart the sketch from scratch); a
+        # crash mid-publish leaves the target missing but a complete
+        # copy in a sibling — adopt it, never rebuild from one batch
+        recover_swap(sketch_path)
         existing = (
             spark.read.parquet(sketch_path)
             if _target_exists(sketch_path, spark)

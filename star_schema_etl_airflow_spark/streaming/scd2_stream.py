@@ -68,6 +68,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from star_schema_etl_airflow_spark.operators.scd2 import apply_scd2
+from star_schema_etl_airflow_spark.sources.io import _swap_publish, recover_swap
 
 log = logging.getLogger(__name__)
 
@@ -119,18 +120,17 @@ def _swap_with_ledger(
 ) -> None:
     """``write_swap`` plus the applied-dates ledger, committed together:
     parquet lands in the temp sibling, the ledger JSON is dropped inside
-    it, and the single rename publishes both — a crash leaves either the
-    old (dim, ledger) pair or the new one, never a mix."""
-    import shutil
-
+    it, and the rename-aside publish (``sources/io.py::_swap_publish``)
+    installs both — a crash leaves either the old (dim, ledger) pair or
+    the new one, never a mix, and a COMPLETE pair exists at every
+    instant (the old rmtree-then-rename shape had a nothing-on-disk
+    window; round-12 advice)."""
     path = dim_path.rstrip("/")
     tmp = path + "__tmp_swap"
     dim.write.mode("overwrite").parquet(tmp)
     with open(os.path.join(tmp, "_applied_dates.json"), "w") as f:
         json.dump(sorted(applied), f)
-    if os.path.exists(path):
-        shutil.rmtree(path)
-    os.rename(tmp, path)
+    _swap_publish(tmp, path)
     # legacy sidecar (pre-in-dir layout) must not shadow future reads
     try:
         os.remove(_legacy_ledger_path(dim_path))
@@ -175,6 +175,10 @@ def run_scd2_stream(
             .orderBy(run_date_col)
             .collect()
         ]
+        # a crash mid-publish leaves dim_path missing but a complete
+        # (dim, ledger) pair in a swap sibling — adopt it rather than
+        # falling through to the empty day-0 dim (round-12 advice)
+        recover_swap(dim_path)
         try:
             dim = spark.read.parquet(dim_path)
             dim_exists = True
