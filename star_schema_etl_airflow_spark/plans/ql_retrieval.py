@@ -26,7 +26,13 @@ compile-time literal embedded identically in both engines.  Int64
 headroom: ``tf·C`` caps at ~9.2e18/tf_max — with tf ≤ 1000 that is a
 9-quadrillion-token corpus; beyond it, switch num/den to double AFTER
 the exact construction (one rounding, still per-engine deterministic),
-same fallback bm25 documents.
+same fallback bm25 documents.  The bound is ENFORCED, not just
+documented: ``ql_scores`` checks ``(μ + max_dl)·C < 2^63`` on the
+one-row stats aggregate (``assert_true``, zero hot-path cost) so an
+over-headroom corpus fails loudly instead of wrapping BIGINT silently
+— Spark wraps where DuckDB widens to HUGEINT, so the wrap would
+otherwise surface as a silent cross-engine divergence (round-12
+advice).
 
 RRF (k = 60): rrf(d) = Σ_r 1/(k + rank_r(d)) over each ranker's
 top-FUSE_K list; each reciprocal is rounded to 9 decimals and summed in
@@ -98,17 +104,53 @@ def ql_scores(
     spark: SparkSession,
     docs: DataFrame,
     queries: tuple[tuple[int, tuple[str, ...]], ...] = BM25_QUERIES,
+    int64_headroom: int = 2**63,
 ) -> DataFrame:
     """(query_id, doc_id, score_scaled BIGINT) over any (doc_id, text)
     corpus — candidates are docs matching ≥1 query term (the standard
-    inverted-index retrieval set)."""
+    inverted-index retrieval set).  ``int64_headroom`` is the BIGINT
+    wrap cliff the stats guard enforces (parameterized only so tests
+    can trigger the guard on a fixture-sized corpus)."""
     toks = docs.select("doc_id", F.explode(F.expr(_TOKS_S)).alias("term"))
     # identical construction to bm25_scores' tf → one shared cache entry
     tf = persist_once(
         toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     )
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    stats = dl.agg(F.sum("dl").alias("c_total"))
+    # int64-headroom guard on the ONE-ROW stats aggregate: the w_hit
+    # numerator μ·ctf + tf·C is bounded by (μ + max_dl)·C; past 2^63
+    # Spark BIGINT wraps silently while DuckDB widens to HUGEINT, so an
+    # over-headroom corpus must fail loudly here (the documented
+    # double-carrier fallback is then adopted deliberately).  The bound
+    # itself is compared in double — exactness is irrelevant 3 decades
+    # under the cliff, and ``when(assert_true(...).isNull(), c_total)``
+    # ties the check into the consumed column so Catalyst cannot prune
+    # it away.
+    stats = (
+        dl.agg(F.sum("dl").alias("c_total"), F.max("dl").alias("max_dl"))
+        .select(
+            F.when(
+                F.assert_true(
+                    (F.lit(float(MU)) + F.col("max_dl").cast("double"))
+                    * F.col("c_total").cast("double")
+                    < F.lit(float(int64_headroom)),
+                    F.concat(
+                        F.lit(
+                            "ql_scores int64 headroom exceeded: "
+                            "(mu + max_dl) * c_total = "
+                        ),
+                        ((F.lit(float(MU)) + F.col("max_dl").cast("double"))
+                         * F.col("c_total").cast("double")).cast("string"),
+                        F.lit(
+                            " >= 2^63 — switch the ln carrier to the "
+                            "documented double fallback"
+                        ),
+                    ),
+                ).isNull(),
+                F.col("c_total"),
+            ).alias("c_total")
+        )
+    )
 
     qrows = [(qid, term) for qid, terms in queries for term in terms]
     qterms = spark.createDataFrame(qrows, "query_id int, term string")

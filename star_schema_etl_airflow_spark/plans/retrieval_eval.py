@@ -61,6 +61,18 @@ CUTOFF = 10
 REL_MIN_TERMS = 2
 DISC_DECIMALS = 9
 
+# The rrf eval row reuses retrieval_rrf's TOP_K-deep output while the
+# oracle rebuilds the fused list from FUSE_K-deep inputs cut at CUTOFF;
+# if TOP_K ever dropped below CUTOFF the Spark side would silently
+# under-cover rrf ranks and the engines would diverge (round-12 advice).
+from star_schema_etl_airflow_spark.plans.ql_retrieval import TOP_K as _QL_TOP_K
+
+if _QL_TOP_K < CUTOFF:
+    raise ImportError(
+        f"retrieval_eval requires ql_retrieval.TOP_K ({_QL_TOP_K}) >= "
+        f"CUTOFF ({CUTOFF}): the rrf eval list is only TOP_K deep"
+    )
+
 # exact literal discounts: disc[r] = round(1/log2(r+1), 9)
 DISCOUNTS = {
     r: round(1.0 / math.log2(r + 1), DISC_DECIMALS)

@@ -132,3 +132,28 @@ def test_rrf_doc_in_both_lists_beats_single_list_peers(spark):
                 s_rank = s["bm25_rank"] or s["ql_rank"]
                 if s_rank >= worst_b:
                     assert b["rrf_score"] > s["rrf_score"]
+
+
+def test_int64_headroom_guard_trips_loudly(spark):
+    """Past the documented BIGINT headroom, the scorer must raise (the
+    double-carrier fallback is then adopted deliberately) instead of
+    wrapping int64 silently where DuckDB would widen to HUGEINT.  The
+    cliff is parameterized down to fixture scale to trigger it."""
+    docs = spark.createDataFrame(
+        [(1, "vector hash merge vector"), (2, "hash hash stream window")],
+        "doc_id int, text string",
+    )
+    # guard passes at the real cliff…
+    assert mod.ql_scores(spark, docs).count() > 0
+    # …and trips when the corpus exceeds the (lowered) headroom
+    with pytest.raises(Exception, match="headroom exceeded"):
+        mod.ql_scores(spark, docs, int64_headroom=10).collect()
+
+
+def test_eval_cutoff_never_exceeds_rrf_depth():
+    """retrieval_eval grades the rrf list at CUTOFF depth but reuses
+    retrieval_rrf's TOP_K-deep output — the import-time guard (and this
+    pin) keep that dependency explicit (round-12 advice)."""
+    from star_schema_etl_airflow_spark.plans import retrieval_eval as ev
+
+    assert mod.TOP_K >= ev.CUTOFF
