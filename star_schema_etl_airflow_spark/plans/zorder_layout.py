@@ -29,7 +29,11 @@ consecutive positions are always grid-adjacent (Morton takes long
 jumps at quadrant boundaries), so its key-range files have
 tighter-or-equal min-max boxes on average.  64 files per layout:
 linear cuts on ``x8 div 4`` (40-day ranges), the curves on
-``key div 1024`` (the top 3 bits of each dimension).
+``key div 1024`` (the top 3 bits of each dimension).  The audited
+winner is WRITABLE: ``sources/io.py::write_hilbert`` lays real parquet
+files out by the same curve (shared step generator), and
+``tests/test_zorder_layout.py`` pins that the written footers realize
+the audit's predicted pruning.
 
 Scale design: ONE corpus scan — each row emits its two (layout, file)
 assignments through a 2-element explode, and the per-file stats are a
@@ -52,6 +56,7 @@ from pyspark.sql import functions as F
 
 from star_schema_etl_airflow_spark.registry import QuerySpec, register
 from star_schema_etl_airflow_spark.sources.fixtures import load_table
+from star_schema_etl_airflow_spark.sources.io import hilbert_steps
 
 EPOCH = datetime.date(1995, 1, 1)   # fixture l_shipdate starts 1995-01-02
 DAY_Q = 10                          # days per x-quantum (2500-day span → 250)
@@ -97,21 +102,10 @@ _N = 1 << BITS  # 256
 
 def _hilbert_steps(div: str) -> list[tuple[str, str, str]]:
     """Per-step (hd, hx, hy) replacement expressions over the previous
-    step's columns of the same names."""
-    steps = []
-    for s in [1 << i for i in range(BITS - 1, -1, -1)]:
-        rx = f"((hx {div} {s}) % 2)"
-        ry = f"((hy {div} {s}) % 2)"
-        q = f"(CASE WHEN {rx} = 1 THEN 3 - {ry} ELSE {ry} END)"
-        flip = f"{ry} = 0 AND {rx} = 1"
-        xf = f"(CASE WHEN {flip} THEN {_N - 1} - hx ELSE hx END)"
-        yf = f"(CASE WHEN {flip} THEN {_N - 1} - hy ELSE hy END)"
-        steps.append((
-            f"hd + {s * s} * {q}",
-            f"(CASE WHEN {ry} = 0 THEN {yf} ELSE hx END)",
-            f"(CASE WHEN {ry} = 0 THEN {xf} ELSE hy END)",
-        ))
-    return steps
+    step's columns of the same names — the shared generator that also
+    powers the ``write_hilbert`` file writer (``sources/io.py``), so the
+    audited layout and the written layout use the SAME curve."""
+    return hilbert_steps(BITS, div)
 
 
 def hilbert_d(x: int, y: int) -> int:

@@ -324,6 +324,84 @@ def write_zorder(
     write_zorder_n(df, path, [col_a, col_b], bits, n_files, mode)
 
 
+def hilbert_steps(
+    bits: int,
+    div: str = "div",
+    x: str = "hx",
+    y: str = "hy",
+    d: str = "hd",
+) -> list[tuple[str, str, str]]:
+    """Hilbert xy→d walk (order ``bits``) unrolled into ``bits``
+    data-independent projection steps — each step rewrites columns
+    ``(d, x, y)`` from the previous step's values via pure integer
+    div/mod and CASE rotations, so the chain stays inside whole-stage
+    codegen (no loop, no UDF) and the SAME text runs in DuckDB with
+    ``div="//"`` (the audit oracle in ``plans/zorder_layout.py``).
+    Returns per-step ``(d_expr, x_expr, y_expr)`` replacement strings.
+    Inputs must already be clamped to ``[0, 2**bits)``."""
+    n = 1 << bits
+    steps = []
+    for s in [1 << i for i in range(bits - 1, -1, -1)]:
+        rx = f"(({x} {div} {s}) % 2)"
+        ry = f"(({y} {div} {s}) % 2)"
+        q = f"(CASE WHEN {rx} = 1 THEN 3 - {ry} ELSE {ry} END)"
+        flip = f"{ry} = 0 AND {rx} = 1"
+        xf = f"(CASE WHEN {flip} THEN {n - 1} - {x} ELSE {x} END)"
+        yf = f"(CASE WHEN {flip} THEN {n - 1} - {y} ELSE {y} END)"
+        steps.append((
+            f"{d} + {s * s} * {q}",
+            f"(CASE WHEN {ry} = 0 THEN {yf} ELSE {x} END)",
+            f"(CASE WHEN {ry} = 0 THEN {xf} ELSE {y} END)",
+        ))
+    return steps
+
+
+def write_hilbert(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    bits: int = 8,
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Hilbert-ordered 2-D layout: cluster files by the Hilbert-curve
+    index of two (clamped-to-``[0, 2**bits)``) integer columns.
+
+    The locality upgrade over :func:`write_zorder`: consecutive Hilbert
+    positions are always grid-ADJACENT, where Morton takes long jumps at
+    quadrant boundaries — so equal key-range file cuts get
+    tighter-or-equal min-max boxes on average, and 2-D predicates prune
+    more files.  The ``zorder_skip_stats`` audit
+    (``plans/zorder_layout.py``) measured exactly this on the fixture
+    fact table and Hilbert won; this writer makes the audited winner
+    writable.  Cost shape is identical to the z-order writer: one
+    range-repartition shuffle on the curve key, a within-partition sort,
+    no UDF (the xy→d walk is ``bits`` chained projection steps).
+    """
+    n = n_files or df.sparkSession.sparkContext.defaultParallelism
+    hi = (1 << bits) - 1
+    out = df.withColumns({
+        "__hx": F.expr(
+            f"least({hi}, greatest(0, cast({col_a} as bigint)))"),
+        "__hy": F.expr(
+            f"least({hi}, greatest(0, cast({col_b} as bigint)))"),
+        "__hd": F.lit(0).cast("bigint"),
+    })
+    for d_e, x_e, y_e in hilbert_steps(bits, "div", "__hx", "__hy", "__hd"):
+        out = out.withColumns({
+            "__hd": F.expr(d_e), "__hx": F.expr(x_e), "__hy": F.expr(y_e),
+        })
+    (
+        out.drop("__hx", "__hy")
+        .repartitionByRange(n, F.col("__hd"))
+        .sortWithinPartitions("__hd")
+        .drop("__hd")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def write_zorder_n(
     df: DataFrame,
     path: str,
