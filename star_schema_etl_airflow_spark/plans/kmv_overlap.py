@@ -27,7 +27,10 @@ exchange: each input partition forwards at most K rows per source, so
 the shuffle carries O(partitions·sources·K), never the corpus).  All
 pairwise work happens on |sources|·K rows — for 10 000 sources at
 K=128 that is ~1.3M rows, a broadcastable table; pair expansion is
-bounded by |sources|²·K independent of corpus size.  Sketches are also
+bounded by |sources|²·K independent of corpus size — a bound that is
+CENSUSED (logged per call) and ENFORCED (``MAX_PAIR_EXPANSION``) in
+``pairwise_overlap``, so an all-pairs run over too many sources fails
+loudly instead of silently launching a quadratic shuffle.  Sketches are also
 mergeable across days (union two sketches → re-take bottom-K), the
 property that makes them incremental at no extra cost.
 
@@ -36,6 +39,8 @@ reference has no sketching).
 """
 
 from __future__ import annotations
+
+import logging
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -52,9 +57,17 @@ from star_schema_etl_airflow_spark.functions.text import (
 from star_schema_etl_airflow_spark.registry import QuerySpec, register
 from star_schema_etl_airflow_spark.sources.fixtures import load_table
 
+log = logging.getLogger(__name__)
+
 K = 128                 # sketch size (σ_jaccard ≈ √(j(1−j)/K) ≈ 0.03 at j=0.1)
 HASH_SPACE = 2.0**60    # md5_long range is [0, 2^60)
 EST_DECIMALS = 9
+
+# Deployment bound on the S²·K pair expansion: ~1e11 rows ≈ 4 TB of
+# (pair, h, flags) shuffle — the point where all-pairs stops being the
+# right algorithm (shard the source list instead).  At K=128 this
+# admits ~28 000 sources.
+MAX_PAIR_EXPANSION = 100_000_000_000
 
 _SH_S = shingles_spark(tokens_spark("text"))
 _SH_D = shingles_duck(tokens_duck("text"))
@@ -80,11 +93,37 @@ def kmv_sketches(spark: SparkSession, docs: DataFrame) -> DataFrame:
     )
 
 
-def pairwise_overlap(sig: DataFrame) -> DataFrame:
+def pairwise_overlap(
+    sig: DataFrame, max_pair_rows: int = MAX_PAIR_EXPANSION
+) -> DataFrame:
     """All-pairs estimates from a (source, h) sketch relation — shared
     by the at-rest operator and the incremental merge path.  ``sig`` is
-    referenced by four downstream branches; callers persist it."""
+    referenced by four downstream branches; callers persist it.
+
+    The Θ(S²·K) pair expansion is the one stage whose size grows in the
+    SQUARE of the source count, independent of corpus size — so it is
+    censused at runtime (the no-silent-caps rule: the S²·K row count is
+    logged on every call) and guarded: past ``max_pair_rows`` the call
+    raises instead of silently launching an infeasible shuffle (round-12
+    advice).  The census count is driver-side over the persisted
+    SKETCH-sized relation — one distinct-count job on ≤ S·K rows, not a
+    corpus scan."""
     srcs = sig.select("source").distinct()
+    n_sources = srcs.count()
+    pair_rows = n_sources * (n_sources - 1) // 2 * 2 * K
+    log.info(
+        "kmv pairwise census: %d sources -> %d pairs, <=%d expanded "
+        "sketch rows (bound %d)",
+        n_sources, n_sources * (n_sources - 1) // 2, pair_rows,
+        max_pair_rows,
+    )
+    if pair_rows > max_pair_rows:
+        raise ValueError(
+            f"kmv pairwise expansion {pair_rows} rows ({n_sources} sources"
+            f" x K={K}) exceeds the deployment bound {max_pair_rows}: "
+            "all-pairs overlap is quadratic in sources — shard the "
+            "source list or raise max_pair_rows deliberately"
+        )
     pairs = (
         srcs.alias("a")
         .join(srcs.alias("b"), F.col("a.source") < F.col("b.source"))

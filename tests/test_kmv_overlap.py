@@ -153,3 +153,30 @@ def test_sketch_build_plan_shape(spark):
     # pair subtree); the sketch join itself must be an equi hash join
     assert plan.count("BroadcastNestedLoopJoin") <= 2
     assert "BroadcastHashJoin" in plan
+
+
+def test_pair_expansion_census_and_bound(spark, caplog):
+    """The Θ(S²·K) pair stage is censused per call (no-silent-caps) and
+    raises past the deployment bound; the guard itself is lossless —
+    output with a huge bound equals output with the default."""
+    import logging
+
+    docs = spark.createDataFrame(
+        [(s, f"w{i} w{i+1} w{i+2} w{i+3} w{i+4} w{i+5}")
+         for s in ("a", "b", "c") for i in range(3)],
+        "source string, text string",
+    )
+    sig = mod.kmv_sketches(spark, docs).cache()
+    with caplog.at_level(logging.INFO, logger=mod.__name__):
+        base = sorted(map(tuple, mod.pairwise_overlap(sig).collect()))
+    assert any("kmv pairwise census: 3 sources -> 3 pairs" in r.message
+               for r in caplog.records)
+    # lossless: the bound only observes, never alters the estimates
+    loose = sorted(
+        map(tuple, mod.pairwise_overlap(sig, max_pair_rows=10**18).collect())
+    )
+    assert base == loose
+    # loud past the bound: 3 pairs * 2K = 768 expanded rows > 10
+    with pytest.raises(ValueError, match="exceeds the deployment bound"):
+        mod.pairwise_overlap(sig, max_pair_rows=10)
+    sig.unpersist()
