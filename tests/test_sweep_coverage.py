@@ -25,3 +25,19 @@ def test_every_registered_query_has_a_committed_sweep_record():
         f"{gap} — run `python tools/check_correctness.py --sweep` and "
         "commit the regenerated LOCAL_CORRECTNESS.md"
     )
+
+
+def test_addendum_line_format_parses(tmp_path):
+    """The incremental mode (check_correctness.py --append/--missing)
+    appends addendum lines instead of re-sweeping 200+ queries; this
+    pins that the exact line it writes is one sweep_names() accepts —
+    the two tools cannot drift apart silently."""
+    p = tmp_path / "rec.md"
+    p.write_text(
+        "# LOCAL_CORRECTNESS\n"
+        "| query | sf0.01 |\n|---|---|\n| old_query | OK |\n"
+        "- `new_query` (query addendum, commit `abc1234`): "
+        "sf0.001 OK, sf0.01 OK, sf0.1 OK\n"
+    )
+    names = sweep_coverage.sweep_names(str(p))
+    assert {"old_query", "new_query"} <= names

@@ -11,11 +11,22 @@ reported as WEAK rather than FAIL.
 Usage:
     python tools/check_correctness.py [sf_dir] [query ...]
     python tools/check_correctness.py --sweep [sf_dir ...]
+    python tools/check_correctness.py --append query [query ...]
+    python tools/check_correctness.py --missing
 
 ``--sweep`` runs EVERY registered query at every given sf dir (default
-sf0.01 and sf0.1) and rewrites ``LOCAL_CORRECTNESS.md`` at the repo
+all three SFs) and rewrites ``LOCAL_CORRECTNESS.md`` at the repo
 root — the committed per-round record that all queries were locally
 oracle-checked, not just the driver's 50-query sample.
+
+``--append`` is the INCREMENTAL mode (round-12 verdict task 2): run
+only the named queries at the three SFs and, if every cell is green,
+append one addendum line per query to ``LOCAL_CORRECTNESS.md`` in the
+format ``tools/sweep_coverage.py`` parses — so registering a new query
+costs a 3-SF check of THAT query, not a full 211-query re-sweep.
+``--missing`` is ``--append`` over exactly the queries the committed
+record does not yet cover (``tools/sweep_coverage.py``'s gap), i.e.
+"make the sweep gate green with the minimum work".
 """
 
 from __future__ import annotations
@@ -34,13 +45,20 @@ import pandas as pd
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-SWEEP = len(sys.argv) > 1 and sys.argv[1] == "--sweep"
+DEFAULT_SFS = [
+    "/root/testdata/sf0.001", "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1",
+]
+
+MODE = sys.argv[1] if len(sys.argv) > 1 and sys.argv[1].startswith("--") \
+    else "single"
+SWEEP = MODE == "--sweep"
 if SWEEP:
-    SWEEP_DIRS = sys.argv[2:] or [
-        "/root/testdata/sf0.001", "/root/testdata/sf0.01",
-        "/root/testdata/sf0.1",
-    ]
+    SWEEP_DIRS = sys.argv[2:] or DEFAULT_SFS
     SF_DIR, ONLY = SWEEP_DIRS[0], set()
+elif MODE in ("--append", "--missing"):
+    SWEEP_DIRS = DEFAULT_SFS
+    SF_DIR, ONLY = SWEEP_DIRS[0], set(sys.argv[2:])
 else:
     SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     ONLY = set(sys.argv[2:])
@@ -257,10 +275,68 @@ def write_sweep_report(path: str, results: dict[str, dict[str, str]]) -> None:
         f.write("\n".join(lines) + "\n")
 
 
+def append_addendum(path: str, results: dict[str, dict[str, str]]) -> None:
+    """Append one addendum line per query to the committed record —
+    only called when every cell is green.  The line format is what
+    ``tools/sweep_coverage.py::sweep_names`` parses: ``- `name` (query
+    addendum, commit X): sf... OK ...``."""
+    try:
+        commit = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], cwd=REPO,
+            capture_output=True, text=True
+        ).stdout.strip()
+    except OSError:
+        commit = "?"
+    names = sorted({n for r in results.values() for n in r})
+    with open(path, "a") as f:
+        for n in names:
+            cells = ", ".join(
+                f"{os.path.basename(sf.rstrip('/'))} {results[sf][n]}"
+                for sf in results
+            )
+            f.write(
+                f"- `{n}` (query addendum, commit `{commit}`): {cells}\n"
+            )
+
+
+def run_incremental(spark, names: set[str]) -> int:
+    """--append/--missing: check only ``names`` at all SFs; append
+    addendum lines to LOCAL_CORRECTNESS.md iff everything is green."""
+    if not names:
+        print("nothing to check: committed record already covers "
+              "every registered query")
+        return 0
+    results = {}
+    for sf in SWEEP_DIRS:
+        print(f"=== {sf} ===")
+        results[sf] = run_suite(spark, sf, names)
+    total_fail = sum(_tally(r)[2] for r in results.values())
+    missing_runs = [
+        n for n in names
+        for sf in SWEEP_DIRS if n not in results[sf]
+    ]
+    if missing_runs:
+        print(f"not registered (no queries() entry): {sorted(set(missing_runs))}")
+        return 1
+    if total_fail:
+        print(f"{total_fail} failing cells — NOT appending to the "
+              "committed record")
+        return 1
+    append_addendum(os.path.join(REPO, "LOCAL_CORRECTNESS.md"), results)
+    print(f"appended {len(names)} addendum line(s) to LOCAL_CORRECTNESS.md")
+    return 0
+
+
 def main() -> int:
     from star_schema_etl_airflow_spark.session import get_spark
 
     spark = get_spark("check-correctness")
+    if MODE == "--missing":
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from sweep_coverage import missing as gap
+        return run_incremental(spark, set(gap()))
+    if MODE == "--append":
+        return run_incremental(spark, ONLY)
     if SWEEP:
         results = {}
         for sf in SWEEP_DIRS:
