@@ -111,6 +111,15 @@ def main() -> None:
     # min-of-3 steady-state replaces the rotation figure.  This runs
     # LAST so the clearCache cannot perturb any other query's timing.
     ISOLATED = ("dedup_prefix_join",)
+    # r12 verdict task 7: rotation-order contention can dominate a
+    # recorded figure (dedup_prefix_join: rotation 9.57s vs isolated
+    # 1.56s in BENCH_r12.json).  Rule: any rotation figure above
+    # ISOLATE_CANDIDATE_SEC gets an isolated audit, and the isolated
+    # figure is PROMOTED to the committed record when rotation/isolated
+    # exceeds ISOLATE_RATIO — so the drift gate compares like with
+    # like.  Both figures always land in isolated_protocol for audit.
+    ISOLATE_CANDIDATE_SEC = 2.0
+    ISOLATE_RATIO = 3.0
     by_name = {s.name: s for s in headline}
 
     def isolated_measure(spec) -> float:
@@ -132,13 +141,21 @@ def main() -> None:
     # visible so headline_total's protocol change (r10) is auditable in
     # the JSON itself, not only in BENCH_HISTORY.md.
     isolated_protocol: dict[str, dict[str, float]] = {}
-    for name in ISOLATED:
-        if name not in by_name:
-            continue
+    audit = [
+        s.name for s in headline
+        if s.name not in ISOLATED
+        and timings[s.name] > ISOLATE_CANDIDATE_SEC
+    ]
+    for name in [n for n in ISOLATED if n in by_name] + audit:
         rotation = timings[name]
-        timings[name] = isolated_measure(by_name[name])
+        iso = isolated_measure(by_name[name])
+        promoted = name in ISOLATED or rotation / iso > ISOLATE_RATIO
+        if promoted:
+            timings[name] = iso
         isolated_protocol[name] = {
-            "rotation": rotation, "isolated": timings[name]}
+            "rotation": rotation, "isolated": iso,
+            "promoted": promoted,
+        }
 
     # NON-GATING extras (r10 verdict task 1): the multimodal dedup
     # family + the incremental MinHash probe get per-round figures with

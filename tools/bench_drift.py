@@ -61,6 +61,17 @@ GATED_EXTRAS = {
     "image_dedup_dhash",
     "audio_dedup_fingerprint",
     "dedup_incremental_minhash",
+    # r11/r12 extras promoted in r13 (r12 verdict task 3): baselines are
+    # the r12 driver record — a measured-slow host (pyloop 0.589-0.886
+    # vs the 0.48-0.60 quiet band), so the base figures are INFLATED and
+    # gating against them only fires on a real regression; the r13
+    # quiet-host record re-baselines them.
+    "doc_winnow_overlap",
+    "image_knn_dhash",
+    "curation_multimodal_clusters",
+    "retrieval_rrf",
+    "kmv_source_overlap",
+    "zorder_skip_stats",
 }
 
 # round number -> committed quiet-host re-measure superseding the
@@ -134,6 +145,18 @@ def drift(base: dict, new: dict, base_name: str, new_name: str) -> int:
     if factor != 1.0:
         print(f"host-normalizing by pyloop ratio {factor:.3f} "
               f"(base {bs:.3f}s, new {ns:.3f}s)")
+    # Isolated-protocol audit (r12 verdict task 7): bench.py promotes
+    # the cache-isolated figure to the committed record for any query
+    # whose rotation/isolated ratio exceeds 3× (rotation-order
+    # contention dominates the rotation figure for those shapes).
+    # Surface each promotion so the like-with-like comparison is
+    # visible in the gate's own output, not only in the JSON.
+    for q, rec in sorted((new.get("isolated_protocol") or {}).items()):
+        rot, iso = rec.get("rotation"), rec.get("isolated")
+        if rot and iso and rec.get("promoted", True) and rot / iso > 3.0:
+            print(f"iso  {q}: committed figure is the isolated protocol "
+                  f"({iso:.3f}s; rotation {rot:.3f}s, ratio "
+                  f"{rot / iso:.1f}x — rotation-order contention)")
     bad = 0
     shared = set(base["queries"]) & set(new["queries"])
     added = set(new["queries"]) - set(base["queries"])
