@@ -63,17 +63,21 @@ BM25_QUERIES: tuple[tuple[int, tuple[str, ...]], ...] = (
 )
 
 
-def bm25_scores(
+def bm25_query_index(
     spark: SparkSession,
     docs: DataFrame,
     queries: tuple[tuple[int, tuple[str, ...]], ...] = BM25_QUERIES,
 ) -> DataFrame:
-    """(query_id, doc_id, score) over ANY (doc_id, text) corpus — the
-    corpus-parametric core shared by ``bm25_topk`` and the composed
-    curation pipelines."""
+    """The at-rest retrieval INDEX for a query set: ``(query_id, term,
+    w, n_docs, sum_dl)`` — everything scoring a document needs besides
+    the document's own tf/dl.  |q| rows, broadcastable; this is the
+    artifact an incremental pipeline materializes once per corpus
+    version so delta batches can be scored without a corpus re-scan
+    (``plans/retrieval_incremental.py``)."""
     toks = docs.select("doc_id", F.explode(F.expr(_TOKS_S)).alias("term"))
     # tf feeds both df-counting and scoring; persist the (doc,term)-sized
-    # partial instead of re-exploding the corpus
+    # partial instead of re-exploding the corpus (plan-identity cache:
+    # bm25_score_with_index builds the same tf and shares the entry)
     tf = persist_once(toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
     dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
     stats = dl.agg(
@@ -88,7 +92,7 @@ def bm25_scores(
     # idf only for query terms: the broadcast side stays |q| rows no
     # matter the corpus size
     df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
-    qidf = (
+    return (
         qterms.join(df_t, "term")
         .crossJoin(F.broadcast(stats))
         .select(
@@ -108,6 +112,15 @@ def bm25_scores(
         )
     )
 
+
+def bm25_score_with_index(docs: DataFrame, qidf: DataFrame) -> DataFrame:
+    """Score ANY (doc_id, text) relation against a (possibly frozen)
+    query index from :func:`bm25_query_index`: only ``docs`` is
+    tokenized — the index side is a broadcast join, so scoring a delta
+    batch costs a delta-sized scan, never a corpus re-scan."""
+    toks = docs.select("doc_id", F.explode(F.expr(_TOKS_S)).alias("term"))
+    tf = persist_once(toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
     contrib = (
         tf.join(F.broadcast(qidf), "term")
         .join(F.broadcast(dl), "doc_id")
@@ -131,6 +144,18 @@ def bm25_scores(
     return contrib.groupBy("query_id", "doc_id").agg(
         F.sum("c").cast("decimal(38,9)").alias("score")
     )
+
+
+def bm25_scores(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: tuple[tuple[int, tuple[str, ...]], ...] = BM25_QUERIES,
+) -> DataFrame:
+    """(query_id, doc_id, score) over ANY (doc_id, text) corpus — the
+    corpus-parametric core shared by ``bm25_topk`` and the composed
+    curation pipelines.  Index build and scoring share the persisted tf
+    relation (plan-identity cache), so the split costs no extra scan."""
+    return bm25_score_with_index(docs, bm25_query_index(spark, docs, queries))
 
 
 def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -100,6 +100,7 @@ def _ensure_loaded() -> None:
         pudf_queries,
         ql_retrieval,
         retrieval_eval,
+        retrieval_incremental,
         scan_pruning,
         sketches,
         spark4_features,
