@@ -278,3 +278,113 @@ WHERE (CAST(r.pair_n AS DOUBLE) / CAST(sa.item_n AS DOUBLE))
 
 register(QuerySpec("basket_rules", basket_rules, BASKET_RULES_ORACLE,
                    tags=("GOVERNANCE", "J1", "A1")))
+
+
+# --- right-to-erasure cascade audit ----------------------------------------
+
+# Deterministic stand-in for the deletion-request table: customers whose
+# seeded id hash lands in the modulus class (~2.5% of customers).  At
+# deployment the flag comes from a semi-join against the actual request
+# table (broadcast — request lists are small); deriving it from the same
+# key keeps this audit fully differential.
+ERASE_SEED = "erasure"
+ERASE_MOD = 41
+PCT_DECIMALS = 9
+
+
+def gdpr_erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure (GDPR art. 17) cascade audit: given the deletion
+    request set over ``customer``, count rows purged vs retained as the
+    deletion propagates customer → orders → lineitem, one row per table.
+
+    Scale design: customer and orders never join anything — the request
+    flag is computed in-scan (at deployment: broadcast semi-join) and the
+    per-table tallies are single map-side-combined aggregations.  The
+    only join carries the flag from orders to lineitem on the orderkey —
+    the same equi-join shape as fact assembly (shuffle on a uniform key,
+    AQE-safe).  Output is 3 rows regardless of corpus size."""
+    from star_schema_etl_airflow_spark.functions.text import md5_long_spark
+
+    flag_of = lambda key: F.expr(  # noqa: E731
+        md5_long_spark(f"cast({key} as string)", seed=ERASE_SEED)
+    ) % ERASE_MOD == 0
+
+    def tally(df: DataFrame, name: str, flag) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("table_name"),
+            F.sum(flag.cast("long")).alias("rows_purged"),
+            F.sum((~flag).cast("long")).alias("rows_retained"),
+        )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        flag_of("c_custkey").alias("f")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", flag_of("o_custkey").alias("f")
+    )
+    line = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    line_flag = line.join(
+        orders.withColumnRenamed("o_orderkey", "l_orderkey"), "l_orderkey"
+    )
+    out = (
+        tally(cust, "customer", F.col("f"))
+        .unionByName(tally(orders.select("f"), "orders", F.col("f")))
+        .unionByName(tally(line_flag, "lineitem", F.col("f")))
+    )
+    return out.select(
+        "table_name",
+        "rows_purged",
+        "rows_retained",
+        F.round(
+            F.col("rows_purged").cast("double")
+            / (F.col("rows_purged") + F.col("rows_retained")).cast("double"),
+            PCT_DECIMALS,
+        ).alias("purge_pct"),
+    )
+
+
+def _erase_flag_duck(key: str) -> str:
+    from star_schema_etl_airflow_spark.functions.text import md5_long_duck
+
+    return f"({md5_long_duck(f'CAST({key} AS VARCHAR)', seed=ERASE_SEED)}) % {ERASE_MOD} = 0"
+
+
+ERASURE_CASCADE_ORACLE = f"""
+WITH c AS (
+  SELECT 'customer' AS table_name,
+         SUM(CASE WHEN {_erase_flag_duck('c_custkey')} THEN 1 ELSE 0 END)
+           AS rows_purged,
+         SUM(CASE WHEN {_erase_flag_duck('c_custkey')} THEN 0 ELSE 1 END)
+           AS rows_retained
+  FROM customer
+),
+o AS (
+  SELECT 'orders' AS table_name,
+         SUM(CASE WHEN {_erase_flag_duck('o_custkey')} THEN 1 ELSE 0 END)
+           AS rows_purged,
+         SUM(CASE WHEN {_erase_flag_duck('o_custkey')} THEN 0 ELSE 1 END)
+           AS rows_retained
+  FROM orders
+),
+l AS (
+  SELECT 'lineitem' AS table_name,
+         SUM(CASE WHEN {_erase_flag_duck('og.o_custkey')} THEN 1 ELSE 0 END)
+           AS rows_purged,
+         SUM(CASE WHEN {_erase_flag_duck('og.o_custkey')} THEN 0 ELSE 1 END)
+           AS rows_retained
+  FROM lineitem li JOIN orders og ON li.l_orderkey = og.o_orderkey
+),
+u AS (
+  SELECT * FROM c UNION ALL SELECT * FROM o UNION ALL SELECT * FROM l
+)
+SELECT table_name,
+       CAST(rows_purged AS BIGINT) AS rows_purged,
+       CAST(rows_retained AS BIGINT) AS rows_retained,
+       ROUND(CAST(rows_purged AS DOUBLE)
+             / CAST(rows_purged + rows_retained AS DOUBLE),
+             {PCT_DECIMALS}) AS purge_pct
+FROM u
+"""
+
+register(QuerySpec("gdpr_erasure_cascade", gdpr_erasure_cascade,
+                   ERASURE_CASCADE_ORACLE, tags=("GOVERNANCE",)))

@@ -1,0 +1,361 @@
+"""IVFADC — the composed IVF + PQ index (Jégou et al., TPAMI 2011 §V):
+coarse-quantize the corpus into inverted lists, product-quantize each
+vector's RESIDUAL (vector − its cell centroid), and answer queries by
+probing the nearest ``NPROBE`` cells with per-cell ADC lookup tables
+over the residual codebook.  The repo ships the two halves separately
+(``plans/llm_similarity.py`` IVF, ``plans/pq.py`` flat-PQ ADC); this is
+the billion-scale composition — residual encoding is what lets a single
+small codebook stay accurate across cells, and cell probing is what
+keeps the scored set a fraction of the corpus.
+
+Determinism: coordinates are fixed-pointed once (``floor(x·1e6+0.5)``,
+the ``plans/pq.py`` contract) and EVERYTHING after — cell assignment,
+residuals, encoding, ADC — is int64 arithmetic: exact under any
+partitioning, either engine.  Residuals of scaled ints are scaled ints,
+so the composition adds no new float edge.  Headroom: |coord| < 0.6 ⇒
+scaled |sv| < 6e5, residual |r| < 1.2e6, per-subspace dist < 8·(2.4e6)²
+≈ 4.6e13, ADC sum < 4e14 ≪ 2^63.
+
+Deterministic training bands (data-defined, as FAISS seeds from the
+first training points): coarse centroids are the ``NCELLS`` vectors at
+``vec_id ∈ [N_QUERIES, N_QUERIES+NCELLS)``; the residual codebook's
+``K_C`` entries per subspace are the residuals of the next ``K_C``
+vectors.  The k-means-trained variant plugs in by swapping the centroid
+relation (``embed_ann_ivf_trained`` shows the trained-codebook seam).
+
+Scale design (100 TB of vectors):
+- cells (NCELLS rows), the residual codebook (M·K_C rows) and the
+  per-query probe/ADC tables (|q|·NPROBE·M·K_C rows) are control-plane
+  sized and broadcast; the corpus is never on the build side.
+- assignment + residual + encoding is ONE scan of the corpus followed by
+  a (vec, subspace)-keyed argmin group-by with map-side combine — the
+  FAISS ``add()`` pass.
+- scoring joins codes to the broadcast ADC table on (cell, m, code):
+  only candidates in probed cells match (inner join does the inverted-
+  list pruning declaratively), and the per-query top-k window rides
+  Catalyst's partial ``WindowGroupLimit`` — the exchange carries
+  O(queries·k) rows per partition.
+
+Reference parity: beyond-reference (LLM-pipeline extension).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from star_schema_etl_airflow_spark.plans.pq import (
+    _sv_duck,
+    _SQDIST_D,
+    _SV_S,
+    D_SUB,
+    K_C,
+    M_SUB,
+    N_QUERIES,
+    TOP_K,
+)
+from star_schema_etl_airflow_spark.registry import QuerySpec, register
+from star_schema_etl_airflow_spark.sources.fixtures import load_table
+
+NCELLS = 8
+NPROBE = 2
+_CB_LO = N_QUERIES + NCELLS          # codebook training band
+_CB_HI = N_QUERIES + NCELLS + K_C
+
+# int64 sqdist over full 64-dim scaled vectors (cell assignment / probe)
+_SQ64_S = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+    "0L, (acc, v) -> acc + v)"
+)
+# residual slice for subspace m (0-based m, 1-based slice)
+_RSUB_S = (
+    f"zip_with(slice(sv, m * {D_SUB} + 1, {D_SUB}), "
+    f"slice(csv, m * {D_SUB} + 1, {D_SUB}), (x, y) -> x - y)"
+)
+
+
+SHORTLIST = 50   # ADC shortlist depth for the refine (re-rank) stage
+
+
+def _adc_scores(spark: SparkSession, sf_dir: str):
+    """Shared IVFADC machinery: returns ``(adc, emb)`` where ``adc`` is
+    the per-(query, candidate-in-probed-cell) asymmetric distance
+    relation and ``emb`` the scaled-int vector relation (for refine)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_SV_S).alias("sv")
+    )
+    cells = (
+        emb.filter(
+            (F.col("vec_id") >= N_QUERIES)
+            & (F.col("vec_id") < N_QUERIES + NCELLS)
+        )
+        .select(F.col("vec_id").alias("cell"), F.col("sv").alias("csv"))
+    )
+
+    # --- add(): assign, take residual, PQ-encode — one corpus pass ---------
+    cand = emb.filter(F.col("vec_id") >= N_QUERIES).withColumnRenamed(
+        "vec_id", "cand_id"
+    )
+    d_cell = _SQ64_S.format(a="sv", b="csv")
+    assigned = (
+        cand.crossJoin(F.broadcast(cells))
+        .select(
+            "cand_id", "sv", "csv", "cell",
+            F.struct(F.expr(d_cell).alias("d"), F.col("cell").alias("c"))
+            .alias("dc"),
+        )
+        .groupBy("cand_id")
+        .agg(
+            F.min("dc").getField("c").alias("cell"),
+            F.first("sv").alias("sv"),
+        )
+        .join(F.broadcast(cells), "cell")
+    )
+    # per-subspace residuals of every candidate
+    rsub = assigned.select(
+        "cand_id", "cell",
+        F.explode(F.sequence(F.lit(0), F.lit(M_SUB - 1))).alias("m"),
+        "sv", "csv",
+    ).select("cand_id", "cell", "m", F.expr(_RSUB_S).alias("rsub"))
+
+    # residual codebook: the training band's residual subvectors
+    cb = (
+        rsub.filter(
+            (F.col("cand_id") >= _CB_LO) & (F.col("cand_id") < _CB_HI)
+        )
+        .select(
+            F.col("cand_id").alias("cid"), "m", F.col("rsub").alias("csub")
+        )
+    )
+    d_enc = _SQ64_S.format(a="rsub", b="csub")
+    codes = (
+        rsub.join(F.broadcast(cb), "m")
+        .select(
+            "cand_id", "cell", "m",
+            F.struct(F.expr(d_enc).alias("d"), F.col("cid").alias("c"))
+            .alias("dc"),
+        )
+        .groupBy("cand_id", "cell", "m")
+        .agg(F.min("dc").getField("c").alias("code"))
+    )
+
+    # --- search(): probe cells, ADC tables, score codes --------------------
+    q = emb.filter(F.col("vec_id") < N_QUERIES).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    qcell = q.crossJoin(F.broadcast(cells)).select(
+        "query_id", "cell", "sv", "csv",
+        F.expr(d_cell).alias("d"),
+    )
+    wp = Window.partitionBy("query_id").orderBy("d", "cell")
+    probed = (
+        qcell.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= NPROBE)
+        .select("query_id", "cell", "sv", "csv")
+    )
+    qsub = probed.select(
+        "query_id", "cell",
+        F.explode(F.sequence(F.lit(0), F.lit(M_SUB - 1))).alias("m"),
+        "sv", "csv",
+    ).select("query_id", "cell", "m", F.expr(_RSUB_S).alias("rsub"))
+    qtab = qsub.join(F.broadcast(cb), "m").select(
+        "query_id", "cell", "m", "cid", F.expr(d_enc).alias("qdist")
+    )
+
+    adc = (
+        codes.join(
+            F.broadcast(qtab),
+            (codes.cell == qtab.cell)
+            & (codes.m == qtab.m)
+            & (codes.code == qtab.cid),
+        )
+        .select("query_id", "cand_id", codes.cell, "qdist")
+        .groupBy("query_id", "cand_id", "cell")
+        .agg(F.sum("qdist").alias("adc_dist"))
+    )
+    return adc, emb
+
+
+def embed_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC proper: rank probed-cell candidates by PQ asymmetric
+    distance (the codes-only scan — no full vectors touched at query
+    time)."""
+    adc, _ = _adc_scores(spark, sf_dir)
+    wr = Window.partitionBy("query_id").orderBy("adc_dist", "cand_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id", "cand_id", "cell", "adc_dist",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def embed_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC-R (Jégou et al. §VI "re-ranking with source coding"): the
+    ADC shortlist (top ``SHORTLIST`` per query) is re-scored with EXACT
+    int64 L2 on the full scaled vectors, and the final top-``TOP_K`` is
+    ranked by the exact distance.  This is the production recall path —
+    quantization error decides only shortlist membership, never the
+    final order.
+
+    Scale: the shortlist is |q|·SHORTLIST rows — control-plane sized and
+    broadcast against ONE keyed lookup into the vector table (an
+    equi-join on vec_id; at deployment the full-precision vectors are
+    fetched from the same parquet the index was built from)."""
+    adc, emb = _adc_scores(spark, sf_dir)
+    ws = Window.partitionBy("query_id").orderBy("adc_dist", "cand_id")
+    short = (
+        adc.withColumn("srank", F.row_number().over(ws))
+        .filter(F.col("srank") <= SHORTLIST)
+        .drop("srank")
+    )
+    qv = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("sv").alias("qsv")
+    )
+    cv = emb.select(F.col("vec_id").alias("cand_id"), F.col("sv").alias("csv2"))
+    d_exact = _SQ64_S.format(a="qsv", b="csv2")
+    rer = (
+        F.broadcast(short)
+        .join(cv, "cand_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id", "cand_id", "cell", "adc_dist",
+            F.expr(d_exact).alias("exact_dist"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy("exact_dist", "cand_id")
+    return (
+        rer.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id", "cand_id", "cell", "adc_dist", "exact_dist",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+_SQ64_D = _SQDIST_D.format(n=64, a="{a}", b="{b}")
+_RSUB_D = (
+    f"list_transform(range(1, {D_SUB} + 1), "
+    "i -> ({sv})[m * " + str(D_SUB) + " + i] - ({csv})[m * "
+    + str(D_SUB) + " + i])"
+)
+_D8_D = _SQDIST_D.format(n=D_SUB, a="{a}", b="{b}")
+
+IVFPQ_ORACLE = f"""
+WITH sv AS (
+  SELECT vec_id, {_sv_duck('embedding')} AS sv FROM embeddings
+),
+cells AS (
+  SELECT vec_id AS cell, sv AS csv FROM sv
+  WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES} + {NCELLS}
+),
+cdist AS (
+  SELECT v.vec_id AS cand_id, c.cell,
+         {_SQ64_D.format(a='v.sv', b='c.csv')} AS d
+  FROM sv v CROSS JOIN cells c WHERE v.vec_id >= {N_QUERIES}
+),
+assigned AS (
+  SELECT d.cand_id, MIN(d.cell) AS cell
+  FROM cdist d
+  JOIN (SELECT cand_id, MIN(d) AS md FROM cdist GROUP BY 1) b
+    ON d.cand_id = b.cand_id AND d.d = b.md
+  GROUP BY d.cand_id
+),
+rsub AS (
+  SELECT a.cand_id, a.cell, g.m,
+         {_RSUB_D.format(sv='v.sv', csv='c.csv')} AS rsub
+  FROM assigned a
+  JOIN sv v ON v.vec_id = a.cand_id
+  JOIN cells c ON c.cell = a.cell
+  CROSS JOIN (SELECT unnest(range(0, {M_SUB})) AS m) g
+),
+cb AS (
+  SELECT cand_id AS cid, m, rsub AS csub FROM rsub
+  WHERE cand_id >= {_CB_LO} AND cand_id < {_CB_HI}
+),
+edist AS (
+  SELECT r.cand_id, r.cell, r.m, k.cid,
+         {_D8_D.format(a='r.rsub', b='k.csub')} AS d
+  FROM rsub r JOIN cb k USING (m)
+),
+codes AS (
+  SELECT d.cand_id, d.cell, d.m, MIN(d.cid) AS code
+  FROM edist d
+  JOIN (SELECT cand_id, m, MIN(d) AS md FROM edist GROUP BY 1, 2) b
+    ON d.cand_id = b.cand_id AND d.m = b.m AND d.d = b.md
+  GROUP BY d.cand_id, d.cell, d.m
+),
+qdistc AS (
+  SELECT v.vec_id AS query_id, c.cell, v.sv, c.csv,
+         {_SQ64_D.format(a='v.sv', b='c.csv')} AS d
+  FROM sv v CROSS JOIN cells c WHERE v.vec_id < {N_QUERIES}
+),
+probed AS (
+  SELECT query_id, cell, sv, csv FROM (
+    SELECT query_id, cell, sv, csv,
+           ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY d, cell) AS rn
+    FROM qdistc
+  ) WHERE rn <= {NPROBE}
+),
+qsub AS (
+  SELECT p.query_id, p.cell, g.m,
+         {_RSUB_D.format(sv='p.sv', csv='p.csv')} AS rsub
+  FROM probed p CROSS JOIN (SELECT unnest(range(0, {M_SUB})) AS m) g
+),
+qtab AS (
+  SELECT q.query_id, q.cell, q.m, k.cid,
+         {_D8_D.format(a='q.rsub', b='k.csub')} AS qdist
+  FROM qsub q JOIN cb k USING (m)
+),
+adc AS (
+  SELECT t.query_id, c.cand_id, c.cell,
+         CAST(SUM(t.qdist) AS BIGINT) AS adc_dist
+  FROM codes c
+  JOIN qtab t ON t.cell = c.cell AND t.m = c.m AND t.cid = c.code
+  GROUP BY 1, 2, 3
+)
+SELECT query_id, cand_id, cell, adc_dist,
+       CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY adc_dist, cand_id) AS rank
+  FROM adc
+) WHERE rank <= {TOP_K}
+"""
+
+# the refine stage composes on the same CTE chain: shortlist by ADC,
+# exact int64 L2 on the shortlist, final rank by exact distance
+_CTES = IVFPQ_ORACLE.split("\nSELECT query_id,")[0]
+IVFPQ_RERANK_ORACLE = f"""{_CTES},
+short AS (
+  SELECT query_id, cand_id, cell, adc_dist FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY adc_dist, cand_id) AS srank
+    FROM adc
+  ) WHERE srank <= {SHORTLIST}
+),
+rer AS (
+  SELECT s.query_id, s.cand_id, s.cell, s.adc_dist,
+         {_SQ64_D.format(a='qv.sv', b='cv.sv')} AS exact_dist
+  FROM short s
+  JOIN sv qv ON qv.vec_id = s.query_id
+  JOIN sv cv ON cv.vec_id = s.cand_id
+)
+SELECT query_id, cand_id, cell, adc_dist,
+       CAST(exact_dist AS BIGINT) AS exact_dist,
+       CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY exact_dist, cand_id) AS rank
+  FROM rer
+) WHERE rank <= {TOP_K}
+"""
+
+register(QuerySpec("embed_ivfpq_topk", embed_ivfpq_topk, IVFPQ_ORACLE,
+                   tags=("llm", "ann")))
+register(QuerySpec("embed_ivfpq_rerank", embed_ivfpq_rerank,
+                   IVFPQ_RERANK_ORACLE, tags=("llm", "ann")))

@@ -69,7 +69,9 @@ def _ensure_loaded() -> None:
         audio_dedup,
         bm25,
         clustering_queries,
+        contrastive,
         core_queries,
+        curriculum,
         curation_clusters,
         curation_multimodal,
         dsir,
@@ -78,6 +80,7 @@ def _ensure_loaded() -> None:
         fuzzy_join,
         governance_queries,
         image_dedup,
+        ivfpq,
         ivm_queries,
         jl_projection,
         kmv_overlap,

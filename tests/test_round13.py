@@ -1,0 +1,175 @@
+"""Round-13 additions: IVFADC (composed IVF+PQ), contrastive
+hard-negative mining, curriculum ordering, and the right-to-erasure
+cascade audit — semantics beyond what the value-hash oracle pins."""
+
+from __future__ import annotations
+
+import numpy as np
+import duckdb
+import pytest
+
+from star_schema_etl_airflow_spark.plans.contrastive import (
+    NEG_K,
+    hard_negatives,
+)
+from star_schema_etl_airflow_spark.plans.curriculum import (
+    NUM_STAGES,
+    curriculum_order,
+)
+from star_schema_etl_airflow_spark.plans.governance_queries import (
+    gdpr_erasure_cascade,
+)
+from star_schema_etl_airflow_spark.plans.ivfpq import (
+    NCELLS,
+    NPROBE,
+    embed_ivfpq_topk,
+)
+from star_schema_etl_airflow_spark.plans.pq import (
+    N_QUERIES,
+    SCALE,
+    TOP_K,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _scaled_vectors():
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{SF_DIR}/embeddings.parquet' "
+        "ORDER BY vec_id"
+    ).fetchall()
+    return {
+        vid: np.floor(np.array(e, dtype=np.float64) * SCALE + 0.5).astype(
+            np.int64
+        )
+        for vid, e in rows
+    }
+
+
+def test_ivfpq_results_come_only_from_probed_cells(spark):
+    sv = _scaled_vectors()
+    cells = {c: sv[c] for c in range(N_QUERIES, N_QUERIES + NCELLS)}
+    rows = embed_ivfpq_topk(spark, SF_DIR).collect()
+    assert {r.query_id for r in rows} == set(range(N_QUERIES))
+    for qid in range(N_QUERIES):
+        d = sorted(
+            (int(((sv[qid] - cv) ** 2).sum()), c) for c, cv in cells.items()
+        )
+        probe = {c for _, c in d[:NPROBE]}
+        got = {r.cell for r in rows if r.query_id == qid}
+        assert got <= probe, (qid, got, probe)
+        ranks = sorted(r.rank for r in rows if r.query_id == qid)
+        assert ranks == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= TOP_K
+
+
+def _recall_vs_exact(sv, got):
+    cand_ids = [v for v in sv if v >= N_QUERIES]
+    hits = 0
+    for qid in range(N_QUERIES):
+        exact = {
+            c
+            for _, c in sorted(
+                (int(((sv[qid] - sv[c]) ** 2).sum()), c) for c in cand_ids
+            )[:TOP_K]
+        }
+        approx = {r.cand_id for r in got if r.query_id == qid}
+        hits += len(exact & approx)
+    return hits / (N_QUERIES * TOP_K)
+
+
+def test_ivfpq_adc_recall_beats_chance(spark):
+    """Codes-only ADC on ISOTROPIC vectors (the adversarial case: 16
+    residual centroids cannot model an isotropic 8-dim marginal, so
+    quantization error swamps neighbor margins) still beats chance
+    (~10/490 ~= 0.02) 2x; the production recall path is the refine
+    stage below — this pin is deliberately weak, the containment pin
+    above is the ADC contract."""
+    recall = _recall_vs_exact(
+        _scaled_vectors(), embed_ivfpq_topk(spark, SF_DIR).collect()
+    )
+    assert recall >= 0.04, f"IVFADC recall@{TOP_K} = {recall:.2f}"
+
+
+def test_ivfpq_rerank_recall_vs_exact_l2(spark):
+    """IVFADC-R: exact re-rank of the ADC shortlist recovers most of
+    what cell-probing admits (probe ceiling 0.36 at nprobe=2/8 on this
+    fixture; measured 0.28)."""
+    from star_schema_etl_airflow_spark.plans.ivfpq import embed_ivfpq_rerank
+
+    got = embed_ivfpq_rerank(spark, SF_DIR).collect()
+    recall = _recall_vs_exact(_scaled_vectors(), got)
+    assert recall >= 0.20, f"IVFADC-R recall@{TOP_K} = {recall:.2f}"
+    # exact_dist really is the exact int64 L2 on scaled vectors
+    sv = _scaled_vectors()
+    for r in got[:20]:
+        assert r.exact_dist == int(
+            ((sv[r.query_id] - sv[r.cand_id]) ** 2).sum()
+        )
+
+
+def test_hard_negatives_shape_and_label_contract(spark):
+    rows = hard_negatives(spark, SF_DIR).collect()
+    assert len(rows) == N_QUERIES * NEG_K
+    by_anchor = {}
+    for r in rows:
+        assert r.neg_label != r.anchor_label
+        assert -1.0 <= r.neg_cosine <= 1.0
+        assert r.pos_cosine >= -1.0
+        by_anchor.setdefault(r.anchor_id, []).append(r)
+    for aid, rs in by_anchor.items():
+        assert sorted(r.neg_rank for r in rs) == list(range(1, NEG_K + 1))
+        # one positive per anchor, identical on every row
+        assert len({(r.pos_id, r.pos_cosine) for r in rs}) == 1
+        # negatives are ranked by descending cosine
+        ordered = sorted(rs, key=lambda r: r.neg_rank)
+        cos = [r.neg_cosine for r in ordered]
+        assert cos == sorted(cos, reverse=True)
+
+
+def test_curriculum_is_a_permutation_in_stage_order(spark):
+    rows = curriculum_order(spark, SF_DIR).collect()
+    n = len(rows)
+    assert sorted(r.global_step for r in rows) == list(range(1, n + 1))
+    # stages partition the schedule into contiguous runs in stage order
+    for r in rows:
+        assert 1 <= r.stage <= NUM_STAGES
+    max_step = {}
+    min_step = {}
+    for r in rows:
+        max_step[r.stage] = max(max_step.get(r.stage, 0), r.global_step)
+        min_step[r.stage] = min(min_step.get(r.stage, n + 1), r.global_step)
+    for s in range(1, NUM_STAGES):
+        if s in max_step and s + 1 in min_step:
+            assert max_step[s] < min_step[s + 1]
+
+
+def test_curriculum_stages_are_monotone_in_ttr_per_lang(spark):
+    rows = curriculum_order(spark, SF_DIR).collect()
+    per_lang = {}
+    for r in rows:
+        per_lang.setdefault(r.lang, {}).setdefault(r.stage, []).append(r.ttr)
+    for lang, stages in per_lang.items():
+        for s in range(1, NUM_STAGES):
+            if s in stages and s + 1 in stages:
+                assert max(stages[s]) <= min(stages[s + 1]), (lang, s)
+        sizes = [len(v) for _, v in sorted(stages.items())]
+        # NTILE balance: sizes differ by at most 1 within a language
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+
+
+def test_erasure_cascade_totals_and_consistency(spark):
+    rows = {r.table_name: r for r in gdpr_erasure_cascade(spark, SF_DIR).collect()}
+    assert set(rows) == {"customer", "orders", "lineitem"}
+    want = {
+        t: duckdb.sql(
+            f"SELECT COUNT(*) FROM '{SF_DIR}/{t}.parquet'"
+        ).fetchone()[0]
+        for t in rows
+    }
+    for t, r in rows.items():
+        assert r.rows_purged + r.rows_retained == want[t], t
+        assert r.rows_purged > 0, f"{t}: erasure set must be non-empty"
+        assert r.purge_pct == pytest.approx(
+            r.rows_purged / (r.rows_purged + r.rows_retained), abs=1e-9
+        )
