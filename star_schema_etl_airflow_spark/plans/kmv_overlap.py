@@ -290,3 +290,63 @@ register(QuerySpec("kmv_source_overlap", kmv_source_overlap, KMV_ORACLE,
 # same oracle ON PURPOSE: merge-then-estimate must equal rebuild exactly
 register(QuerySpec("kmv_incremental_merge", kmv_incremental_merge,
                    KMV_ORACLE, tags=("LLM-SKETCH", "INCREMENTAL")))
+
+
+# --- per-source distinct-cardinality estimates ------------------------------
+
+
+def kmv_source_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-shingle cardinality from the sketch alone:
+    û = (K−1)/U(K) (Beyer et al.'s unbiased bottom-K estimator), exact
+    when the source's true distinct count fits the sketch (k_used < K).
+    The per-pair union/intersection estimates (``pairwise_overlap``)
+    divide by these to give containment ratios; here they are exposed
+    per source so a mixing pipeline can budget against corpus diversity
+    without any pairwise stage at all — one sketch scan, S output rows."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    sig = kmv_sketches(spark, docs)
+    agg = sig.groupBy("source").agg(
+        F.count("*").alias("k_used"), F.max("h").alias("h_k")
+    )
+    est = F.when(F.col("k_used") < K, F.col("k_used").cast("double")).otherwise(
+        F.round(
+            (F.col("k_used").cast("double") - F.lit(1.0))
+            * F.lit(HASH_SPACE)
+            / F.col("h_k").cast("double"),
+            0,
+        )
+    )
+    return agg.select(
+        "source",
+        F.col("k_used").cast("int").alias("k_used"),
+        est.cast("long").alias("distinct_est"),
+        (F.col("k_used") < K).alias("is_exact"),
+    )
+
+
+KMV_CARDINALITY_ORACLE = f"""
+WITH hashes AS (
+  SELECT DISTINCT source, {_H_D} AS h
+  FROM (SELECT source, unnest({_SH_D}) AS s FROM documents)
+),
+sig AS (
+  SELECT source, h FROM (
+    SELECT source, h,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY h ASC) AS rn
+    FROM hashes
+  ) WHERE rn <= {K}
+),
+agg AS (
+  SELECT source, COUNT(*) AS k_used, MAX(h) AS h_k FROM sig GROUP BY source
+)
+SELECT source, CAST(k_used AS INTEGER) AS k_used,
+       CAST(CASE WHEN k_used < {K} THEN CAST(k_used AS DOUBLE)
+            ELSE ROUND((CAST(k_used AS DOUBLE) - 1.0) * {HASH_SPACE!r}
+                       / CAST(h_k AS DOUBLE), 0)
+       END AS BIGINT) AS distinct_est,
+       k_used < {K} AS is_exact
+FROM agg
+"""
+
+register(QuerySpec("kmv_source_cardinality", kmv_source_cardinality,
+                   KMV_CARDINALITY_ORACLE, tags=("LLM-SKETCH",)))

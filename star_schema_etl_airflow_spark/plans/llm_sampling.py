@@ -286,3 +286,75 @@ FROM r WHERE quota_rank <= {CAP_N}
 
 register(QuerySpec("cap_per_source", cap_per_source, _cap_oracle(),
                    tags=("LLM-sampling",)))
+
+
+# --- temperature-scaled mixture weights ------------------------------------
+
+# Multilingual sampling temperature (mT5 / XLM-R): q_s ∝ p_s^(1/T).
+# T = 2 on purpose — the exponent becomes sqrt, which is IEEE-exact in
+# both engines (a general pow() is libm-dependent and NOT cross-engine
+# stable; other temperatures should quantize through the micro-ln
+# BIGINT contract used by plans/ngram_lm.py).  The double sums go
+# through DECIMAL(38,12) so normalization is order-independent.
+TEMP_EPOCH_BUDGET = 100_000   # documents drawn per training epoch
+TEMP_DECIMALS = 9
+
+
+def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language sampling weights under temperature T=2: raw share
+    ``p``, tempered share ``q ∝ sqrt(n)``, the over/undersample factor
+    ``q/p`` (the quantity mixture boosts low-resource sources by), and
+    the expected docs drawn per epoch.  One aggregation over the corpus
+    (map-side combined) + a 1-row broadcast of the totals: the output
+    is |languages| rows at any corpus size."""
+    counts = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("sq", F.sqrt(F.col("n_docs").cast("double")))
+    )
+    totals = counts.agg(
+        F.sum("n_docs").alias("n_total"),
+        F.sum(F.col("sq").cast("decimal(38,12)")).alias("sq_total"),
+    )
+    p = F.col("n_docs").cast("double") / F.col("n_total").cast("double")
+    q = F.col("sq") / F.col("sq_total").cast("double")
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "lang",
+            "n_docs",
+            F.round(p, TEMP_DECIMALS).alias("p_raw"),
+            F.round(q, TEMP_DECIMALS).alias("q_tempered"),
+            F.round(q / p, TEMP_DECIMALS).alias("boost"),
+            F.round(q * TEMP_EPOCH_BUDGET, 0).cast("long")
+            .alias("epoch_docs"),
+        )
+    )
+
+
+MIXTURE_TEMPERATURE_ORACLE = f"""
+WITH counts AS (
+  SELECT lang, COUNT(*) AS n_docs, sqrt(CAST(COUNT(*) AS DOUBLE)) AS sq
+  FROM documents GROUP BY lang
+),
+totals AS (
+  SELECT SUM(n_docs) AS n_total,
+         SUM(CAST(sq AS DECIMAL(38,12))) AS sq_total
+  FROM counts
+)
+SELECT c.lang, CAST(c.n_docs AS BIGINT) AS n_docs,
+       ROUND(CAST(c.n_docs AS DOUBLE) / CAST(t.n_total AS DOUBLE),
+             {TEMP_DECIMALS}) AS p_raw,
+       ROUND(c.sq / CAST(t.sq_total AS DOUBLE), {TEMP_DECIMALS})
+         AS q_tempered,
+       ROUND((c.sq / CAST(t.sq_total AS DOUBLE))
+             / (CAST(c.n_docs AS DOUBLE) / CAST(t.n_total AS DOUBLE)),
+             {TEMP_DECIMALS}) AS boost,
+       CAST(ROUND(c.sq / CAST(t.sq_total AS DOUBLE)
+                  * {TEMP_EPOCH_BUDGET}, 0) AS BIGINT) AS epoch_docs
+FROM counts c CROSS JOIN totals t
+"""
+
+register(QuerySpec("mixture_temperature", mixture_temperature,
+                   MIXTURE_TEMPERATURE_ORACLE, tags=("MIX",)))

@@ -180,3 +180,37 @@ def test_pair_expansion_census_and_bound(spark, caplog):
     with pytest.raises(ValueError, match="exceeds the deployment bound"):
         mod.pairwise_overlap(sig, max_pair_rows=10)
     sig.unpersist()
+
+
+def test_source_cardinality_tracks_exact_distinct(spark):
+    """û = (K−1)/U(K) lands within the bottom-K estimator's error band
+    (σ ≈ 1/√K ≈ 8.8% at K=128; pinned at 3σ) on the real fixture, and
+    collapses to the exact count whenever k_used < K."""
+    import duckdb
+
+    from star_schema_etl_airflow_spark.functions.text import (
+        md5_long_duck,
+        shingles_duck,
+        tokens_duck,
+    )
+    from star_schema_etl_airflow_spark.plans.kmv_overlap import (
+        K,
+        kmv_source_cardinality,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    truth = dict(duckdb.sql(f"""
+        SELECT source, COUNT(DISTINCT {md5_long_duck('s')}) FROM (
+          SELECT source, unnest({shingles_duck(tokens_duck('text'))}) AS s
+          FROM '{sf}/documents.parquet'
+        ) GROUP BY source
+    """).fetchall())
+    rows = kmv_source_cardinality(spark, sf).collect()
+    assert {r.source for r in rows} == set(truth)
+    for r in rows:
+        if r.is_exact:
+            assert r.k_used < K and r.distinct_est == truth[r.source]
+        else:
+            rel = abs(r.distinct_est - truth[r.source]) / truth[r.source]
+            assert rel <= 3 / K ** 0.5, (r.source, r.distinct_est,
+                                         truth[r.source], rel)

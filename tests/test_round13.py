@@ -173,3 +173,49 @@ def test_erasure_cascade_totals_and_consistency(spark):
         assert r.purge_pct == pytest.approx(
             r.rows_purged / (r.rows_purged + r.rows_retained), abs=1e-9
         )
+
+
+# --- plan pins (the shapes that make these scale) ---------------------------
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_ivfpq_plan_broadcasts_and_bounds_the_rank_shuffle(spark):
+    """Cells/codebook/ADC tables must be broadcast (the corpus is never
+    on a build side), the argmin encodes via an aggregatable partial_min
+    (map-side combine, no per-candidate window), and the final per-query
+    rank must plant a Partial WindowGroupLimit below its Exchange."""
+    from star_schema_etl_airflow_spark.plans.ivfpq import embed_ivfpq_topk
+
+    plan = _plan(embed_ivfpq_topk(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan      # corpus × tiny cells
+    assert "BroadcastHashJoin" in plan            # codebook / ADC joins
+    assert "partial_min" in plan, plan            # encode argmin combines
+    lines = plan.splitlines()
+    partial = [i for i, l in enumerate(lines)
+               if "WindowGroupLimit" in l and "Partial" in l]
+    exchange = [i for i, l in enumerate(lines) if "Exchange" in l]
+    assert partial and exchange and partial[0] > exchange[0], plan
+
+
+def test_hard_negatives_plan_is_broadcast_and_window_bounded(spark):
+    plan = _plan(hard_negatives(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan      # anchors broadcast
+    lines = plan.splitlines()
+    partial = [i for i, l in enumerate(lines)
+               if "WindowGroupLimit" in l and "Partial" in l]
+    exchange = [i for i, l in enumerate(lines) if "Exchange" in l]
+    assert partial and exchange and partial[0] > exchange[0], plan
+
+
+def test_erasure_cascade_plan_has_no_broadcast_of_the_fact(spark):
+    """The only join is lineitem ⋈ orders on the orderkey; tallies are
+    partial-aggregated map-side.  No nested-loop or cartesian anywhere."""
+    plan = _plan(gdpr_erasure_cascade(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_sum" in plan, plan
