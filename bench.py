@@ -177,6 +177,10 @@ def main() -> None:
         "retrieval_rrf",
         "kmv_source_overlap",
         "zorder_skip_stats",
+        # r13 trio — non-gating until they have two quiet records
+        "embed_ivfpq_rerank",
+        "hard_negatives",
+        "curriculum_order",
     )
     all_specs = {s.name: s for s in registry.specs()}
     extras: dict[str, float] = {}

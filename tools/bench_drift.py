@@ -48,7 +48,22 @@ THRESHOLD = 0.30
 ABS_FLOOR_SEC = 0.25
 
 # query -> reason; entries let an *explained* regression pass the gate.
-ACKED: dict[str, str] = {}
+ACKED: dict[str, str] = {
+    # r13 adjudication: A/B at the r12 bench commit (6d9245e) on the
+    # r13 host measures 2.756s isolated — identical to HEAD's 2.45-2.76
+    # — so the code is unchanged and r12's committed 1.56 was the fast
+    # tail of this query's documented 1.5-5.7s same-code band
+    # (bench.py ISOLATED note).  The query is output-bound (1.44M true
+    # pairs at sf0.1); BENCH_QUIET_r13.json re-baselines it.
+    "dedup_prefix_join": "r12 baseline was a fast outlier; A/B-pinned "
+                         "same-code 2.76s at 6d9245e (BENCH_HISTORY r13)",
+    # r13 adjudication: the r12-verdict-mandated pairwise census
+    # (fa76bc7, one sketch-sized distinct-count job) landed AFTER
+    # BENCH_r12.json was recorded; it adds ~0.15-0.2s of fixed job
+    # overhead at sf0.1 — the price of no-silent-caps observability.
+    "kmv_source_overlap": "census job added by fa76bc7 post-r12-record "
+                          "(+~0.18s fixed; BENCH_HISTORY r13)",
+}
 
 # Extras promoted to GATING (r11 verdict task 3): these have two
 # committed quiet records (r11 baseline + the r12 measure), so their
