@@ -1,0 +1,197 @@
+"""Dedup-quality evaluation as a query — the MinHash-LSH twin of
+``plans/retrieval_eval.py``: measure the banding's recall against
+constructed ground truth, and the candidate filter's precision, in one
+differential query.
+
+Ground truth is the corpus's own injected duplicates
+(``plans/llm_dedup.py::build_corpus``: every 10th doc re-appears
+verbatim at ``+EXACT_DUP_OFFSET``, every 5th with ~14% of tokens
+dropped at ``+NEAR_DUP_OFFSET``), kept only where the pair's EXACT
+shingle-set Jaccard clears the pipeline's own threshold — so "relevant"
+is defined by the same τ the pipeline verifies against, not by the
+injection recipe.  This keeps truth LINEAR in the corpus (the injected
+pair list is an equi-join on the id mapping), never an all-pairs scan.
+
+What the numbers mean (b=4 bands of r=4): an exact pair (J=1) collides
+in every band — recall_exact must be 1.0, and the test pins that; a
+near pair at J≈0.6 collides with probability 1−(1−J⁴)⁴ ≈ 0.4 — the
+classic S-curve miss rate that motivates banding-parameter choice, now
+measured per corpus instead of assumed.  ``cand_precision`` is the
+fraction of bucket-join candidates that survive exact verification —
+the knob that prices the verify stage.
+
+Scale design: signatures build in one corpus scan (shared, persisted);
+the candidate join is the banded bucket join (never all-pairs); the
+truth join is id-keyed and linear; every tally is a 1-row aggregate
+crossJoined at the end (control-plane sized).
+
+Reference parity: beyond-reference (LLM-pipeline extension).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from star_schema_etl_airflow_spark.functions.caching import persist_once
+from star_schema_etl_airflow_spark.functions.text import (
+    jaccard_duck,
+    jaccard_spark,
+)
+from star_schema_etl_airflow_spark.plans.llm_dedup import (
+    CORPUS_DUCK,
+    EXACT_DUP_OFFSET,
+    JACCARD_THRESHOLD,
+    NEAR_DUP_OFFSET,
+    _duck_bands,
+    _duck_minhash_sig,
+    _signature_df,
+    band_buckets,
+)
+from star_schema_etl_airflow_spark.registry import QuerySpec, register
+from star_schema_etl_airflow_spark.sources.fixtures import load_table  # noqa: F401
+
+EVAL_DECIMALS = 9
+
+
+def _injected_pairs(sig: DataFrame, offset: int) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for one injected family — id-keyed join,
+    linear in the corpus."""
+    base = sig.select(F.col("doc_id").alias("doc_a"),
+                      F.col("hashes").alias("ha"))
+    twin = sig.filter(
+        (F.col("doc_id") >= offset)
+        & (F.col("doc_id") < offset + NEAR_DUP_OFFSET)
+    ).select(
+        (F.col("doc_id") - offset).alias("doc_a"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("hashes").alias("hb"),
+    )
+    return (
+        twin.join(base, "doc_a")
+        .select(
+            "doc_a", "doc_b",
+            F.expr(jaccard_spark("ha", "hb")).alias("jaccard"),
+        )
+    )
+
+
+def dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = persist_once(_signature_df(spark, sf_dir))
+    buckets = band_buckets(sig)
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = persist_once(
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh = sig.select("doc_id", "hashes")
+    predicted = persist_once(
+        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sh.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a", "doc_b",
+            F.expr(jaccard_spark("sa.hashes", "sb.hashes")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+
+    def relevant(offset: int) -> DataFrame:
+        return persist_once(
+            _injected_pairs(sig, offset)
+            .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+            .select("doc_a", "doc_b")
+        )
+
+    rel_exact, rel_near = relevant(EXACT_DUP_OFFSET), relevant(NEAR_DUP_OFFSET)
+
+    def n(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias(name))
+
+    tp_exact = rel_exact.join(predicted, ["doc_a", "doc_b"])
+    tp_near = rel_near.join(predicted, ["doc_a", "doc_b"])
+    out = (
+        n(rel_exact, "n_relevant_exact")
+        .crossJoin(n(rel_near, "n_relevant_near"))
+        .crossJoin(n(tp_exact, "n_tp_exact"))
+        .crossJoin(n(tp_near, "n_tp_near"))
+        .crossJoin(n(cand, "n_candidates"))
+        .crossJoin(n(predicted, "n_predicted"))
+    )
+    r = lambda num, den: F.round(  # noqa: E731
+        F.col(num).cast("double") / F.col(den).cast("double"), EVAL_DECIMALS
+    )
+    return out.select(
+        "n_relevant_exact", "n_relevant_near", "n_tp_exact", "n_tp_near",
+        "n_candidates", "n_predicted",
+        r("n_tp_exact", "n_relevant_exact").alias("recall_exact"),
+        r("n_tp_near", "n_relevant_near").alias("recall_near"),
+        r("n_predicted", "n_candidates").alias("cand_precision"),
+    )
+
+
+def _duck_injected(name: str, offset: int) -> str:
+    return f"""{name} AS (
+  SELECT t.doc_a, t.doc_b
+  FROM (
+    SELECT doc_id - {offset} AS doc_a, doc_id AS doc_b, hashes AS hb
+    FROM sigh
+    WHERE doc_id >= {offset} AND doc_id < {offset} + {NEAR_DUP_OFFSET}
+  ) t
+  JOIN (SELECT doc_id AS doc_a, hashes AS ha FROM sigh) s USING (doc_a)
+  WHERE {jaccard_duck('s.ha', 't.hb')} >= {JACCARD_THRESHOLD}
+)"""
+
+
+DEDUP_EVAL_ORACLE = f"""
+WITH corpus AS ({CORPUS_DUCK}),
+{_duck_minhash_sig()},
+buckets AS (
+{_duck_bands()}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a JOIN buckets b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+predicted AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  JOIN sigh sa ON c.doc_a = sa.doc_id
+  JOIN sigh sb ON c.doc_b = sb.doc_id
+  WHERE {jaccard_duck('sa.hashes', 'sb.hashes')} >= {JACCARD_THRESHOLD}
+),
+{_duck_injected('rel_exact', EXACT_DUP_OFFSET)},
+{_duck_injected('rel_near', NEAR_DUP_OFFSET)},
+counts AS (
+  SELECT
+    (SELECT COUNT(*) FROM rel_exact) AS n_relevant_exact,
+    (SELECT COUNT(*) FROM rel_near) AS n_relevant_near,
+    (SELECT COUNT(*) FROM rel_exact r JOIN predicted p
+       ON r.doc_a = p.doc_a AND r.doc_b = p.doc_b) AS n_tp_exact,
+    (SELECT COUNT(*) FROM rel_near r JOIN predicted p
+       ON r.doc_a = p.doc_a AND r.doc_b = p.doc_b) AS n_tp_near,
+    (SELECT COUNT(*) FROM cand) AS n_candidates,
+    (SELECT COUNT(*) FROM predicted) AS n_predicted
+)
+SELECT n_relevant_exact, n_relevant_near, n_tp_exact, n_tp_near,
+       n_candidates, n_predicted,
+       ROUND(CAST(n_tp_exact AS DOUBLE) / CAST(n_relevant_exact AS DOUBLE),
+             {EVAL_DECIMALS}) AS recall_exact,
+       ROUND(CAST(n_tp_near AS DOUBLE) / CAST(n_relevant_near AS DOUBLE),
+             {EVAL_DECIMALS}) AS recall_near,
+       ROUND(CAST(n_predicted AS DOUBLE) / CAST(n_candidates AS DOUBLE),
+             {EVAL_DECIMALS}) AS cand_precision
+FROM counts
+"""
+
+register(QuerySpec("dedup_eval", dedup_eval, DEDUP_EVAL_ORACLE,
+                   tags=("LLM-DEDUP", "EVAL")))

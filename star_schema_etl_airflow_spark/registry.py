@@ -74,6 +74,7 @@ def _ensure_loaded() -> None:
         curriculum,
         curation_clusters,
         curation_multimodal,
+        dedup_eval,
         dsir,
         events_queries,
         fixture_queries,

@@ -219,3 +219,21 @@ def test_erasure_cascade_plan_has_no_broadcast_of_the_fact(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "partial_sum" in plan, plan
+
+
+def test_dedup_eval_metrics_are_consistent(spark):
+    """recall_exact must be 1.0 (a J=1 pair collides in EVERY band);
+    recall_near sits in the banding S-curve band (1−(1−J⁴)⁴ ≈ 0.26 at
+    the fixture's J≈0.5 near-dups — far from both 0 and 1); and the
+    predicted-pair count equals the dedup_minhash_lsh output exactly
+    (the eval audits the SAME pipeline, not a reimplementation)."""
+    from star_schema_etl_airflow_spark.plans.dedup_eval import dedup_eval
+    from star_schema_etl_airflow_spark.plans.llm_dedup import dedup_minhash_lsh
+
+    row = dedup_eval(spark, SF_DIR).collect()[0]
+    assert row.recall_exact == 1.0
+    assert 0.05 <= row.recall_near <= 0.8, row.recall_near
+    assert row.n_tp_exact <= row.n_relevant_exact
+    assert row.n_tp_near <= row.n_relevant_near
+    assert row.n_predicted <= row.n_candidates
+    assert row.n_predicted == dedup_minhash_lsh(spark, SF_DIR).count()
