@@ -85,6 +85,16 @@ EXTRA = [
     "doc_winnow_spans",
     "image_knn_dhash",
     "curation_multimodal_clusters",
+    # round-13 structural shapes
+    "embed_ivfpq_topk",
+    "embed_ivfpq_rerank",
+    "hard_negatives",
+    "curriculum_order",
+    "gdpr_erasure_cascade",
+    "dedup_eval",
+    "kmv_source_cardinality",
+    "mixture_temperature",
+    "retrieval_incremental",
 ]
 
 
