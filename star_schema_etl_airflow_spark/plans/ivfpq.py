@@ -77,31 +77,20 @@ _RSUB_S = (
 SHORTLIST = 50   # ADC shortlist depth for the refine (re-rank) stage
 
 
-def _adc_scores(spark: SparkSession, sf_dir: str):
-    """Shared IVFADC machinery: returns ``(adc, emb)`` where ``adc`` is
-    the per-(query, candidate-in-probed-cell) asymmetric distance
-    relation and ``emb`` the scaled-int vector relation (for refine)."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.expr(_SV_S).alias("sv")
-    )
-    cells = (
-        emb.filter(
-            (F.col("vec_id") >= N_QUERIES)
-            & (F.col("vec_id") < N_QUERIES + NCELLS)
-        )
-        .select(F.col("vec_id").alias("cell"), F.col("sv").alias("csv"))
-    )
+_D_CELL = _SQ64_S.format(a="sv", b="csv")
+_D_ENC = _SQ64_S.format(a="rsub", b="csub")
 
-    # --- add(): assign, take residual, PQ-encode — one corpus pass ---------
-    cand = emb.filter(F.col("vec_id") >= N_QUERIES).withColumnRenamed(
-        "vec_id", "cand_id"
-    )
-    d_cell = _SQ64_S.format(a="sv", b="csv")
+
+def _rsub_of(cand: DataFrame, cells: DataFrame) -> DataFrame:
+    """(cand_id, cell, m, rsub): nearest-cell assignment (tie → lowest
+    cell id, via an aggregatable ``min(struct)`` with map-side combine)
+    and the per-subspace residual slices — per-VECTOR pure given
+    ``cells``, which is what makes encoding incremental for free."""
     assigned = (
         cand.crossJoin(F.broadcast(cells))
         .select(
             "cand_id", "sv", "csv", "cell",
-            F.struct(F.expr(d_cell).alias("d"), F.col("cell").alias("c"))
+            F.struct(F.expr(_D_CELL).alias("d"), F.col("cell").alias("c"))
             .alias("dc"),
         )
         .groupBy("cand_id")
@@ -111,33 +100,70 @@ def _adc_scores(spark: SparkSession, sf_dir: str):
         )
         .join(F.broadcast(cells), "cell")
     )
-    # per-subspace residuals of every candidate
-    rsub = assigned.select(
+    return assigned.select(
         "cand_id", "cell",
         F.explode(F.sequence(F.lit(0), F.lit(M_SUB - 1))).alias("m"),
         "sv", "csv",
     ).select("cand_id", "cell", "m", F.expr(_RSUB_S).alias("rsub"))
 
-    # residual codebook: the training band's residual subvectors
-    cb = (
-        rsub.filter(
-            (F.col("cand_id") >= _CB_LO) & (F.col("cand_id") < _CB_HI)
+
+def _artifacts(emb: DataFrame):
+    """The frozen index artifacts: coarse ``cells`` and the residual
+    codebook ``cb`` (the training band's residual subvectors).  Both
+    are control-plane sized; a deployment materializes them once per
+    index version."""
+    cells = (
+        emb.filter(
+            (F.col("vec_id") >= N_QUERIES)
+            & (F.col("vec_id") < N_QUERIES + NCELLS)
         )
-        .select(
-            F.col("cand_id").alias("cid"), "m", F.col("rsub").alias("csub")
-        )
+        .select(F.col("vec_id").alias("cell"), F.col("sv").alias("csv"))
     )
-    d_enc = _SQ64_S.format(a="rsub", b="csub")
+    band = emb.filter(
+        (F.col("vec_id") >= _CB_LO) & (F.col("vec_id") < _CB_HI)
+    ).withColumnRenamed("vec_id", "cand_id")
+    cb = _rsub_of(band, cells).select(
+        F.col("cand_id").alias("cid"), "m", F.col("rsub").alias("csub")
+    )
+    return cells, cb
+
+
+def _encode(cand: DataFrame, cells: DataFrame, cb: DataFrame) -> DataFrame:
+    """(cand_id, cell, code per subspace) — the FAISS ``add()`` pass
+    for ANY (cand_id, sv) relation against frozen artifacts."""
     codes = (
-        rsub.join(F.broadcast(cb), "m")
+        _rsub_of(cand, cells).join(F.broadcast(cb), "m")
         .select(
             "cand_id", "cell", "m",
-            F.struct(F.expr(d_enc).alias("d"), F.col("cid").alias("c"))
+            F.struct(F.expr(_D_ENC).alias("d"), F.col("cid").alias("c"))
             .alias("dc"),
         )
         .groupBy("cand_id", "cell", "m")
         .agg(F.min("dc").getField("c").alias("code"))
     )
+    return codes
+
+
+def _adc_scores(spark: SparkSession, sf_dir: str, codes_of=None):
+    """Shared IVFADC machinery: returns ``(adc, emb)`` where ``adc`` is
+    the per-(query, candidate-in-probed-cell) asymmetric distance
+    relation and ``emb`` the scaled-int vector relation (for refine).
+    ``codes_of(emb, cells, cb)`` overrides how the code table is built
+    (the incremental-add path supplies a union of frozen + delta
+    encodes)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_SV_S).alias("sv")
+    )
+    cells, cb = _artifacts(emb)
+    d_cell, d_enc = _D_CELL, _D_ENC
+
+    if codes_of is None:
+        cand = emb.filter(F.col("vec_id") >= N_QUERIES).withColumnRenamed(
+            "vec_id", "cand_id"
+        )
+        codes = _encode(cand, cells, cb)
+    else:
+        codes = codes_of(emb, cells, cb)
 
     # --- search(): probe cells, ADC tables, score codes --------------------
     q = emb.filter(F.col("vec_id") < N_QUERIES).withColumnRenamed(
@@ -359,3 +385,53 @@ register(QuerySpec("embed_ivfpq_topk", embed_ivfpq_topk, IVFPQ_ORACLE,
                    tags=("llm", "ann")))
 register(QuerySpec("embed_ivfpq_rerank", embed_ivfpq_rerank,
                    IVFPQ_RERANK_ORACLE, tags=("llm", "ann")))
+
+
+# --- incremental add() ------------------------------------------------------
+
+IVFPQ_ADD_CUT = 300   # at-rest corpus: vec_id < CUT; delta batch: >= CUT
+assert IVFPQ_ADD_CUT >= _CB_HI, "artifacts must come from the at-rest corpus"
+
+
+def embed_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingest path of a deployed IVFADC index (FAISS ``add()``):
+    new vectors are encoded against the FROZEN artifacts (cells +
+    residual codebook, trained on the at-rest corpus) and their codes
+    appended to the at-rest code table — the corpus is never
+    re-encoded.  Search is byte-identical to ``embed_ivfpq_topk``.
+
+    The oracle is the FULL-REBUILD oracle ON PURPOSE (the
+    ``kmv_incremental_merge`` convention): encoding is per-vector pure
+    given (cells, cb), so append-encode must equal rebuild EXACTLY —
+    checked differentially, which is what licenses maintaining the
+    code table incrementally at 100 TB.  (Here the delta is the
+    ``vec_id >= IVFPQ_ADD_CUT`` band — a deterministic stand-in for an
+    ingest day; both encode passes run against the same frozen
+    broadcast artifacts.)"""
+    def codes_of(emb, cells, cb):
+        at_rest = emb.filter(
+            (F.col("vec_id") >= N_QUERIES)
+            & (F.col("vec_id") < IVFPQ_ADD_CUT)
+        ).withColumnRenamed("vec_id", "cand_id")
+        delta = emb.filter(
+            F.col("vec_id") >= IVFPQ_ADD_CUT
+        ).withColumnRenamed("vec_id", "cand_id")
+        return _encode(at_rest, cells, cb).unionByName(
+            _encode(delta, cells, cb)
+        )
+
+    adc, _ = _adc_scores(spark, sf_dir, codes_of=codes_of)
+    wr = Window.partitionBy("query_id").orderBy("adc_dist", "cand_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id", "cand_id", "cell", "adc_dist",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+# same oracle ON PURPOSE: append-encode must equal full rebuild exactly
+register(QuerySpec("embed_ivfpq_incremental", embed_ivfpq_incremental,
+                   IVFPQ_ORACLE, tags=("llm", "ann", "INCREMENTAL")))

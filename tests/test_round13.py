@@ -237,3 +237,16 @@ def test_dedup_eval_metrics_are_consistent(spark):
     assert row.n_tp_near <= row.n_relevant_near
     assert row.n_predicted <= row.n_candidates
     assert row.n_predicted == dedup_minhash_lsh(spark, SF_DIR).count()
+
+
+def test_ivfpq_incremental_add_equals_full_rebuild(spark):
+    """Append-encode against frozen artifacts must equal the full
+    rebuild EXACTLY (encoding is per-vector pure given cells+codebook)
+    — the differential license for never re-encoding the corpus."""
+    from star_schema_etl_airflow_spark.plans.ivfpq import (
+        embed_ivfpq_incremental,
+    )
+
+    full = embed_ivfpq_topk(spark, SF_DIR)
+    inc = embed_ivfpq_incremental(spark, SF_DIR)
+    assert full.exceptAll(inc).isEmpty() and inc.exceptAll(full).isEmpty()
