@@ -58,3 +58,48 @@ def test_connected_components_no_edges_singletons(spark):
 def test_pagerank_empty_graph_returns_empty(spark):
     edges = spark.createDataFrame([], "src string, dst string")
     assert pagerank(edges).count() == 0
+
+
+def test_retrieval_merge_topk_handles_empty_and_none(spark):
+    """Streaming retrieval fold: a no-score batch is a no-op against
+    the standing lists, and the first batch (no state) just ranks the
+    batch itself."""
+    from star_schema_etl_airflow_spark.streaming.retrieval_stream import (
+        merge_topk,
+    )
+
+    scores = spark.createDataFrame(
+        [(1, 10, 2.5), (1, 11, 1.5)],
+        "query_id int, doc_id long, score double",
+    )
+    empty = spark.createDataFrame([], "query_id int, doc_id long, score double")
+    first = {tuple(r) for r in merge_topk(None, scores).collect()}
+    assert first == {(1, 10, 2.5), (1, 11, 1.5)}
+    noop = {tuple(r) for r in merge_topk(scores, empty).collect()}
+    assert noop == first
+
+
+def test_ivfpq_encode_empty_delta_is_identity(spark):
+    """FAISS add() of an empty ingest day: the code table is unchanged
+    (union with an empty encode), not an error."""
+    from pyspark.sql import functions as F
+
+    from star_schema_etl_airflow_spark.plans.ivfpq import (
+        _artifacts,
+        _encode,
+        _SV_S,
+    )
+    from star_schema_etl_airflow_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", F.expr(_SV_S).alias("sv")
+    )
+    cells, cb = _artifacts(emb)
+    cand = emb.filter(F.col("vec_id") >= 10).withColumnRenamed(
+        "vec_id", "cand_id"
+    )
+    base = _encode(cand, cells, cb)
+    merged = base.unionByName(
+        _encode(cand.filter(F.lit(False)), cells, cb)
+    )
+    assert merged.count() == base.count()
