@@ -146,3 +146,92 @@ register(QuerySpec("events_ewma", events_ewma, _ewma_oracle(),
                    tags=("TIMESERIES",)))
 register(QuerySpec("events_anomaly_zscore", events_anomaly_zscore,
                    ANOMALY_ORACLE, tags=("TIMESERIES",)))
+
+
+# --- Holt linear-trend forecast --------------------------------------------
+
+# Double exponential smoothing (Holt 1957): level + trend recursion
+#     l_t = α·y_t + (1−α)(l_{t−1} + b_{t−1})
+#     b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1}
+# is a LINEAR filter: the state s_t = [l_t, b_t] satisfies
+# s_t = A·s_{t−1} + c·y_t with A = [[1−α, 1−α], [−αβ, 1−αβ]],
+# c = [α, αβ], so s_t = Σ_j (Aʲc)·y_{t−j}.  The finite-lag truncation
+# of that sum (missing lags contribute 0 — the EWMA cold-start
+# convention above) turns the recursion into the same
+# literal-weighted LAG chain as events_ewma: the Aʲc weights are
+# Python-computed float64s embedded in BOTH engines' SQL (repr
+# round-trips exactly), each term one IEEE multiply, the sum an
+# explicit left-associated chain.  The one-step forecast is
+# ŷ_{t+1} = l_t + b_t, i.e. weights (Aʲc)[0] + (Aʲc)[1].
+HOLT_ALPHA = 0.5
+HOLT_BETA = 0.3
+HOLT_LAGS = 16     # |eigenvalues of A| ≤ ~0.84 ⇒ truncation < 1% of mass
+
+
+def _holt_weights() -> tuple[list[float], list[float]]:
+    a, b = HOLT_ALPHA, HOLT_BETA
+    A = [[1 - a, 1 - a], [-a * b, 1 - a * b]]
+    v = [a, a * b]
+    lw, tw = [], []
+    for _ in range(HOLT_LAGS):
+        lw.append(v[0])
+        tw.append(v[1])
+        v = [A[0][0] * v[0] + A[0][1] * v[1],
+             A[1][0] * v[0] + A[1][1] * v[1]]
+    return lw, tw
+
+
+_HOLT_LW, _HOLT_TW = _holt_weights()
+
+
+def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type hourly level/trend estimates and the one-step-ahead
+    forecast — the capacity-planning companion to the z-score monitor
+    (is the hourly volume TRENDING up, and what should the next bucket
+    hold?).  Same rollup-sized shuffle + per-type lag windows as
+    events_ewma; at 100 TB the weights ride the same hourly grain."""
+    h = _hourly(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("hour")
+
+    def chain(weights: list[float]):
+        acc = None
+        for j, wt in enumerate(weights):
+            term = F.coalesce(F.lag("cnt", j).over(w), F.lit(0)).cast(
+                "double"
+            ) * F.lit(wt)
+            acc = term if acc is None else acc + term
+        return acc
+
+    level, trend = chain(_HOLT_LW), chain(_HOLT_TW)
+    return h.select(
+        "hour", "event_type", "cnt",
+        F.round(level, DECIMALS).alias("level"),
+        F.round(trend, DECIMALS).alias("trend"),
+        F.round(level + trend, DECIMALS).alias("forecast_next"),
+    )
+
+
+def _holt_oracle() -> str:
+    def chain(weights: list[float]) -> str:
+        return " + ".join(
+            f"CAST(COALESCE(LAG(cnt, {j}) OVER w, 0) AS DOUBLE) * {wt!r}"
+            for j, wt in enumerate(weights)
+        )
+
+    lvl, trd = chain(_HOLT_LW), chain(_HOLT_TW)
+    return f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+)
+SELECT hour, event_type, cnt,
+       ROUND({lvl}, {DECIMALS}) AS level,
+       ROUND({trd}, {DECIMALS}) AS trend,
+       ROUND(({lvl}) + ({trd}), {DECIMALS}) AS forecast_next
+FROM hourly
+WINDOW w AS (PARTITION BY event_type ORDER BY hour)
+"""
+
+
+register(QuerySpec("events_holt_forecast", events_holt_forecast,
+                   _holt_oracle(), tags=("TIMESERIES",)))

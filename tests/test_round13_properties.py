@@ -36,7 +36,7 @@ def _topk(rows: set[tuple[int, int, int]]) -> set[tuple[int, int, int]]:
     ),
     st.data(),
 )
-@settings(max_examples=200)
+@settings(max_examples=200, deadline=None)
 def test_fold_of_k_deep_lists_equals_one_shot_topk(scores, data):
     rows = [(q, d, s) for (q, d), s in scores.items()]
     # adversarial batching: random assignment, plus re-delivery of a
@@ -55,3 +55,39 @@ def test_fold_of_k_deep_lists_equals_one_shot_topk(scores, data):
     for b in batches:
         state = _topk(state | b)          # merge_topk: union → distinct → cut
     assert state == _topk(set(rows))
+
+
+@given(
+    st.lists(st.integers(0, 100), min_size=1, max_size=16),
+)
+@settings(max_examples=200, deadline=None)
+def test_holt_weight_expansion_equals_direct_recursion(series):
+    """The Aʲc lag-weight expansion used by ``events_holt_forecast``
+    must equal running the Holt recursion directly with zero cold-start
+    state — for every prefix (so level AND trend agree at every t
+    within the truncation horizon)."""
+    from star_schema_etl_airflow_spark.plans.anomaly import (
+        _HOLT_LW,
+        _HOLT_TW,
+        HOLT_ALPHA,
+        HOLT_BETA,
+    )
+    import math
+
+    a, b = HOLT_ALPHA, HOLT_BETA
+    l = bb = 0.0
+    for t, y in enumerate(series):
+        prev_l = l
+        l = a * y + (1 - a) * (l + bb)
+        bb = b * (l - prev_l) + (1 - b) * bb
+        lw = sum(
+            w * series[t - j] for j, w in enumerate(_HOLT_LW) if t - j >= 0
+        )
+        tw = sum(
+            w * series[t - j] for j, w in enumerate(_HOLT_TW) if t - j >= 0
+        )
+        # exact within float noise while the truncated tail is zero
+        # (t < HOLT_LAGS ⇒ every nonzero lag is inside the window)
+        if t < len(_HOLT_LW):
+            assert math.isclose(l, lw, rel_tol=1e-12, abs_tol=1e-9), (t, l, lw)
+            assert math.isclose(bb, tw, rel_tol=1e-12, abs_tol=1e-9), (t, bb, tw)
