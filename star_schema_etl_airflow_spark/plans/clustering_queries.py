@@ -250,3 +250,153 @@ SELECT nation, COUNT(*) AS n_triangles FROM corners GROUP BY 1
 
 register(QuerySpec("graph_triangles", graph_triangles, TRIANGLES_ORACLE,
                    tags=("GRAPH",)))
+
+
+# --- label-propagation communities ------------------------------------------
+
+LPA_ITER = 3
+
+
+def graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over the
+    SOURCE-OVERLAP graph: nodes are corpus sources, edge weight is the
+    exact count of distinct shingle hashes the two sources share, and
+    only backbone edges (weight above the global mean — the standard
+    disparity-filter simplification) propagate.  Each round every node
+    adopts the label with the largest incident-weight sum among its
+    neighbors (ties → lexicographically smallest label) — the
+    deterministic variant of LPA (random-order async LPA is not
+    differentially checkable).  ``LPA_ITER`` fixed rounds; init is
+    label(v) = v.  The result groups sources that crawl the same
+    content — the mixing/dedup planning view one level above
+    ``kmv_source_overlap``'s pairwise estimates.
+
+    Scale design: the corpus participates only through the distinct
+    (source, hash) relation (one scan + distinct); the pairwise shared
+    counts are an inverted-index self-join on the hash — per-hash
+    fan-out is df², so at web scale the hash relation is DF-capped
+    exactly as ``plans/winnow.py`` does (censused, not silent) or the
+    KMV estimate replaces the exact count.  Each LPA round is one
+    join of the source-bounded neighbor relation to the labels + an
+    aggregatable ``min(struct)`` argmax (map-side combine, no
+    windows); plans stay O(1) across rounds via ``localCheckpoint``."""
+    from pyspark.sql import functions as F
+
+    from star_schema_etl_airflow_spark.plans.kmv_overlap import (
+        _H_S,
+        _SH_S,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    hashes = (
+        docs.select(
+            "source",
+            F.explode(F.expr(f"transform({_SH_S}, s -> {_H_S})")).alias("h"),
+        )
+        .distinct()
+    )
+    hashes = persist_once(hashes)
+    a = hashes.select(F.col("source").alias("sa"), "h")
+    b = hashes.select(F.col("source").alias("sb"), "h")
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    pairs = persist_once(pairs)
+    mean_w = pairs.agg(
+        (F.sum("w").cast("double") / F.count(F.lit(1)).cast("double"))
+        .alias("mw")
+    )
+    backbone = pairs.crossJoin(F.broadcast(mean_w)).filter(
+        F.col("w").cast("double") > F.col("mw")
+    )
+    nbrs = persist_once(
+        backbone.select(F.col("sa").alias("node"), F.col("sb").alias("nbr"), "w")
+        .unionByName(
+            backbone.select(
+                F.col("sb").alias("node"), F.col("sa").alias("nbr"), "w"
+            )
+        )
+    )
+    labels = nbrs.select("node").distinct().withColumn(
+        "label", F.col("node")
+    ).localCheckpoint()
+    for _ in range(LPA_ITER):
+        votes = (
+            nbrs.join(
+                labels.select(F.col("node").alias("nbr"), "label"), "nbr"
+            )
+            .groupBy("node", "label")
+            .agg(F.sum("w").alias("wsum"))
+        )
+        labels = (
+            votes.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct((-F.col("wsum")).alias("nw"), F.col("label"))
+                ).getField("label").alias("label")
+            )
+            .localCheckpoint()
+        )
+    return labels.select("node", F.col("label").alias("community"))
+
+
+def _lpa_iter_cte(k: int) -> str:
+    prev = "it0" if k == 1 else f"it{k - 1}"
+    return f"""v{k} AS (
+  SELECT n.node, p.label, SUM(n.w) AS wsum
+  FROM nbrs n JOIN {prev} p ON n.nbr = p.node GROUP BY 1, 2
+),
+it{k} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           ROW_NUMBER() OVER (
+             PARTITION BY node ORDER BY wsum DESC, label ASC) AS rn
+    FROM v{k}
+  ) WHERE rn = 1
+)"""
+
+
+def _lpa_oracle() -> str:
+    from star_schema_etl_airflow_spark.functions.text import (
+        md5_long_duck,
+        shingles_duck,
+        tokens_duck,
+    )
+
+    h_d = md5_long_duck("s")
+    sh_d = shingles_duck(tokens_duck("text"))
+    return f"""
+WITH hashes AS (
+  SELECT DISTINCT source, {h_d} AS h
+  FROM (SELECT source, unnest({sh_d}) AS s FROM documents)
+),
+pairs AS (
+  SELECT a.source AS sa, b.source AS sb, COUNT(*) AS w
+  FROM hashes a JOIN hashes b ON a.h = b.h AND a.source < b.source
+  GROUP BY 1, 2
+),
+mw AS (
+  SELECT CAST(SUM(w) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mw FROM pairs
+),
+backbone AS (
+  SELECT sa, sb, w FROM pairs CROSS JOIN mw
+  WHERE CAST(w AS DOUBLE) > mw
+),
+nbrs AS (
+  SELECT sa AS node, sb AS nbr, w FROM backbone
+  UNION ALL
+  SELECT sb, sa, w FROM backbone
+),
+it0 AS (
+  SELECT DISTINCT node, node AS label FROM nbrs
+),
+{", ".join(_lpa_iter_cte(k) for k in range(1, LPA_ITER + 1))}
+SELECT node, label AS community FROM it{LPA_ITER}
+"""
+
+
+register(QuerySpec("graph_communities", graph_communities, _lpa_oracle(),
+                   tags=("GRAPH", "LPA")))

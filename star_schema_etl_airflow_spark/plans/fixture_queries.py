@@ -145,3 +145,57 @@ SELECT 'customer.c_nationkey -> nation',
 
 register(QuerySpec("ri_audit", ri_audit, RI_AUDIT_ORACLE,
                    tags=("DQ1", "J7")))
+
+
+def profile_documents(spark, sf_dir):
+    """Dataset-card profile of the documents corpus (the data statement
+    a training-data release ships with): null counts, exact NDV, and
+    min/max for the length column and both categorical columns — one
+    scan per column group via operators/profile.py, aggregation-only
+    (no joins), any corpus size."""
+    from star_schema_etl_airflow_spark.operators.profile import profile
+    from star_schema_etl_airflow_spark.sources.fixtures import load_table
+
+    return profile(
+        load_table(spark, sf_dir, "documents"),
+        numeric_cols=["doc_id", "n_chars"],
+        string_cols=["lang", "source"],
+    )
+
+
+PROFILE_DOCUMENTS_ORACLE = """
+WITH n AS (SELECT COUNT(*) AS n_rows FROM documents)
+SELECT u.*, n.n_rows FROM n, (
+  SELECT 'doc_id' AS "column",
+         CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         COUNT(DISTINCT doc_id) AS ndv,
+         CAST(MIN(doc_id) AS DOUBLE) AS min_num,
+         CAST(MAX(doc_id) AS DOUBLE) AS max_num,
+         CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+  FROM documents
+  UNION ALL
+  SELECT 'n_chars',
+         CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         COUNT(DISTINCT n_chars),
+         CAST(MIN(n_chars) AS DOUBLE), CAST(MAX(n_chars) AS DOUBLE),
+         NULL, NULL
+  FROM documents
+  UNION ALL
+  SELECT 'lang',
+         CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         COUNT(DISTINCT lang),
+         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+         MIN(lang), MAX(lang)
+  FROM documents
+  UNION ALL
+  SELECT 'source',
+         CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         COUNT(DISTINCT source),
+         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+         MIN(source), MAX(source)
+  FROM documents
+) u
+"""
+
+register(QuerySpec("profile_documents", profile_documents,
+                   PROFILE_DOCUMENTS_ORACLE, tags=("profiling", "A3", "A4")))

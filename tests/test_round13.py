@@ -250,3 +250,22 @@ def test_ivfpq_incremental_add_equals_full_rebuild(spark):
     full = embed_ivfpq_topk(spark, SF_DIR)
     inc = embed_ivfpq_incremental(spark, SF_DIR)
     assert full.exceptAll(inc).isEmpty() and inc.exceptAll(full).isEmpty()
+
+
+def test_graph_communities_are_nondegenerate(spark):
+    """The backbone-thresholded LPA must find REAL structure on the
+    fixture: more than one community, none spanning every node, and
+    every label is itself a member node of its community (labels
+    originate as node ids and propagate only along edges)."""
+    from star_schema_etl_airflow_spark.plans.clustering_queries import (
+        graph_communities,
+    )
+
+    rows = graph_communities(spark, SF_DIR).collect()
+    nodes = {r.node for r in rows}
+    comms = {}
+    for r in rows:
+        comms.setdefault(r.community, set()).add(r.node)
+    assert len(comms) > 1, "LPA collapsed to one community"
+    assert max(len(v) for v in comms.values()) < len(nodes)
+    assert set(comms) <= nodes
