@@ -257,29 +257,11 @@ register(QuerySpec("graph_triangles", graph_triangles, TRIANGLES_ORACLE,
 LPA_ITER = 3
 
 
-def graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Synchronous label propagation (Raghavan et al. 2007) over the
-    SOURCE-OVERLAP graph: nodes are corpus sources, edge weight is the
-    exact count of distinct shingle hashes the two sources share, and
-    only backbone edges (weight above the global mean — the standard
-    disparity-filter simplification) propagate.  Each round every node
-    adopts the label with the largest incident-weight sum among its
-    neighbors (ties → lexicographically smallest label) — the
-    deterministic variant of LPA (random-order async LPA is not
-    differentially checkable).  ``LPA_ITER`` fixed rounds; init is
-    label(v) = v.  The result groups sources that crawl the same
-    content — the mixing/dedup planning view one level above
-    ``kmv_source_overlap``'s pairwise estimates.
-
-    Scale design: the corpus participates only through the distinct
-    (source, hash) relation (one scan + distinct); the pairwise shared
-    counts are an inverted-index self-join on the hash — per-hash
-    fan-out is df², so at web scale the hash relation is DF-capped
-    exactly as ``plans/winnow.py`` does (censused, not silent) or the
-    KMV estimate replaces the exact count.  Each LPA round is one
-    join of the source-bounded neighbor relation to the labels + an
-    aggregatable ``min(struct)`` argmax (map-side combine, no
-    windows); plans stay O(1) across rounds via ``localCheckpoint``."""
+def _source_backbone(spark: SparkSession, sf_dir: str):
+    """``(backbone, nbrs)`` — the strong-edge source-overlap graph:
+    exact shared-distinct-shingle pair weights, filtered to edges above
+    the global mean weight, plus its symmetrized neighbor relation.
+    Shared by the LPA query and the modularity audit."""
     from pyspark.sql import functions as F
 
     from star_schema_etl_airflow_spark.plans.kmv_overlap import (
@@ -288,29 +270,29 @@ def graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents").select("source", "text")
-    hashes = (
+    hashes = persist_once(
         docs.select(
             "source",
             F.explode(F.expr(f"transform({_SH_S}, s -> {_H_S})")).alias("h"),
         )
         .distinct()
     )
-    hashes = persist_once(hashes)
     a = hashes.select(F.col("source").alias("sa"), "h")
     b = hashes.select(F.col("source").alias("sb"), "h")
-    pairs = (
+    pairs = persist_once(
         a.join(b, "h")
         .filter(F.col("sa") < F.col("sb"))
         .groupBy("sa", "sb")
         .agg(F.count(F.lit(1)).alias("w"))
     )
-    pairs = persist_once(pairs)
     mean_w = pairs.agg(
         (F.sum("w").cast("double") / F.count(F.lit(1)).cast("double"))
         .alias("mw")
     )
-    backbone = pairs.crossJoin(F.broadcast(mean_w)).filter(
-        F.col("w").cast("double") > F.col("mw")
+    backbone = persist_once(
+        pairs.crossJoin(F.broadcast(mean_w)).filter(
+            F.col("w").cast("double") > F.col("mw")
+        ).select("sa", "sb", "w")
     )
     nbrs = persist_once(
         backbone.select(F.col("sa").alias("node"), F.col("sb").alias("nbr"), "w")
@@ -320,6 +302,13 @@ def graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    return backbone, nbrs
+
+
+def _lpa(nbrs: DataFrame) -> DataFrame:
+    """``(node, community)`` after ``LPA_ITER`` synchronous rounds."""
+    from pyspark.sql import functions as F
+
     labels = nbrs.select("node").distinct().withColumn(
         "label", F.col("node")
     ).localCheckpoint()
@@ -343,6 +332,87 @@ def graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select("node", F.col("label").alias("community"))
 
 
+def graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over the
+    SOURCE-OVERLAP graph: nodes are corpus sources, edge weight is the
+    exact count of distinct shingle hashes the two sources share, and
+    only backbone edges (weight above the global mean — the standard
+    disparity-filter simplification) propagate.  Each round every node
+    adopts the label with the largest incident-weight sum among its
+    neighbors (ties → lexicographically smallest label) — the
+    deterministic variant of LPA (random-order async LPA is not
+    differentially checkable).  ``LPA_ITER`` fixed rounds; init is
+    label(v) = v.  The result groups sources that crawl the same
+    content — the mixing/dedup planning view one level above
+    ``kmv_source_overlap``'s pairwise estimates.
+
+    Scale design: the corpus participates only through the distinct
+    (source, hash) relation (one scan + distinct); the pairwise shared
+    counts are an inverted-index self-join on the hash — per-hash
+    fan-out is df², so at web scale the hash relation is DF-capped
+    exactly as ``plans/winnow.py`` does (censused, not silent) or the
+    KMV estimate replaces the exact count.  Each LPA round is one
+    join of the source-bounded neighbor relation to the labels + an
+    aggregatable ``min(struct)`` argmax (map-side combine, no
+    windows); plans stay O(1) across rounds via ``localCheckpoint``."""
+    _, nbrs = _source_backbone(spark, sf_dir)
+    return _lpa(nbrs)
+
+
+def community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity audit of the LPA partition — community quality
+    as a query (the graph twin of ``dedup_eval``/``retrieval_eval``):
+    per community, Q_c = w_in/W − (deg_sum/2W)², where W is the total
+    backbone weight, w_in the weight inside the community, deg_sum the
+    community's weighted degree.  Σ_c Q_c is the partition's modularity
+    (≈0 for random structure).  All inputs are exact integer sums; the
+    two divisions are written with the identical expression tree on
+    both engines.  Joins are node-keyed (source-bounded); the total is
+    a 1-row broadcast."""
+    from pyspark.sql import functions as F
+
+    backbone, nbrs = _source_backbone(spark, sf_dir)
+    lab = persist_once(_lpa(nbrs))
+    wtot = backbone.agg(F.sum("w").cast("double").alias("W"))
+    la = lab.select(F.col("node").alias("sa"), F.col("community"))
+    lb = lab.select(F.col("node").alias("sb"),
+                    F.col("community").alias("cb"))
+    win = (
+        backbone.join(la, "sa").join(lb, "sb")
+        .filter(F.col("community") == F.col("cb"))
+        .groupBy("community")
+        .agg(F.sum("w").alias("w_in"))
+    )
+    deg = (
+        nbrs.join(lab, "node")
+        .groupBy("community")
+        .agg(F.sum("w").alias("degree_sum"))
+    )
+    sizes = lab.groupBy("community").agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
+    return (
+        sizes.join(deg, "community")
+        .join(win, "community", "left")
+        .crossJoin(F.broadcast(wtot))
+        .select(
+            "community",
+            F.col("n_nodes").cast("int").alias("n_nodes"),
+            F.coalesce(F.col("w_in"), F.lit(0)).cast("long").alias("w_in"),
+            F.col("degree_sum").cast("long").alias("degree_sum"),
+            F.round(
+                F.coalesce(F.col("w_in"), F.lit(0)).cast("double")
+                / F.col("W")
+                - (F.col("degree_sum").cast("double")
+                   / (F.lit(2.0) * F.col("W")))
+                * (F.col("degree_sum").cast("double")
+                   / (F.lit(2.0) * F.col("W"))),
+                9,
+            ).alias("mod_term"),
+        )
+    )
+
+
 def _lpa_iter_cte(k: int) -> str:
     prev = "it0" if k == 1 else f"it{k - 1}"
     return f"""v{k} AS (
@@ -359,7 +429,7 @@ it{k} AS (
 )"""
 
 
-def _lpa_oracle() -> str:
+def _lpa_ctes() -> str:
     from star_schema_etl_airflow_spark.functions.text import (
         md5_long_duck,
         shingles_duck,
@@ -368,8 +438,7 @@ def _lpa_oracle() -> str:
 
     h_d = md5_long_duck("s")
     sh_d = shingles_duck(tokens_duck("text"))
-    return f"""
-WITH hashes AS (
+    return f"""hashes AS (
   SELECT DISTINCT source, {h_d} AS h
   FROM (SELECT source, unnest({sh_d}) AS s FROM documents)
 ),
@@ -393,10 +462,50 @@ nbrs AS (
 it0 AS (
   SELECT DISTINCT node, node AS label FROM nbrs
 ),
-{", ".join(_lpa_iter_cte(k) for k in range(1, LPA_ITER + 1))}
+{", ".join(_lpa_iter_cte(k) for k in range(1, LPA_ITER + 1))}"""
+
+
+def _lpa_oracle() -> str:
+    return f"""
+WITH {_lpa_ctes()}
 SELECT node, label AS community FROM it{LPA_ITER}
+"""
+
+
+def _modularity_oracle() -> str:
+    q = "CAST(degree_sum AS DOUBLE) / (2.0 * W)"
+    return f"""
+WITH {_lpa_ctes()},
+lab AS (SELECT node, label AS community FROM it{LPA_ITER}),
+wtot AS (SELECT CAST(SUM(w) AS DOUBLE) AS W FROM backbone),
+win AS (
+  SELECT la.community, SUM(e.w) AS w_in
+  FROM backbone e
+  JOIN lab la ON e.sa = la.node
+  JOIN lab lb ON e.sb = lb.node AND la.community = lb.community
+  GROUP BY 1
+),
+deg AS (
+  SELECT la.community, SUM(n.w) AS degree_sum
+  FROM nbrs n JOIN lab la ON n.node = la.node GROUP BY 1
+),
+sizes AS (
+  SELECT community, COUNT(*) AS n_nodes FROM lab GROUP BY 1
+)
+SELECT s.community,
+       CAST(s.n_nodes AS INTEGER) AS n_nodes,
+       CAST(COALESCE(w.w_in, 0) AS BIGINT) AS w_in,
+       CAST(d.degree_sum AS BIGINT) AS degree_sum,
+       ROUND(CAST(COALESCE(w.w_in, 0) AS DOUBLE) / W
+             - ({q}) * ({q}), 9) AS mod_term
+FROM sizes s
+JOIN deg d ON d.community = s.community
+LEFT JOIN win w ON w.community = s.community
+CROSS JOIN wtot
 """
 
 
 register(QuerySpec("graph_communities", graph_communities, _lpa_oracle(),
                    tags=("GRAPH", "LPA")))
+register(QuerySpec("community_modularity", community_modularity,
+                   _modularity_oracle(), tags=("GRAPH", "LPA", "EVAL")))

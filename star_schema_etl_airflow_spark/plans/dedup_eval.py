@@ -49,7 +49,6 @@ from star_schema_etl_airflow_spark.plans.llm_dedup import (
     band_buckets,
 )
 from star_schema_etl_airflow_spark.registry import QuerySpec, register
-from star_schema_etl_airflow_spark.sources.fixtures import load_table  # noqa: F401
 
 EVAL_DECIMALS = 9
 
