@@ -194,3 +194,158 @@ FROM counts
 
 register(QuerySpec("dedup_eval", dedup_eval, DEDUP_EVAL_ORACLE,
                    tags=("LLM-DEDUP", "EVAL")))
+
+
+# --- banding-parameter sweep ------------------------------------------------
+
+# (bands, rows-per-band) splits of the 16-hash signature.  The S-curve
+# catch probability at Jaccard J is 1−(1−J^r)^b: more bands with
+# shorter rows buys recall at the price of candidate volume; this query
+# measures BOTH sides of that trade on the actual corpus — the
+# parameter-selection table a dedup deployment reads before fixing
+# (b, r).  (16, 1) is excluded by design: single-hash buckets collapse
+# to near-all-pairs on self-similar corpora — the config the S-curve
+# already rules out.
+BANDING_CONFIGS = ((8, 2), (4, 4), (2, 8))
+
+
+def _bands_of(sig: DataFrame, b: int, r: int) -> DataFrame:
+    """Parameterized banding — ``llm_dedup.band_buckets`` generalized
+    to any (b, r) split of the signature."""
+    exprs = []
+    for i in range(b):
+        row = ", ".join(f"mh{i * r + j}" for j in range(r))
+        exprs.append(f"{i}, md5(concat_ws(',', {row}))")
+    return sig.select(
+        "doc_id",
+        F.expr(f"stack({b}, {', '.join(exprs)}) as (band_idx, band_key)"),
+    )
+
+
+def dedup_eval_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per banding config: candidate volume, verified pairs,
+    near-dup recall vs the τ-filtered injected truth, and candidate
+    precision — the measured S-curve trade.  Signatures and the truth
+    sets build once (persisted) and every config reuses them; each
+    config's candidate join is the same banded bucket join, never
+    all-pairs."""
+    sig = persist_once(_signature_df(spark, sf_dir))
+    sh = sig.select("doc_id", "hashes")
+    rel_near = persist_once(
+        _injected_pairs(sig, NEAR_DUP_OFFSET)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+    n_rel = rel_near.agg(F.count(F.lit(1)).alias("n_relevant_near"))
+
+    out = None
+    for b, r in BANDING_CONFIGS:
+        buckets = _bands_of(sig, b, r)
+        x, y = buckets.alias("a"), buckets.alias("b")
+        cand = persist_once(
+            x.join(
+                y,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct()
+        )
+        predicted = persist_once(
+            cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+            .join(sh.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+            .filter(
+                F.expr(jaccard_spark("sa.hashes", "sb.hashes"))
+                >= JACCARD_THRESHOLD
+            )
+            .select("doc_a", "doc_b")
+        )
+        row = (
+            cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+            .crossJoin(predicted.agg(F.count(F.lit(1)).alias("n_predicted")))
+            .crossJoin(
+                rel_near.join(predicted, ["doc_a", "doc_b"])
+                .agg(F.count(F.lit(1)).alias("n_tp_near"))
+            )
+            .crossJoin(n_rel)
+            .select(
+                F.lit(b).cast("int").alias("n_bands"),
+                F.lit(r).cast("int").alias("rows_per_band"),
+                "n_candidates",
+                "n_predicted",
+                "n_tp_near",
+                F.round(
+                    F.col("n_tp_near").cast("double")
+                    / F.col("n_relevant_near").cast("double"),
+                    EVAL_DECIMALS,
+                ).alias("recall_near"),
+                F.round(
+                    F.col("n_predicted").cast("double")
+                    / F.col("n_candidates").cast("double"),
+                    EVAL_DECIMALS,
+                ).alias("cand_precision"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _duck_bands_of(b: int, r: int) -> str:
+    parts = []
+    for i in range(b):
+        row = " || ',' || ".join(f"mh{i * r + j}" for j in range(r))
+        parts.append(
+            f"SELECT doc_id, {i} AS band_idx, md5({row}) AS band_key "
+            f"FROM sigh"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+def _banding_cfg_select(b: int, r: int) -> str:
+    return f"""
+  SELECT CAST({b} AS INTEGER) AS n_bands,
+         CAST({r} AS INTEGER) AS rows_per_band,
+         (SELECT COUNT(*) FROM cand_{b}_{r}) AS n_candidates,
+         (SELECT COUNT(*) FROM pred_{b}_{r}) AS n_predicted,
+         (SELECT COUNT(*) FROM rel_near x JOIN pred_{b}_{r} p
+            ON x.doc_a = p.doc_a AND x.doc_b = p.doc_b) AS n_tp_near,
+         ROUND(CAST((SELECT COUNT(*) FROM rel_near x JOIN pred_{b}_{r} p
+                       ON x.doc_a = p.doc_a AND x.doc_b = p.doc_b) AS DOUBLE)
+               / CAST((SELECT COUNT(*) FROM rel_near) AS DOUBLE),
+               {EVAL_DECIMALS}) AS recall_near,
+         ROUND(CAST((SELECT COUNT(*) FROM pred_{b}_{r}) AS DOUBLE)
+               / CAST((SELECT COUNT(*) FROM cand_{b}_{r}) AS DOUBLE),
+               {EVAL_DECIMALS}) AS cand_precision"""
+
+
+def _banding_cfg_ctes(b: int, r: int) -> str:
+    return f"""bk_{b}_{r} AS (
+{_duck_bands_of(b, r)}
+),
+cand_{b}_{r} AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bk_{b}_{r} a JOIN bk_{b}_{r} b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+pred_{b}_{r} AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand_{b}_{r} c
+  JOIN sigh sa ON c.doc_a = sa.doc_id
+  JOIN sigh sb ON c.doc_b = sb.doc_id
+  WHERE {jaccard_duck('sa.hashes', 'sb.hashes')} >= {JACCARD_THRESHOLD}
+)"""
+
+
+DEDUP_EVAL_BANDING_ORACLE = f"""
+WITH corpus AS ({CORPUS_DUCK}),
+{_duck_minhash_sig()},
+{_duck_injected('rel_near', NEAR_DUP_OFFSET)},
+{", ".join(_banding_cfg_ctes(b, r) for b, r in BANDING_CONFIGS)}
+{" UNION ALL ".join(_banding_cfg_select(b, r) for b, r in BANDING_CONFIGS)}
+"""
+
+register(QuerySpec("dedup_eval_banding", dedup_eval_banding,
+                   DEDUP_EVAL_BANDING_ORACLE, tags=("LLM-DEDUP", "EVAL")))

@@ -269,3 +269,31 @@ def test_graph_communities_are_nondegenerate(spark):
     assert len(comms) > 1, "LPA collapsed to one community"
     assert max(len(v) for v in comms.values()) < len(nodes)
     assert set(comms) <= nodes
+
+
+def test_banding_sweep_shows_the_s_curve_trade(spark):
+    """Across (8,2) → (4,4) → (2,8): near-dup recall strictly falls,
+    candidate precision rises, candidate volume falls — the S-curve
+    1−(1−J^r)^b trade measured on the real corpus."""
+    from star_schema_etl_airflow_spark.plans.dedup_eval import (
+        dedup_eval_banding,
+    )
+
+    rows = sorted(
+        dedup_eval_banding(spark, SF_DIR).collect(),
+        key=lambda r: r.rows_per_band,
+    )
+    recalls = [r.recall_near for r in rows]
+    precisions = [r.cand_precision for r in rows]
+    cands = [r.n_candidates for r in rows]
+    assert recalls == sorted(recalls, reverse=True)
+    assert precisions == sorted(precisions)
+    assert cands == sorted(cands, reverse=True)
+    # the committed (4,4) row must agree with dedup_eval's own figures
+    mid = next(r for r in rows if (r.n_bands, r.rows_per_band) == (4, 4))
+    from star_schema_etl_airflow_spark.plans.dedup_eval import dedup_eval
+
+    base = dedup_eval(spark, SF_DIR).collect()[0]
+    assert (mid.n_candidates, mid.n_predicted, mid.recall_near) == (
+        base.n_candidates, base.n_predicted, base.recall_near,
+    )
