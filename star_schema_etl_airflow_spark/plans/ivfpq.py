@@ -144,13 +144,14 @@ def _encode(cand: DataFrame, cells: DataFrame, cb: DataFrame) -> DataFrame:
     return codes
 
 
-def _adc_scores(spark: SparkSession, sf_dir: str, codes_of=None):
+def _adc_scores(spark: SparkSession, sf_dir: str, codes_of=None,
+                nprobe: int = NPROBE):
     """Shared IVFADC machinery: returns ``(adc, emb)`` where ``adc`` is
     the per-(query, candidate-in-probed-cell) asymmetric distance
     relation and ``emb`` the scaled-int vector relation (for refine).
     ``codes_of(emb, cells, cb)`` overrides how the code table is built
     (the incremental-add path supplies a union of frozen + delta
-    encodes)."""
+    encodes); ``nprobe`` overrides the probe depth (the eval sweep)."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr(_SV_S).alias("sv")
     )
@@ -176,7 +177,7 @@ def _adc_scores(spark: SparkSession, sf_dir: str, codes_of=None):
     wp = Window.partitionBy("query_id").orderBy("d", "cell")
     probed = (
         qcell.withColumn("rn", F.row_number().over(wp))
-        .filter(F.col("rn") <= NPROBE)
+        .filter(F.col("rn") <= nprobe)
         .select("query_id", "cell", "sv", "csv")
     )
     qsub = probed.select(
@@ -231,6 +232,13 @@ def embed_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on vec_id; at deployment the full-precision vectors are
     fetched from the same parquet the index was built from)."""
     adc, emb = _adc_scores(spark, sf_dir)
+    return _refine(adc, emb)
+
+
+def _refine(adc: DataFrame, emb: DataFrame) -> DataFrame:
+    """The §VI refine stage on any ADC relation: ADC shortlist → exact
+    int64 L2 re-rank → final top-``TOP_K`` (shared by the rerank query
+    and the nprobe eval sweep)."""
     ws = Window.partitionBy("query_id").orderBy("adc_dist", "cand_id")
     short = (
         adc.withColumn("srank", F.row_number().over(ws))
@@ -435,3 +443,148 @@ def embed_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # same oracle ON PURPOSE: append-encode must equal full rebuild exactly
 register(QuerySpec("embed_ivfpq_incremental", embed_ivfpq_incremental,
                    IVFPQ_ORACLE, tags=("llm", "ann", "INCREMENTAL")))
+
+
+# --- nprobe recall/cost sweep -----------------------------------------------
+
+EVAL_NPROBES = (1, 2, 4)
+
+
+def ivfpq_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN-quality evaluation as a query — the IVFADC twin of
+    ``dedup_eval_banding``: for each probe depth, the scored-candidate
+    volume (the query-time cost axis) and recall@k of the refined list
+    against the EXACT int64 top-k (the quality axis).  The probe-depth
+    table a deployment reads before fixing ``nprobe``.
+
+    The exact baseline is the broadcast-query full scan (the repo's
+    ``embed_topk_cosine`` shape, int64 L2 here) — corpus-linear, built
+    once and shared by every config; each config reuses the frozen
+    artifacts and differs only in the probe filter."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_SV_S).alias("sv")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("sv").alias("qsv")
+    )
+    c = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("cand_id"), F.col("sv").alias("csv2")
+    )
+    d_exact = _SQ64_S.format(a="qsv", b="csv2")
+    we = Window.partitionBy("query_id").orderBy("d", "cand_id")
+    from star_schema_etl_airflow_spark.functions.caching import persist_once
+
+    exact = persist_once(
+        F.broadcast(q).crossJoin(c)
+        .select("query_id", "cand_id", F.expr(d_exact).alias("d"))
+        .withColumn("rank", F.row_number().over(we))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "cand_id")
+    )
+    denom = float(N_QUERIES * TOP_K)
+    out = None
+    for p in EVAL_NPROBES:
+        adc, emb_p = _adc_scores(spark, sf_dir, nprobe=p)
+        adc = persist_once(adc)
+        approx = _refine(adc, emb_p).select("query_id", "cand_id")
+        row = (
+            adc.agg(F.count(F.lit(1)).alias("n_scored"))
+            .crossJoin(
+                approx.join(exact, ["query_id", "cand_id"])
+                .agg(F.count(F.lit(1)).alias("n_hits"))
+            )
+            .select(
+                F.lit(p).cast("int").alias("nprobe"),
+                F.col("n_scored").cast("long").alias("n_scored"),
+                F.col("n_hits").cast("long").alias("n_hits"),
+                F.round(
+                    F.col("n_hits").cast("double") / F.lit(denom), 9
+                ).alias("recall"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+# oracle: the shared CTE chain (sv..codes, qdistc) + per-nprobe probe/
+# ADC/refine chains + the exact full-scan baseline
+_SHARED_CTES = _CTES[:_CTES.index("probed AS (")].rstrip().rstrip(",")
+
+
+def _probe_chain_ctes(p: int) -> str:
+    return f"""probed{p} AS (
+  SELECT query_id, cell, sv, csv FROM (
+    SELECT query_id, cell, sv, csv,
+           ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY d, cell) AS rn
+    FROM qdistc
+  ) WHERE rn <= {p}
+),
+qsub{p} AS (
+  SELECT p.query_id, p.cell, g.m,
+         {_RSUB_D.format(sv='p.sv', csv='p.csv')} AS rsub
+  FROM probed{p} p CROSS JOIN (SELECT unnest(range(0, {M_SUB})) AS m) g
+),
+qtab{p} AS (
+  SELECT q.query_id, q.cell, q.m, k.cid,
+         {_D8_D.format(a='q.rsub', b='k.csub')} AS qdist
+  FROM qsub{p} q JOIN cb k USING (m)
+),
+adc{p} AS (
+  SELECT t.query_id, c.cand_id, c.cell,
+         CAST(SUM(t.qdist) AS BIGINT) AS adc_dist
+  FROM codes c
+  JOIN qtab{p} t ON t.cell = c.cell AND t.m = c.m AND t.cid = c.code
+  GROUP BY 1, 2, 3
+),
+short{p} AS (
+  SELECT query_id, cand_id FROM (
+    SELECT query_id, cand_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY adc_dist, cand_id) AS srank
+    FROM adc{p}
+  ) WHERE srank <= {SHORTLIST}
+),
+rer{p} AS (
+  SELECT query_id, cand_id FROM (
+    SELECT s.query_id, s.cand_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY s.query_id
+             ORDER BY {_SQ64_D.format(a='qv.sv', b='cv.sv')}, s.cand_id
+           ) AS rank
+    FROM short{p} s
+    JOIN sv qv ON qv.vec_id = s.query_id
+    JOIN sv cv ON cv.vec_id = s.cand_id
+  ) WHERE rank <= {TOP_K}
+)"""
+
+
+def _eval_cfg_select(p: int) -> str:
+    denom = float(N_QUERIES * TOP_K)
+    hits = (f"(SELECT COUNT(*) FROM rer{p} r JOIN exact e "
+            f"ON r.query_id = e.query_id AND r.cand_id = e.cand_id)")
+    return f"""
+  SELECT CAST({p} AS INTEGER) AS nprobe,
+         CAST((SELECT COUNT(*) FROM adc{p}) AS BIGINT) AS n_scored,
+         CAST({hits} AS BIGINT) AS n_hits,
+         ROUND(CAST({hits} AS DOUBLE) / {denom!r}, 9) AS recall"""
+
+
+IVFPQ_EVAL_ORACLE = f"""{_SHARED_CTES},
+exact AS (
+  SELECT query_id, cand_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_SQ64_D.format(a='q.sv', b='c.sv')}, c.vec_id
+           ) AS rank
+    FROM sv q CROSS JOIN sv c
+    WHERE q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+  ) WHERE rank <= {TOP_K}
+),
+{", ".join(_probe_chain_ctes(p) for p in EVAL_NPROBES)}
+{" UNION ALL ".join(_eval_cfg_select(p) for p in EVAL_NPROBES)}
+"""
+
+register(QuerySpec("ivfpq_eval", ivfpq_eval, IVFPQ_EVAL_ORACLE,
+                   tags=("llm", "ann", "EVAL")))

@@ -297,3 +297,26 @@ def test_banding_sweep_shows_the_s_curve_trade(spark):
     assert (mid.n_candidates, mid.n_predicted, mid.recall_near) == (
         base.n_candidates, base.n_predicted, base.recall_near,
     )
+
+
+def test_ivfpq_eval_probe_sweep_is_monotone(spark):
+    """More probed cells never hurts: scored volume strictly rises and
+    recall is non-decreasing in nprobe; the committed nprobe=2 row must
+    agree with embed_ivfpq_rerank's own measured recall."""
+    from star_schema_etl_airflow_spark.plans.ivfpq import (
+        NPROBE,
+        embed_ivfpq_rerank,
+        ivfpq_eval,
+    )
+
+    rows = sorted(ivfpq_eval(spark, SF_DIR).collect(), key=lambda r: r.nprobe)
+    scored = [r.n_scored for r in rows]
+    recalls = [r.recall for r in rows]
+    assert scored == sorted(scored) and len(set(scored)) == len(scored)
+    assert recalls == sorted(recalls)
+    committed = next(r for r in rows if r.nprobe == NPROBE)
+    got = embed_ivfpq_rerank(spark, SF_DIR).select("query_id", "cand_id")
+    measured = _recall_vs_exact(
+        _scaled_vectors(), got.collect()
+    )
+    assert abs(committed.recall - measured) < 1e-9
