@@ -52,7 +52,10 @@ _SHUF_S = md5_long_spark(f"concat('{SHUFFLE_SEED}', cast(doc_id as string))")
 _SHUF_D = md5_long_duck(f"'{SHUFFLE_SEED}' || CAST(doc_id AS VARCHAR)")
 
 
-def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+def staged_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, ttr, shuf, stage) — the TTR-staged, seeded-shuffle
+    intermediate shared by the schedule query and the pipeline-v6
+    composition."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
@@ -67,9 +70,11 @@ def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_stage = Window.partitionBy("lang").orderBy(
         F.col("ttr").asc(), F.col("doc_id").asc()
     )
-    staged = docs.withColumn(
-        "stage", F.ntile(NUM_STAGES).over(w_stage)
-    )
+    return docs.withColumn("stage", F.ntile(NUM_STAGES).over(w_stage))
+
+
+def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    staged = staged_documents(spark, sf_dir)
     w_rank = Window.partitionBy("stage").orderBy(
         F.col("shuf").asc(), F.col("doc_id").asc()
     )
@@ -97,8 +102,8 @@ def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-CURRICULUM_ORACLE = f"""
-WITH scored AS (
+# scored + staged CTE pair — shared with the pipeline-v6 oracle
+CURRICULUM_STAGED_CTES = f"""scored AS (
   SELECT doc_id, lang,
          ROUND(CAST(len(list_distinct({_TOKS_D})) AS DOUBLE)
                / CAST(len({_TOKS_D}) AS DOUBLE), {TTR_DECIMALS}) AS ttr,
@@ -110,7 +115,10 @@ staged AS (
          NTILE({NUM_STAGES}) OVER (
            PARTITION BY lang ORDER BY ttr ASC, doc_id ASC) AS stage
   FROM scored
-),
+)"""
+
+CURRICULUM_ORACLE = f"""
+WITH {CURRICULUM_STAGED_CTES},
 ranked AS (
   SELECT doc_id, lang, ttr, stage,
          ROW_NUMBER() OVER (

@@ -93,6 +93,7 @@ def _ensure_loaded() -> None:
         llm_pipeline3,
         llm_pipeline4,
         llm_pipeline5,
+        llm_pipeline6,
         llm_quantize,
         llm_sampling,
         llm_similarity,

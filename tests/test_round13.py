@@ -320,3 +320,31 @@ def test_ivfpq_eval_probe_sweep_is_monotone(spark):
         _scaled_vectors(), got.collect()
     )
     assert abs(committed.recall - measured) < 1e-9
+
+
+def test_pipeline_v6_selects_tempered_curriculum_prefixes(spark):
+    """Per language the epoch takes exactly the first ``quota`` docs in
+    curriculum order (a contiguous lang_pos prefix), and the tempered
+    quotas rebalance: the majority language's epoch share is strictly
+    below its raw corpus share."""
+    import duckdb
+
+    from star_schema_etl_airflow_spark.plans.llm_pipeline6 import (
+        curation_pipeline_v6,
+    )
+
+    rows = curation_pipeline_v6(spark, SF_DIR).collect()
+    per_lang = {}
+    for r in rows:
+        per_lang.setdefault(r.lang, []).append(r)
+    raw = dict(duckdb.sql(
+        f"SELECT lang, COUNT(*) FROM '{SF_DIR}/documents.parquet' GROUP BY 1"
+    ).fetchall())
+    n_total = sum(raw.values())
+    n_sel = len(rows)
+    for lang, rs in per_lang.items():
+        quota = rs[0].quota
+        assert len(rs) == quota
+        assert sorted(r.lang_pos for r in rs) == list(range(1, quota + 1))
+    top = max(raw, key=raw.get)
+    assert len(per_lang[top]) / n_sel < raw[top] / n_total
