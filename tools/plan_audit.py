@@ -95,6 +95,13 @@ EXTRA = [
     "kmv_source_cardinality",
     "mixture_temperature",
     "retrieval_incremental",
+    "dedup_eval_banding",
+    "ivfpq_eval",
+    "events_holt_forecast",
+    "graph_communities",
+    "community_modularity",
+    "curation_pipeline_v6",
+    "profile_documents",
 ]
 
 
