@@ -107,18 +107,21 @@ def _rsub_of(cand: DataFrame, cells: DataFrame) -> DataFrame:
     ).select("cand_id", "cell", "m", F.expr(_RSUB_S).alias("rsub"))
 
 
-def _artifacts(emb: DataFrame):
+def _artifacts(emb: DataFrame, cells: DataFrame | None = None):
     """The frozen index artifacts: coarse ``cells`` and the residual
-    codebook ``cb`` (the training band's residual subvectors).  Both
-    are control-plane sized; a deployment materializes them once per
-    index version."""
-    cells = (
-        emb.filter(
-            (F.col("vec_id") >= N_QUERIES)
-            & (F.col("vec_id") < N_QUERIES + NCELLS)
+    codebook ``cb`` (the training band's residual subvectors, taken
+    against whichever coarse quantizer is in force).  Both are
+    control-plane sized; a deployment materializes them once per index
+    version.  ``cells`` defaults to the deterministic band quantizer;
+    the trained variant passes the scaled k-means codebook."""
+    if cells is None:
+        cells = (
+            emb.filter(
+                (F.col("vec_id") >= N_QUERIES)
+                & (F.col("vec_id") < N_QUERIES + NCELLS)
+            )
+            .select(F.col("vec_id").alias("cell"), F.col("sv").alias("csv"))
         )
-        .select(F.col("vec_id").alias("cell"), F.col("sv").alias("csv"))
-    )
     band = emb.filter(
         (F.col("vec_id") >= _CB_LO) & (F.col("vec_id") < _CB_HI)
     ).withColumnRenamed("vec_id", "cand_id")
@@ -145,17 +148,21 @@ def _encode(cand: DataFrame, cells: DataFrame, cb: DataFrame) -> DataFrame:
 
 
 def _adc_scores(spark: SparkSession, sf_dir: str, codes_of=None,
-                nprobe: int = NPROBE):
+                nprobe: int = NPROBE, cells_of=None):
     """Shared IVFADC machinery: returns ``(adc, emb)`` where ``adc`` is
     the per-(query, candidate-in-probed-cell) asymmetric distance
     relation and ``emb`` the scaled-int vector relation (for refine).
     ``codes_of(emb, cells, cb)`` overrides how the code table is built
     (the incremental-add path supplies a union of frozen + delta
-    encodes); ``nprobe`` overrides the probe depth (the eval sweep)."""
+    encodes); ``nprobe`` overrides the probe depth (the eval sweep);
+    ``cells_of(spark, sf_dir)`` overrides the coarse quantizer (the
+    k-means-trained variant)."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr(_SV_S).alias("sv")
     )
-    cells, cb = _artifacts(emb)
+    cells, cb = _artifacts(emb, cells=(
+        None if cells_of is None else cells_of(spark, sf_dir)
+    ))
     d_cell, d_enc = _D_CELL, _D_ENC
 
     if codes_of is None:
@@ -588,3 +595,72 @@ exact AS (
 
 register(QuerySpec("ivfpq_eval", ivfpq_eval, IVFPQ_EVAL_ORACLE,
                    tags=("llm", "ann", "EVAL")))
+
+
+# --- trained coarse quantizer (k-means cells) -------------------------------
+
+
+def _trained_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k-means codebook as the coarse quantizer: the repo's
+    deterministic 2-iteration Lloyd fit (``operators/kmeans.py``, same
+    run as ``kmeans_assign``) produces DOUBLE centroids that are
+    bit-identical on both engines; fixed-pointing them (floor(x·1e6+.5),
+    the ``plans/pq.py`` contract) yields INT64 cells, so everything
+    downstream keeps the exact-arithmetic guarantee."""
+    from star_schema_etl_airflow_spark.operators.kmeans import kmeans_fit
+    from star_schema_etl_airflow_spark.plans.clustering_queries import (
+        K as KM_K,
+        N_ITER as KM_ITER,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    _, cents = kmeans_fit(emb, KM_K, KM_ITER, dim=64)
+    return cents.select(
+        F.col("cluster").alias("cell"), F.expr(_SV_S).alias("csv")
+    )
+
+
+def embed_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC with a TRAINED coarse quantizer — the full production
+    pipeline (train → index → search) in one differential query: Lloyd
+    k-means fits the cells, the residual codebook re-derives against
+    them, candidates encode, queries probe — byte-identical machinery
+    to ``embed_ivfpq_topk`` with only the cells relation swapped
+    (the seam ``embed_ann_ivf_trained`` documents for flat IVF, now
+    closed for the composed index).  The oracle chains the unrolled
+    k-means CTEs (``plans/clustering_queries.py``) into the verified
+    IVFADC chain."""
+    adc, _ = _adc_scores(spark, sf_dir, cells_of=_trained_cells)
+    wr = Window.partitionBy("query_id").orderBy("adc_dist", "cand_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id", "cand_id", "cell", "adc_dist",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def _trained_oracle() -> str:
+    from star_schema_etl_airflow_spark.plans.clustering_queries import (
+        KMEANS_CTES,
+    )
+
+    band_cells = f"""cells AS (
+  SELECT vec_id AS cell, sv AS csv FROM sv
+  WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES} + {NCELLS}
+),"""
+    trained_cells = f"""cells AS (
+  SELECT cluster AS cell, {_sv_duck('embedding')} AS csv FROM c2
+),"""
+    assert band_cells in IVFPQ_ORACLE
+    body = IVFPQ_ORACLE.replace(band_cells, trained_cells)
+    # splice the kmeans CTE chain in front of the (verified) IVFADC chain
+    return body.replace("\nWITH sv AS (", f"\nWITH {KMEANS_CTES},\nsv AS (")
+
+
+register(QuerySpec("embed_ivfpq_trained", embed_ivfpq_trained,
+                   _trained_oracle(), tags=("llm", "ann", "KMEANS")))

@@ -348,3 +348,21 @@ def test_pipeline_v6_selects_tempered_curriculum_prefixes(spark):
         assert sorted(r.lang_pos for r in rs) == list(range(1, quota + 1))
     top = max(raw, key=raw.get)
     assert len(per_lang[top]) / n_sel < raw[top] / n_total
+
+
+def test_trained_coarse_quantizer_beats_the_band_quantizer(spark):
+    """Swapping the deterministic band cells for the Lloyd-trained
+    codebook must improve codes-only ADC recall (balanced cells →
+    smaller residuals → less quantization error; measured 0.05 → 0.16
+    on the fixture)."""
+    from star_schema_etl_airflow_spark.plans.ivfpq import (
+        embed_ivfpq_trained,
+    )
+
+    sv = _scaled_vectors()
+    band = _recall_vs_exact(sv, embed_ivfpq_topk(spark, SF_DIR).collect())
+    trained = _recall_vs_exact(
+        sv, embed_ivfpq_trained(spark, SF_DIR).collect()
+    )
+    assert trained > band, (trained, band)
+    assert trained >= 0.10
