@@ -349,3 +349,129 @@ WITH corpus AS ({CORPUS_DUCK}),
 
 register(QuerySpec("dedup_eval_banding", dedup_eval_banding,
                    DEDUP_EVAL_BANDING_ORACLE, tags=("LLM-DEDUP", "EVAL")))
+
+
+# --- SimHash-family eval ----------------------------------------------------
+
+
+def simhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SimHash twin of :func:`dedup_eval`: recall of the 4×12-bit
+    banded discovery against the injected truth (relevance = true
+    hamming ≤ the pipeline's own threshold).  An identical-text pair
+    has hamming 0 — every band collides, so ``recall_exact`` must be
+    1.0; a mutated pair at hamming 1..4 can scatter its differing bits
+    across all four bands (the pigeonhole guarantee only covers
+    hamming < 4 bands... strictly hamming ≤ 3 pairs share a band, a
+    hamming-4 pair may not) — the measured near recall prices exactly
+    that residual miss class."""
+    from star_schema_etl_airflow_spark.plans.llm_dedup import (
+        HAMMING_THRESHOLD,
+        build_corpus,
+        simhash_banded_pairs,
+        simhash_relation,
+    )
+
+    sim = persist_once(simhash_relation(build_corpus(spark, sf_dir)))
+    predicted = persist_once(
+        simhash_banded_pairs(sim).select("doc_a", "doc_b")
+    )
+
+    def relevant(offset: int) -> DataFrame:
+        base = sim.select(F.col("doc_id").alias("doc_a"),
+                          F.col("simhash").alias("ha"))
+        twin = sim.filter(
+            (F.col("doc_id") >= offset)
+            & (F.col("doc_id") < offset + NEAR_DUP_OFFSET)
+        ).select(
+            (F.col("doc_id") - offset).alias("doc_a"),
+            F.col("doc_id").alias("doc_b"),
+            F.col("simhash").alias("hb"),
+        )
+        return persist_once(
+            twin.join(base, "doc_a")
+            .filter(F.expr("bit_count(ha ^ hb)") <= HAMMING_THRESHOLD)
+            .select("doc_a", "doc_b")
+        )
+
+    rel_exact = relevant(EXACT_DUP_OFFSET)
+    rel_near = relevant(NEAR_DUP_OFFSET)
+
+    def n(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias(name))
+
+    out = (
+        n(rel_exact, "n_relevant_exact")
+        .crossJoin(n(rel_near, "n_relevant_near"))
+        .crossJoin(n(rel_exact.join(predicted, ["doc_a", "doc_b"]),
+                     "n_tp_exact"))
+        .crossJoin(n(rel_near.join(predicted, ["doc_a", "doc_b"]),
+                     "n_tp_near"))
+        .crossJoin(n(predicted, "n_predicted"))
+    )
+    r = lambda num, den: F.round(  # noqa: E731
+        F.col(num).cast("double") / F.col(den).cast("double"), EVAL_DECIMALS
+    )
+    return out.select(
+        "n_relevant_exact", "n_relevant_near", "n_tp_exact", "n_tp_near",
+        "n_predicted",
+        r("n_tp_exact", "n_relevant_exact").alias("recall_exact"),
+        r("n_tp_near", "n_relevant_near").alias("recall_near"),
+    )
+
+
+def _simhash_eval_oracle() -> str:
+    from star_schema_etl_airflow_spark.plans.llm_dedup import (
+        HAMMING_THRESHOLD,
+        _duck_sim_bands,
+        _duck_simhash,
+    )
+
+    def rel(name: str, offset: int) -> str:
+        return f"""{name} AS (
+  SELECT t.doc_a, t.doc_b
+  FROM (
+    SELECT doc_id - {offset} AS doc_a, doc_id AS doc_b, simhash AS hb
+    FROM sim
+    WHERE doc_id >= {offset} AND doc_id < {offset} + {NEAR_DUP_OFFSET}
+  ) t
+  JOIN (SELECT doc_id AS doc_a, simhash AS ha FROM sim) s USING (doc_a)
+  WHERE bit_count(xor(s.ha, t.hb)) <= {HAMMING_THRESHOLD}
+)"""
+
+    return f"""
+WITH corpus AS ({CORPUS_DUCK}),
+{_duck_simhash()},
+buckets AS (
+{_duck_sim_bands()}
+),
+predicted AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a JOIN buckets b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_THRESHOLD}
+),
+{rel('rel_exact', EXACT_DUP_OFFSET)},
+{rel('rel_near', NEAR_DUP_OFFSET)},
+counts AS (
+  SELECT
+    (SELECT COUNT(*) FROM rel_exact) AS n_relevant_exact,
+    (SELECT COUNT(*) FROM rel_near) AS n_relevant_near,
+    (SELECT COUNT(*) FROM rel_exact r JOIN predicted p
+       ON r.doc_a = p.doc_a AND r.doc_b = p.doc_b) AS n_tp_exact,
+    (SELECT COUNT(*) FROM rel_near r JOIN predicted p
+       ON r.doc_a = p.doc_a AND r.doc_b = p.doc_b) AS n_tp_near,
+    (SELECT COUNT(*) FROM predicted) AS n_predicted
+)
+SELECT n_relevant_exact, n_relevant_near, n_tp_exact, n_tp_near,
+       n_predicted,
+       ROUND(CAST(n_tp_exact AS DOUBLE) / CAST(n_relevant_exact AS DOUBLE),
+             {EVAL_DECIMALS}) AS recall_exact,
+       ROUND(CAST(n_tp_near AS DOUBLE) / CAST(n_relevant_near AS DOUBLE),
+             {EVAL_DECIMALS}) AS recall_near
+FROM counts
+"""
+
+
+register(QuerySpec("simhash_eval", simhash_eval, _simhash_eval_oracle(),
+                   tags=("LLM-DEDUP", "EVAL")))

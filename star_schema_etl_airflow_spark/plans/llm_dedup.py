@@ -279,10 +279,9 @@ HAMMING_THRESHOLD = 4
 _N_SIM_BANDS = SIMHASH_BITS // SIMHASH_BAND_BITS
 
 
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 48-bit frequency-weighted simhash per doc,
-    bucket on 4 12-bit bands, verify hamming distance ≤ 4 on candidates."""
-    corpus = build_corpus(spark, sf_dir)
+def simhash_relation(corpus: DataFrame) -> DataFrame:
+    """(doc_id, simhash) — the 48-bit frequency-weighted simhash of any
+    (doc_id, text) relation (shared by the dedup join and its eval)."""
     tok = corpus.select(
         "doc_id", F.explode(F.expr(_TOKS_S)).alias("tok")
     ).withColumn("h", F.expr(md5_long_spark("tok")))
@@ -296,12 +295,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim_expr = " + ".join(
         f"(case when b{i} > 0 then {1 << i}L else 0L end)" for i in range(SIMHASH_BITS)
     )
-    sim = (
+    return (
         tok.groupBy("doc_id")
         .agg(*bit_sums)
         .select("doc_id", F.expr(sim_expr).alias("simhash"))
     )
 
+
+def simhash_banded_pairs(sim: DataFrame) -> DataFrame:
+    """The banded candidate join + hamming verify over a (doc_id,
+    simhash) relation — ``dedup_simhash``'s discovery path, exposed for
+    the eval."""
     band_exprs = ", ".join(
         f"{k}, shiftright(simhash, {k * SIMHASH_BAND_BITS}) & {(1 << SIMHASH_BAND_BITS) - 1}"
         for k in range(_N_SIM_BANDS)
@@ -326,6 +330,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
         .filter(F.col("hamming") <= HAMMING_THRESHOLD)
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 48-bit frequency-weighted simhash per doc,
+    bucket on 4 12-bit bands, verify hamming distance ≤ 4 on candidates."""
+    return simhash_banded_pairs(
+        simhash_relation(build_corpus(spark, sf_dir))
     )
 
 

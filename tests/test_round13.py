@@ -366,3 +366,18 @@ def test_trained_coarse_quantizer_beats_the_band_quantizer(spark):
     )
     assert trained > band, (trained, band)
     assert trained >= 0.10
+
+
+def test_simhash_eval_pigeonhole_contract(spark):
+    """Hamming-0 (identical text) pairs collide in every band —
+    recall_exact must be exactly 1.0; hamming ≤ 3 pairs are pigeonhole-
+    guaranteed a shared band, so only hamming-4 scatter can be missed —
+    near recall stays high (measured 0.947; MinHash's S-curve gave 0.29
+    on the same corpus, which is the comparative insight the two evals
+    exist to surface)."""
+    from star_schema_etl_airflow_spark.plans.dedup_eval import simhash_eval
+
+    row = simhash_eval(spark, SF_DIR).collect()[0]
+    assert row.recall_exact == 1.0
+    assert row.recall_near >= 0.8, row.recall_near
+    assert row.n_tp_near <= row.n_relevant_near
