@@ -235,3 +235,116 @@ WINDOW w AS (PARTITION BY event_type ORDER BY hour)
 
 register(QuerySpec("events_holt_forecast", events_holt_forecast,
                    _holt_oracle(), tags=("TIMESERIES",)))
+
+
+# --- forecast accuracy evaluation -------------------------------------------
+
+
+def forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-quality evaluation as a query — the time-series member
+    of the eval family (retrieval/dedup/ANN/graph evals elsewhere):
+    one-step-ahead accuracy of three forecasters on the hourly series,
+    each predicting bucket t from data ≤ t−1 only:
+
+    - ``naive``: last value (the no-skill baseline every forecast must
+      beat);
+    - ``ewma``: the EWMA level, lagged one bucket;
+    - ``holt``: level + trend, lagged one bucket (trend-aware).
+
+    Errors are |cnt − forecast| per (type, hour) with at least one
+    predecessor; the mean goes through exact DECIMAL sums (the repo's
+    order-independence trick — a double AVG would drift with
+    partitioning), so MAE/MSE are value-hash exact cross-engine.
+    Scale shape: same rollup-sized grain + per-type lag windows as the
+    forecasters themselves; the final aggregate is 3 rows."""
+    h = _hourly(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("hour")
+
+    def lag_chain(weights: list[float], shift: int):
+        acc = None
+        for j, wt in enumerate(weights):
+            term = F.coalesce(
+                F.lag("cnt", j + shift).over(w), F.lit(0)
+            ).cast("double") * F.lit(wt)
+            acc = term if acc is None else acc + term
+        return acc
+
+    naive = F.lag("cnt", 1).over(w).cast("double")
+    ewma_f = lag_chain(_WEIGHTS, 1)
+    holt_f = lag_chain(_HOLT_LW, 1) + lag_chain(_HOLT_TW, 1)
+    scored = h.select(
+        "event_type", "hour", "cnt",
+        naive.alias("f_naive"),
+        ewma_f.alias("f_ewma"),
+        holt_f.alias("f_holt"),
+    ).filter(F.col("f_naive").isNotNull())
+
+    def metrics(fcol: str, name: str) -> DataFrame:
+        err = F.col("cnt").cast("double") - F.col(fcol)
+        return scored.agg(
+            F.lit(name).alias("method"),
+            F.count(F.lit(1)).alias("n_evaluated"),
+            F.round(
+                F.sum(F.abs(err).cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                DECIMALS,
+            ).alias("mae"),
+            F.round(
+                F.sum((err * err).cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                DECIMALS,
+            ).alias("mse"),
+        )
+
+    return (
+        metrics("f_naive", "naive")
+        .unionByName(metrics("f_ewma", "ewma"))
+        .unionByName(metrics("f_holt", "holt"))
+    )
+
+
+def _forecast_eval_oracle() -> str:
+    def chain(weights: list[float], shift: int) -> str:
+        return " + ".join(
+            f"CAST(COALESCE(LAG(cnt, {j + shift}) OVER w, 0) AS DOUBLE)"
+            f" * {wt!r}"
+            for j, wt in enumerate(weights)
+        )
+
+    ewma_f = chain(_WEIGHTS, 1)
+    holt_f = f"({chain(_HOLT_LW, 1)}) + ({chain(_HOLT_TW, 1)})"
+
+    def m(fexpr: str, name: str) -> str:
+        err = f"(CAST(cnt AS DOUBLE) - {fexpr})"
+        return f"""
+  SELECT '{name}' AS method,
+         COUNT(*) AS n_evaluated,
+         ROUND(CAST(SUM(CAST(ABS({err}) AS DECIMAL(38,12))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE), {DECIMALS}) AS mae,
+         ROUND(CAST(SUM(CAST({err} * {err} AS DECIMAL(38,12))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE), {DECIMALS}) AS mse
+  FROM scored WHERE f_naive IS NOT NULL"""
+
+    return f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+scored AS (
+  SELECT event_type, hour, cnt,
+         CAST(LAG(cnt, 1) OVER w AS DOUBLE) AS f_naive,
+         {ewma_f} AS f_ewma,
+         {holt_f} AS f_holt
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour)
+)
+{m('f_naive', 'naive')}
+UNION ALL
+{m('f_ewma', 'ewma')}
+UNION ALL
+{m('f_holt', 'holt')}
+"""
+
+
+register(QuerySpec("forecast_eval", forecast_eval, _forecast_eval_oracle(),
+                   tags=("TIMESERIES", "EVAL")))
