@@ -358,3 +358,103 @@ FROM counts c CROSS JOIN totals t
 
 register(QuerySpec("mixture_temperature", mixture_temperature,
                    MIXTURE_TEMPERATURE_ORACLE, tags=("MIX",)))
+
+
+# --- packing utilization evaluation ----------------------------------------
+
+
+def packing_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-quality evaluation as a query: bins used, token
+    utilization, and padding waste for the two committed greedy
+    strategies (arrival order vs length-descending) at the same
+    capacity — the measured answer to "is sorting worth the extra
+    shuffle" (NFD needs a per-shard sort; the utilization delta is what
+    pays for it).  One row per strategy; the pack runs are the registry
+    operators themselves."""
+    from star_schema_etl_airflow_spark.operators.packing import pack_greedy
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "tokens_i", F.expr("(n_chars + 3) div 4")
+    )
+
+    def row(name: str, order: str | None) -> DataFrame:
+        kw = {} if order is None else {"order": order}
+        packed = pack_greedy(
+            docs, "doc_id", "tokens_i", PACK_CAPACITY,
+            n_shards=PACK_SHARDS, seed=PACK_SEED, **kw,
+        )
+        bins = packed.groupBy("shard").agg(
+            (F.max("bin_id") + 1).alias("shard_bins")
+        )
+        return (
+            packed.agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("tokens").alias("total_tokens"),
+            )
+            .crossJoin(bins.agg(F.sum("shard_bins").alias("n_bins")))
+            .select(
+                F.lit(name).alias("strategy"),
+                F.col("n_docs").cast("long").alias("n_docs"),
+                F.col("n_bins").cast("long").alias("n_bins"),
+                F.col("total_tokens").cast("long").alias("total_tokens"),
+                F.round(
+                    F.col("total_tokens").cast("double")
+                    / (F.col("n_bins").cast("double") * PACK_CAPACITY),
+                    9,
+                ).alias("utilization"),
+            )
+        )
+
+    return row("arrival", None).unionByName(row("length_desc", "tokens_desc"))
+
+
+def _packing_eval_oracle() -> str:
+    def chain(suffix: str, order_sql: str) -> str:
+        return f"""seq{suffix} AS (
+  SELECT shard, doc_id, tokens,
+         ROW_NUMBER() OVER (PARTITION BY shard ORDER BY {order_sql}) AS rn
+  FROM base
+), pack{suffix} AS (
+  SELECT shard, doc_id, tokens, rn,
+         CAST(0 AS INTEGER) AS bin_id, tokens AS fill
+  FROM seq{suffix} WHERE rn = 1
+  UNION ALL
+  SELECT s.shard, s.doc_id, s.tokens, s.rn,
+         CAST(CASE WHEN p.fill + s.tokens > {PACK_CAPACITY}
+              THEN p.bin_id + 1 ELSE p.bin_id END AS INTEGER),
+         CASE WHEN p.fill + s.tokens > {PACK_CAPACITY}
+              THEN s.tokens ELSE p.fill + s.tokens END
+  FROM pack{suffix} p JOIN seq{suffix} s
+    ON s.shard = p.shard AND s.rn = p.rn + 1
+)"""
+
+    def summary(suffix: str, name: str) -> str:
+        return f"""
+  SELECT '{name}' AS strategy,
+         CAST((SELECT COUNT(*) FROM pack{suffix}) AS BIGINT) AS n_docs,
+         CAST((SELECT SUM(mb + 1) FROM (
+            SELECT shard, MAX(bin_id) AS mb FROM pack{suffix} GROUP BY shard
+         )) AS BIGINT) AS n_bins,
+         CAST((SELECT SUM(tokens) FROM pack{suffix}) AS BIGINT)
+           AS total_tokens,
+         ROUND(CAST((SELECT SUM(tokens) FROM pack{suffix}) AS DOUBLE)
+               / (CAST((SELECT SUM(mb + 1) FROM (
+                    SELECT shard, MAX(bin_id) AS mb FROM pack{suffix}
+                    GROUP BY shard)) AS DOUBLE) * {PACK_CAPACITY}),
+               9) AS utilization"""
+
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT CAST({_bucket_duck(PACK_SEED)} % {PACK_SHARDS} AS INTEGER) AS shard,
+         doc_id,
+         CAST((n_chars + 3) // 4 AS INTEGER) AS tokens
+  FROM documents
+), {chain('1', 'doc_id')}, {chain('2', 'tokens DESC, doc_id')}
+{summary('1', 'arrival')}
+UNION ALL
+{summary('2', 'length_desc')}
+"""
+
+
+register(QuerySpec("packing_eval", packing_eval, _packing_eval_oracle(),
+                   tags=("PACK", "EVAL")))

@@ -394,3 +394,24 @@ def test_forecast_eval_smoothing_beats_no_skill(spark):
     assert len({r.n_evaluated for r in rows.values()}) == 1
     assert rows["ewma"].mae < rows["naive"].mae
     assert rows["ewma"].mse < rows["naive"].mse
+
+
+def test_packing_eval_conserves_tokens_and_respects_lower_bound(spark):
+    """Both strategies pack the same docs/tokens; bins can never beat
+    the ceiling lower bound Σtokens/capacity (per shard, so the global
+    bound is loose but must still hold); utilization is a proper
+    fraction."""
+    import math
+
+    from star_schema_etl_airflow_spark.plans.llm_sampling import (
+        PACK_CAPACITY,
+        packing_eval,
+    )
+
+    rows = {r.strategy: r for r in packing_eval(spark, SF_DIR).collect()}
+    assert set(rows) == {"arrival", "length_desc"}
+    a, b = rows["arrival"], rows["length_desc"]
+    assert (a.n_docs, a.total_tokens) == (b.n_docs, b.total_tokens)
+    for r in rows.values():
+        assert r.n_bins >= math.ceil(r.total_tokens / PACK_CAPACITY)
+        assert 0.0 < r.utilization <= 1.0
