@@ -102,6 +102,10 @@ EXTRA = [
     "community_modularity",
     "curation_pipeline_v6",
     "profile_documents",
+    "embed_ivfpq_trained",
+    "simhash_eval",
+    "forecast_eval",
+    "packing_eval",
 ]
 
 
