@@ -180,37 +180,39 @@ _QUERY_VALUES = ", ".join(
     f"({qid}, '{term}')" for qid, terms in BM25_QUERIES for term in terms
 )
 
-def bm25_scored_ctes(corpus: str) -> str:
-    """The CTE chain computing ``scored(query_id, doc_id, score)`` over
-    an arbitrary ``(doc_id, text)`` corpus relation — the oracle twin of
-    :func:`bm25_scores` (same integer-exact arithmetic), reusable by
-    composed pipelines.  ``corpus`` is a relation name or parenthesized
-    subquery."""
+def bm25_scored_ctes(corpus: str, suffix: str = "") -> str:
+    """The CTE chain computing ``scored{suffix}(query_id, doc_id,
+    score)`` over an arbitrary ``(doc_id, text)`` corpus relation — the
+    oracle twin of :func:`bm25_scores` (same integer-exact arithmetic),
+    reusable by composed pipelines.  ``corpus`` is a relation name or
+    parenthesized subquery; ``suffix`` renames every CTE so two chains
+    (e.g. true-stats vs frozen-stats) can coexist in one WITH."""
+    x = suffix
     return f"""
-toks AS (
+toks{x} AS (
   SELECT doc_id, unnest({_TOKS_D}) AS term FROM {corpus}
 ),
-tf AS (
-  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+tf{x} AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks{x} GROUP BY 1, 2
 ),
-dl AS (
-  SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1
+dl{x} AS (
+  SELECT doc_id, COUNT(*) AS dl FROM toks{x} GROUP BY 1
 ),
-stats AS (
-  SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl
+stats{x} AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl{x}
 ),
-q(query_id, term) AS (VALUES {_QUERY_VALUES}),
-df_t AS (
-  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+q{x}(query_id, term) AS (VALUES {_QUERY_VALUES}),
+df_t{x} AS (
+  SELECT term, COUNT(*) AS df FROM tf{x} GROUP BY 1
 ),
-qidf AS (
+qidf{x} AS (
   SELECT q.query_id, q.term,
          CAST(ROUND(LN((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
                     * {IDF_SCALE}.0, 0) AS BIGINT) AS w,
          s.n_docs, s.sum_dl
-  FROM q JOIN df_t d ON q.term = d.term CROSS JOIN stats s
+  FROM q{x} q JOIN df_t{x} d ON q.term = d.term CROSS JOIN stats{x} s
 ),
-contrib AS (
+contrib{x} AS (
   SELECT i.query_id, t.doc_id,
          CAST(ROUND(
            (CAST(i.w AS DOUBLE) / {IDF_SCALE}.0)
@@ -218,13 +220,13 @@ contrib AS (
               / CAST(10 * t.tf * i.sum_dl + 3 * i.sum_dl
                      + 9 * l.dl * i.n_docs AS DOUBLE)),
            {SCORE_DECIMALS}) AS DECIMAL(19,9)) AS c
-  FROM tf t
-  JOIN qidf i ON t.term = i.term
-  JOIN dl l ON t.doc_id = l.doc_id
+  FROM tf{x} t
+  JOIN qidf{x} i ON t.term = i.term
+  JOIN dl{x} l ON t.doc_id = l.doc_id
 ),
-scored AS (
+scored{x} AS (
   SELECT query_id, doc_id, CAST(SUM(c) AS DECIMAL(38,9)) AS score
-  FROM contrib GROUP BY 1, 2
+  FROM contrib{x} GROUP BY 1, 2
 )"""
 
 

@@ -159,3 +159,93 @@ register(QuerySpec(
     "retrieval_incremental", retrieval_incremental,
     RETRIEVAL_INCREMENTAL_ORACLE, tags=("LLM-RETRIEVAL",),
 ))
+
+
+# --- frozen-stats drift evaluation ------------------------------------------
+
+
+def retrieval_drift_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measure the ONE approximation the incremental path makes: the
+    frozen at-rest statistics.  Per query, how much of the TRUE top-k
+    (full corpus re-scored with true df/N/Σdl) does the frozen-stats
+    merged list recover?  This turns the documented
+    O(|delta|/|corpus|) stats-drift claim into a number the deployment
+    can watch — when overlap decays, it is time for the periodic full
+    rebuild the module docstring prescribes.
+
+    Scale: the true side is the standard one-scan BM25 chain; the
+    frozen side is the incremental merge (delta-sized); the comparison
+    joins two queries×k lists — control-plane sized."""
+    from star_schema_etl_airflow_spark.plans.bm25 import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    true_k = (
+        bm25_scores(spark, docs)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "doc_id")
+    )
+    froz_k = retrieval_incremental(spark, sf_dir).select(
+        "query_id", "doc_id"
+    )
+    ov = (
+        true_k.join(froz_k, ["query_id", "doc_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        true_k.select("query_id").distinct()
+        .join(ov, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long")
+            .alias("n_overlap"),
+            F.round(
+                F.coalesce(F.col("n_overlap"), F.lit(0)).cast("double")
+                / F.lit(float(TOP_K)),
+                9,
+            ).alias("overlap_frac"),
+        )
+    )
+
+
+def _drift_eval_oracle() -> str:
+    from star_schema_etl_airflow_spark.plans.bm25 import bm25_scored_ctes
+
+    inc_body = RETRIEVAL_INCREMENTAL_ORACLE.split(
+        "\nSELECT query_id, rank"
+    )[0]
+    return f"""{inc_body},
+{bm25_scored_ctes("documents", "_t")},
+true_k AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+           ) AS rn
+    FROM scored_t
+  ) WHERE rn <= {TOP_K}
+),
+froz_k AS (
+  SELECT query_id, doc_id FROM final WHERE rank <= {TOP_K}
+),
+ov AS (
+  SELECT t.query_id, COUNT(*) AS n_overlap
+  FROM true_k t JOIN froz_k f
+    ON t.query_id = f.query_id AND t.doc_id = f.doc_id
+  GROUP BY 1
+)
+SELECT q.query_id,
+       CAST(COALESCE(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+       ROUND(CAST(COALESCE(o.n_overlap, 0) AS DOUBLE) / {float(TOP_K)!r},
+             9) AS overlap_frac
+FROM (SELECT DISTINCT query_id FROM true_k) q
+LEFT JOIN ov o ON o.query_id = q.query_id
+"""
+
+
+register(QuerySpec("retrieval_drift_eval", retrieval_drift_eval,
+                   _drift_eval_oracle(), tags=("LLM-RETRIEVAL", "EVAL")))
