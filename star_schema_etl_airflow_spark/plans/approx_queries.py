@@ -216,3 +216,62 @@ GROUP BY 1
 
 register(QuerySpec("j9_salted_join", j9_salted_join, J9_ORACLE,
                    tags=("J1", "skew")))
+
+
+# --- DQ2: documents-corpus expectation suite --------------------------------
+
+# The LLM-corpus twin of DQ1: the expectations a training-data release
+# validates before anything downstream trusts the columns the pipeline
+# keys on (n_chars drives packing/curriculum; lang drives mixing/
+# stratification; doc_id drives every join).
+_DQ2_LANGS = ("en", "es", "de", "fr", "zh")
+
+
+def _document_rules() -> list:
+    from star_schema_etl_airflow_spark.operators.quality import (
+        Rule,
+        in_set,
+        not_null,
+    )
+
+    return [
+        Rule("doc_id_not_null", not_null("doc_id")),
+        Rule("text_not_null", not_null("text")),
+        Rule("text_nonempty", F.length("text") > 0),
+        # the metadata column the packing/curriculum operators key on
+        # must agree with the payload it summarizes
+        Rule("n_chars_consistent", F.col("n_chars") == F.length("text")),
+        Rule("lang_known", in_set("lang", list(_DQ2_LANGS))),
+        Rule("source_not_null", not_null("source")),
+    ]
+
+
+def dq2_document_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation census over the documents corpus — one scan, one row
+    per rule (``operators/quality.py::check``); the release gate a
+    corpus passes before packing/mixing/curriculum trust its columns."""
+    from star_schema_etl_airflow_spark.operators.quality import check
+
+    return check(load_table(spark, sf_dir, "documents"), _document_rules())
+
+
+_DQ2_CASES = {
+    "doc_id_not_null": "doc_id IS NOT NULL",
+    "text_not_null": "text IS NOT NULL",
+    "text_nonempty": "LENGTH(text) > 0",
+    "n_chars_consistent": "n_chars = LENGTH(text)",
+    "lang_known": "lang IN ('en', 'es', 'de', 'fr', 'zh')",
+    "source_not_null": "source IS NOT NULL",
+}
+
+DQ2_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{name}' AS rule,
+       CAST(COALESCE(SUM(CASE WHEN NOT ({good}) THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS violations,
+       CAST(COUNT(*) AS BIGINT) AS total_rows
+FROM documents"""
+    for name, good in _DQ2_CASES.items()
+)
+
+register(QuerySpec("dq2_document_rules", dq2_document_rules, DQ2_ORACLE,
+                   tags=("GOVERNANCE", "DQ")))
