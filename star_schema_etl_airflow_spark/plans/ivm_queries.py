@@ -165,3 +165,56 @@ GROUP BY 1, 2
 
 register(QuerySpec("ivm_counting_returnflags", ivm_counting_returnflags,
                    IVM_COUNTING_ORACLE, tags=("IVM",)))
+
+
+def ivm_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counting IVM on the MONITORING grain: maintain the per-(type,
+    hour) count/value rollup that ``plans/anomaly.py`` (EWMA, z-score,
+    Holt, forecast_eval) reads — through an initial load, a late-arrival
+    insert batch, and a bot-traffic RETRACTION batch (every 50th user's
+    events withdrawn after classification).  The oracle is the direct
+    aggregate over the net multiset, so the check proves the hourly
+    continuous aggregate can be maintained by deltas instead of
+    event-scan rebuilds — the claim the anomaly module's scale note
+    makes, now oracle-backed."""
+    from star_schema_etl_airflow_spark.operators.ivm import (
+        ivm_counting_merge,
+        ivm_counting_state,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("hour"),
+        "event_type",
+        "value",
+        "event_id",
+        "user_id",
+    )
+    keys = ["event_type", "hour"]
+    initial = ev.filter(F.col("event_id") % 4 != 0)
+    inserted = ev.filter(F.col("event_id") % 4 == 0)   # late arrivals
+    retracted = ev.filter(F.col("user_id") % 50 == 0)  # bot classification
+    state = ivm_counting_merge(
+        ivm_counting_state(initial, keys, "value", +1),
+        ivm_counting_state(inserted, keys, "value", +1),
+        ivm_counting_state(retracted, keys, "value", -1),
+    )
+    return state.select(
+        "event_type",
+        "hour",
+        F.col("mult").alias("cnt"),
+        F.col("vsum").cast("double").alias("sum_value"),
+    )
+
+
+IVM_HOURLY_ORACLE = """
+SELECT event_type, date_trunc('hour', ts) AS hour,
+       COUNT(*) AS cnt,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2))
+            AS DOUBLE) AS sum_value
+FROM events
+WHERE user_id % 50 <> 0
+GROUP BY 1, 2
+"""
+
+register(QuerySpec("ivm_hourly_events", ivm_hourly_events,
+                   IVM_HOURLY_ORACLE, tags=("IVM", "TIMESERIES")))
