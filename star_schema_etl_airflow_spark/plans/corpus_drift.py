@@ -1,0 +1,95 @@
+"""Corpus distribution-drift monitor — Population Stability Index
+between two ingest versions (the "did the new crawl shift the language
+mix" check a curation pipeline runs before retraining mixture weights;
+PSI is the standard model-monitoring drift statistic: < 0.1 stable,
+0.1–0.25 moderate, > 0.25 action).
+
+    PSI = Σ_bucket (p_b − q_b) · ln(p_b / q_b)
+
+Here the buckets are languages, ``p`` the at-rest share and ``q`` the
+delta-batch share (even/odd doc_id halves — the repo's standing
+two-ingest-days convention).  Cross-engine exactness: shares are exact
+integer ratios (one double division each); the only transcendental,
+``ln(p/q)``, goes through the micro-ln BIGINT contract
+(``round(ln·1e6)``, the ``plans/bm25.py`` idf pattern) so both engines
+carry the identical integer; the per-bucket term is one multiply and a
+round.  Scale: two map-side-combined count aggregations (bucket-sized
+output), one broadcast of the 1-row totals — no corpus-sized joins.
+
+Reference parity: beyond-reference (LLM-pipeline monitoring extension).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from star_schema_etl_airflow_spark.registry import QuerySpec, register
+from star_schema_etl_airflow_spark.sources.fixtures import load_table
+
+LN_SCALE = 1_000_000
+PSI_DECIMALS = 9
+
+
+def corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    counts = docs.groupBy("lang").agg(
+        F.sum((F.col("doc_id") % 2 == 0).cast("long")).alias("n_at"),
+        F.sum((F.col("doc_id") % 2 == 1).cast("long")).alias("n_delta"),
+    )
+    totals = counts.agg(
+        F.sum("n_at").alias("t_at"), F.sum("n_delta").alias("t_delta")
+    )
+    p = F.col("n_at").cast("double") / F.col("t_at").cast("double")
+    q = F.col("n_delta").cast("double") / F.col("t_delta").cast("double")
+    # micro-ln BIGINT: the bm25 idf determinism contract
+    w = F.round(F.log(p / q) * F.lit(float(LN_SCALE)), 0).cast("long")
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "lang",
+            "n_at",
+            "n_delta",
+            F.round(p, PSI_DECIMALS).alias("p_at"),
+            F.round(q, PSI_DECIMALS).alias("q_delta"),
+            w.alias("ln_ratio_micro"),
+            F.round(
+                (p - q) * (w.cast("double") / F.lit(float(LN_SCALE))),
+                PSI_DECIMALS,
+            ).alias("psi_term"),
+        )
+    )
+
+
+CORPUS_DRIFT_ORACLE = f"""
+WITH counts AS (
+  SELECT lang,
+         SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS n_at,
+         SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS n_delta
+  FROM documents GROUP BY lang
+),
+totals AS (
+  SELECT SUM(n_at) AS t_at, SUM(n_delta) AS t_delta FROM counts
+),
+terms AS (
+  SELECT c.lang, c.n_at, c.n_delta,
+         CAST(c.n_at AS DOUBLE) / CAST(t.t_at AS DOUBLE) AS p,
+         CAST(c.n_delta AS DOUBLE) / CAST(t.t_delta AS DOUBLE) AS q
+  FROM counts c CROSS JOIN totals t
+)
+SELECT lang,
+       CAST(n_at AS BIGINT) AS n_at,
+       CAST(n_delta AS BIGINT) AS n_delta,
+       ROUND(p, {PSI_DECIMALS}) AS p_at,
+       ROUND(q, {PSI_DECIMALS}) AS q_delta,
+       CAST(ROUND(LN(p / q) * {LN_SCALE}.0, 0) AS BIGINT)
+         AS ln_ratio_micro,
+       ROUND((p - q)
+             * (CAST(CAST(ROUND(LN(p / q) * {LN_SCALE}.0, 0) AS BIGINT)
+                     AS DOUBLE) / {LN_SCALE}.0),
+             {PSI_DECIMALS}) AS psi_term
+FROM terms
+"""
+
+register(QuerySpec("corpus_drift_psi", corpus_drift_psi,
+                   CORPUS_DRIFT_ORACLE, tags=("llm", "MONITORING")))

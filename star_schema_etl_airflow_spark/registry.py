@@ -71,6 +71,7 @@ def _ensure_loaded() -> None:
         clustering_queries,
         contrastive,
         core_queries,
+        corpus_drift,
         curriculum,
         curation_clusters,
         curation_multimodal,

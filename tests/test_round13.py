@@ -430,3 +430,31 @@ def test_retrieval_drift_overlap_stays_high(spark):
     assert {r.query_id for r in rows} == {q for q, _ in BM25_QUERIES}
     for r in rows:
         assert r.overlap_frac >= 0.8, (r.query_id, r.overlap_frac)
+
+
+def test_corpus_drift_psi_terms_and_stability(spark):
+    """Each PSI term is non-negative (sign(p−q) == sign(ln(p/q)); the
+    micro-ln rounding can introduce at most 1e-6 of negative noise),
+    the even/odd split of ONE corpus must read as stable (total PSI
+    < 0.1, the standard threshold), and no fixture value sits within
+    1e-3 micro of the ln rounding boundary (the repo's ln-margin
+    convention)."""
+    import math
+
+    from star_schema_etl_airflow_spark.plans.corpus_drift import (
+        LN_SCALE,
+        corpus_drift_psi,
+    )
+
+    rows = corpus_drift_psi(spark, SF_DIR).collect()
+    total = sum(r.psi_term for r in rows)
+    for r in rows:
+        assert r.psi_term >= -1e-6, (r.lang, r.psi_term)
+        exact = math.log(
+            (r.n_at / sum(x.n_at for x in rows))
+            / (r.n_delta / sum(x.n_delta for x in rows))
+        ) * LN_SCALE
+        frac = abs(exact - math.floor(exact) - 0.5)
+        assert frac > 1e-3, (r.lang, exact)
+        assert r.ln_ratio_micro == round(exact)
+    assert 0.0 <= total < 0.1, total
