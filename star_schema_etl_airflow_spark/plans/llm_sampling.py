@@ -458,3 +458,80 @@ UNION ALL
 
 register(QuerySpec("packing_eval", packing_eval, _packing_eval_oracle(),
                    tags=("PACK", "EVAL")))
+
+
+# --- temperature-weight refresh after ingest --------------------------------
+
+
+def mixture_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The action the drift monitor (``corpus_drift_psi``) triggers:
+    recompute the T=2 tempered per-language weights on the post-ingest
+    corpus and report the shift against the at-rest weights — the
+    sampling-weight delta a training run picks up at its next epoch
+    boundary.  Same sqrt/DECIMAL exactness contract as
+    ``mixture_temperature``; two bucket-sized aggregations, one
+    broadcast of each totals row."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+
+    def tempered(rel: DataFrame, qname: str) -> DataFrame:
+        counts = rel.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n")
+        ).withColumn("sq", F.sqrt(F.col("n").cast("double")))
+        totals = counts.agg(
+            F.sum(F.col("sq").cast("decimal(38,12)")).alias("sq_total")
+        )
+        return counts.crossJoin(F.broadcast(totals)).select(
+            "lang",
+            F.col("n").alias(f"n_{qname}"),
+            F.round(
+                F.col("sq") / F.col("sq_total").cast("double"),
+                TEMP_DECIMALS,
+            ).alias(f"q_{qname}"),
+        )
+    at_rest = tempered(docs.filter(F.col("doc_id") % 2 == 0), "at")
+    union_all = tempered(docs, "union")
+    return (
+        at_rest.join(union_all, "lang")
+        .select(
+            "lang", "n_at", "n_union", "q_at", "q_union",
+            F.round(F.col("q_union") - F.col("q_at"), TEMP_DECIMALS)
+            .alias("q_shift"),
+        )
+    )
+
+
+MIXTURE_REFRESH_ORACLE = f"""
+WITH c_at AS (
+  SELECT lang, COUNT(*) AS n, sqrt(CAST(COUNT(*) AS DOUBLE)) AS sq
+  FROM documents WHERE doc_id % 2 = 0 GROUP BY lang
+),
+t_at AS (
+  SELECT SUM(CAST(sq AS DECIMAL(38,12))) AS sq_total FROM c_at
+),
+w_at AS (
+  SELECT lang, n AS n_at,
+         ROUND(sq / CAST(t.sq_total AS DOUBLE), {TEMP_DECIMALS}) AS q_at
+  FROM c_at CROSS JOIN t_at t
+),
+c_u AS (
+  SELECT lang, COUNT(*) AS n, sqrt(CAST(COUNT(*) AS DOUBLE)) AS sq
+  FROM documents GROUP BY lang
+),
+t_u AS (
+  SELECT SUM(CAST(sq AS DECIMAL(38,12))) AS sq_total FROM c_u
+),
+w_u AS (
+  SELECT lang, n AS n_union,
+         ROUND(sq / CAST(t.sq_total AS DOUBLE), {TEMP_DECIMALS}) AS q_union
+  FROM c_u CROSS JOIN t_u t
+)
+SELECT a.lang,
+       CAST(a.n_at AS BIGINT) AS n_at,
+       CAST(u.n_union AS BIGINT) AS n_union,
+       a.q_at, u.q_union,
+       ROUND(u.q_union - a.q_at, {TEMP_DECIMALS}) AS q_shift
+FROM w_at a JOIN w_u u ON a.lang = u.lang
+"""
+
+register(QuerySpec("mixture_refresh", mixture_refresh,
+                   MIXTURE_REFRESH_ORACLE, tags=("MIX", "MONITORING")))
