@@ -31,12 +31,11 @@ LN_SCALE = 1_000_000
 PSI_DECIMALS = 9
 
 
-def corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    counts = docs.groupBy("lang").agg(
-        F.sum((F.col("doc_id") % 2 == 0).cast("long")).alias("n_at"),
-        F.sum((F.col("doc_id") % 2 == 1).cast("long")).alias("n_delta"),
-    )
+def psi_terms(counts: DataFrame) -> DataFrame:
+    """PSI rows from a ``(lang, n_at, n_delta)`` bucket-count relation —
+    the statistic core, shared by the batch monitor and the streaming
+    twin (``streaming/drift_stream.py``, which maintains the delta
+    counts incrementally)."""
     totals = counts.agg(
         F.sum("n_at").alias("t_at"), F.sum("n_delta").alias("t_delta")
     )
@@ -59,6 +58,15 @@ def corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("psi_term"),
         )
     )
+
+
+def corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    counts = docs.groupBy("lang").agg(
+        F.sum((F.col("doc_id") % 2 == 0).cast("long")).alias("n_at"),
+        F.sum((F.col("doc_id") % 2 == 1).cast("long")).alias("n_delta"),
+    )
+    return psi_terms(counts)
 
 
 CORPUS_DRIFT_ORACLE = f"""

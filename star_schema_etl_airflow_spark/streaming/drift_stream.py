@@ -1,0 +1,113 @@
+"""Distribution-drift monitoring as a streaming job: delta document
+batches land as files and each micro-batch's per-language counts fold
+additively into the persisted delta-count table — the arrival-driven
+twin of ``plans/corpus_drift.py`` (whose PSI core the final statistic
+reuses verbatim).
+
+Design notes:
+- ``foreachBatch`` over a swap-published counts table (the
+  kmv/retrieval-stream pattern): the state IS the per-bucket count
+  relation — languages-sized FOREVER, the smallest state of any twin in
+  the repo.  The fold is counting-IVM addition (insert-only here; the
+  retraction-capable algebra is ``operators/ivm.py``).
+- Exactness: counts are integers, addition is associative — the folded
+  state equals the batch groupBy of everything ever ingested under any
+  batching (pinned in ``tests/test_drift_stream.py``), so the PSI
+  computed from it is bit-identical to the batch monitor's.
+- Publish is the shared rename-aside swap with ``recover_swap``
+  adoption; re-delivery is NOT naturally idempotent for additive counts
+  (unlike the bottom-K/top-k folds), so the micro-batch id rides the
+  state and already-applied batches are skipped — the standard
+  transactional-sink trick foreachBatch documentation prescribes.
+- At 100 TB: per batch one batch-sized count aggregation + a
+  languages-sized merge; the monitor reads the state table and the
+  at-rest snapshot — never the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from star_schema_etl_airflow_spark.sources.io import (
+    _swap_publish,
+    _target_exists,
+    recover_swap,
+)
+
+
+def merge_counts(existing: DataFrame | None, delta: DataFrame,
+                 batch_id: int) -> DataFrame | None:
+    """Additive fold of a batch's (lang, n) counts, tagged with the
+    max applied batch id.  Returns None when the batch was already
+    applied (at-least-once re-delivery)."""
+    delta = delta.select("lang", "n", F.lit(batch_id).alias("max_batch"))
+    if existing is None:
+        return delta
+    if existing.filter(F.col("max_batch") >= batch_id).limit(1).count():
+        return None   # already applied — skip, do not double-count
+    return (
+        existing.unionByName(delta)
+        .groupBy("lang")
+        .agg(F.sum("n").alias("n"), F.max("max_batch").alias("max_batch"))
+    )
+
+
+def _publish_swap(df: DataFrame, path: str) -> None:
+    path = path.rstrip("/")
+    tmp = path + "__tmp_swap"
+    df.write.mode("overwrite").parquet(tmp)
+    _swap_publish(tmp, path)
+    df.sparkSession.catalog.refreshByPath(path)
+
+
+def run_drift_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    state_path: str,
+    source_schema,
+) -> DataFrame:
+    """Consume all pending delta files (availableNow, one file per
+    micro-batch), folding per-language counts into the persisted state;
+    returns the final (lang, n, max_batch) counts."""
+    stream = (
+        spark.readStream.schema(source_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing_dir)
+    )
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        recover_swap(state_path)
+        existing = (
+            spark.read.parquet(state_path)
+            if _target_exists(state_path, spark)
+            else None
+        )
+        delta = batch_df.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+        merged = merge_counts(existing, delta, batch_id)
+        if merged is not None:
+            _publish_swap(merged, state_path)
+
+    query = (
+        stream.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", state_path.rstrip("/") + "_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.read.parquet(state_path)
+
+
+def psi_against(at_counts: DataFrame, state: DataFrame) -> DataFrame:
+    """PSI rows of the streamed delta state vs the at-rest snapshot —
+    delegates to the batch monitor's statistic core, so stream and
+    batch monitors are definitionally identical."""
+    from star_schema_etl_airflow_spark.plans.corpus_drift import psi_terms
+
+    counts = (
+        at_counts.select("lang", F.col("n").alias("n_at"))
+        .join(state.select("lang", F.col("n").alias("n_delta")), "lang")
+    )
+    return psi_terms(counts)

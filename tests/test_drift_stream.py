@@ -1,0 +1,87 @@
+"""Streaming drift monitor (streaming/drift_stream.py): the folded
+delta counts must equal the batch groupBy of everything ingested under
+any batching, re-delivery must not double-count, and the PSI computed
+from the streamed state must be bit-identical to the batch monitor's
+on the same split."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from star_schema_etl_airflow_spark.plans.corpus_drift import (
+    corpus_drift_psi,
+)
+from star_schema_etl_airflow_spark.streaming.drift_stream import (
+    merge_counts,
+    psi_against,
+    run_drift_stream,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+SRC_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("lang", T.StringType()),
+])
+
+
+def _stage_odd_half_in_batches(spark, tmp_path, n_batches=3):
+    """The fixture's odd-doc_id half (the batch monitor's delta) split
+    into n landing files by doc_id residue."""
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "lang")
+        .filter(F.col("doc_id") % 2 == 1)
+    )
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    for i in range(n_batches):
+        staging = str(tmp_path / f"stage_{i}")
+        docs.filter((F.col("doc_id") % (2 * n_batches)) == 2 * i + 1) \
+            .coalesce(1).write.mode("overwrite").parquet(staging)
+        part = next(
+            f for f in os.listdir(staging)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        os.rename(os.path.join(staging, part),
+                  os.path.join(landing, f"batch_{i}.parquet"))
+    return docs, landing
+
+
+def test_streamed_psi_equals_batch_monitor(spark, tmp_path):
+    docs, landing = _stage_odd_half_in_batches(spark, tmp_path)
+    state = run_drift_stream(
+        spark, landing, str(tmp_path / "state"), SRC_SCHEMA
+    )
+    # folded counts == direct groupBy of everything ingested
+    want = {
+        (r.lang, r.n)
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got = {(r.lang, r.n) for r in state.collect()}
+    assert got == want
+    # PSI from the streamed state == the batch monitor, bit-identical
+    at_counts = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .filter(F.col("doc_id") % 2 == 0)
+        .groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    )
+    stream_psi = {
+        tuple(r) for r in psi_against(at_counts, state).collect()
+    }
+    batch_psi = {tuple(r) for r in corpus_drift_psi(spark, SF_DIR).collect()}
+    assert stream_psi == batch_psi
+
+
+def test_redelivered_batch_is_not_double_counted(spark):
+    b0 = spark.createDataFrame([("en", 5), ("fr", 2)], "lang string, n long")
+    s1 = merge_counts(None, b0, batch_id=0)
+    s2 = merge_counts(s1, b0, batch_id=0)       # re-delivery → skipped
+    assert s2 is None
+    b1 = spark.createDataFrame([("en", 3)], "lang string, n long")
+    s3 = merge_counts(s1, b1, batch_id=1)
+    got = {(r.lang, r.n) for r in s3.collect()}
+    assert got == {("en", 8), ("fr", 2)}
