@@ -13,8 +13,15 @@ integer ratios (one double division each); the only transcendental,
 ``ln(p/q)``, goes through the micro-ln BIGINT contract
 (``round(ln·1e6)``, the ``plans/bm25.py`` idf pattern) so both engines
 carry the identical integer; the per-bucket term is one multiply and a
-round.  Scale: two map-side-combined count aggregations (bucket-sized
-output), one broadcast of the 1-row totals — no corpus-sized joins.
+round.  Zero buckets (a language present in only one half — the
+STRONGEST drift signal) are epsilon-smoothed: shares are floored at
+``EPS = 1e-6`` inside the log AND the difference (the standard PSI
+zero-bucket treatment), with the identical ``GREATEST`` expression in
+both engines, so a vanishing/appearing language yields a large finite
+term instead of NULL/overflow.  Non-zero buckets are unaffected (every
+real share is ≥ 1/corpus ≫ EPS).  Scale: two map-side-combined count
+aggregations (bucket-sized output), one broadcast of the 1-row totals
+— no corpus-sized joins.
 
 Reference parity: beyond-reference (LLM-pipeline monitoring extension).
 """
@@ -29,6 +36,9 @@ from star_schema_etl_airflow_spark.sources.fixtures import load_table
 
 LN_SCALE = 1_000_000
 PSI_DECIMALS = 9
+# zero-bucket smoothing floor: far below any real share (>= 1/corpus),
+# far above double rounding noise; identical literal in the oracle.
+EPS = 1e-6
 
 
 def psi_terms(counts: DataFrame) -> DataFrame:
@@ -41,8 +51,11 @@ def psi_terms(counts: DataFrame) -> DataFrame:
     )
     p = F.col("n_at").cast("double") / F.col("t_at").cast("double")
     q = F.col("n_delta").cast("double") / F.col("t_delta").cast("double")
+    # epsilon-smoothed shares: defined (and large) on one-sided buckets
+    ps = F.greatest(p, F.lit(EPS))
+    qs = F.greatest(q, F.lit(EPS))
     # micro-ln BIGINT: the bm25 idf determinism contract
-    w = F.round(F.log(p / q) * F.lit(float(LN_SCALE)), 0).cast("long")
+    w = F.round(F.log(ps / qs) * F.lit(float(LN_SCALE)), 0).cast("long")
     return (
         counts.crossJoin(F.broadcast(totals))
         .select(
@@ -53,7 +66,7 @@ def psi_terms(counts: DataFrame) -> DataFrame:
             F.round(q, PSI_DECIMALS).alias("q_delta"),
             w.alias("ln_ratio_micro"),
             F.round(
-                (p - q) * (w.cast("double") / F.lit(float(LN_SCALE))),
+                (ps - qs) * (w.cast("double") / F.lit(float(LN_SCALE))),
                 PSI_DECIMALS,
             ).alias("psi_term"),
         )
@@ -69,20 +82,20 @@ def corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_terms(counts)
 
 
-CORPUS_DRIFT_ORACLE = f"""
-WITH counts AS (
-  SELECT lang,
-         SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS n_at,
-         SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS n_delta
-  FROM documents GROUP BY lang
-),
+# the PSI-term SQL over a (lang, n_at, n_delta) counts CTE, shared by
+# the standing monitor's oracle and the one-sided-bucket variant's
+_PSI_TAIL = f"""
 totals AS (
   SELECT SUM(n_at) AS t_at, SUM(n_delta) AS t_delta FROM counts
 ),
 terms AS (
   SELECT c.lang, c.n_at, c.n_delta,
          CAST(c.n_at AS DOUBLE) / CAST(t.t_at AS DOUBLE) AS p,
-         CAST(c.n_delta AS DOUBLE) / CAST(t.t_delta AS DOUBLE) AS q
+         CAST(c.n_delta AS DOUBLE) / CAST(t.t_delta AS DOUBLE) AS q,
+         GREATEST(CAST(c.n_at AS DOUBLE) / CAST(t.t_at AS DOUBLE),
+                  {EPS!r}) AS ps,
+         GREATEST(CAST(c.n_delta AS DOUBLE) / CAST(t.t_delta AS DOUBLE),
+                  {EPS!r}) AS qs
   FROM counts c CROSS JOIN totals t
 )
 SELECT lang,
@@ -90,14 +103,71 @@ SELECT lang,
        CAST(n_delta AS BIGINT) AS n_delta,
        ROUND(p, {PSI_DECIMALS}) AS p_at,
        ROUND(q, {PSI_DECIMALS}) AS q_delta,
-       CAST(ROUND(LN(p / q) * {LN_SCALE}.0, 0) AS BIGINT)
+       CAST(ROUND(LN(ps / qs) * {LN_SCALE}.0, 0) AS BIGINT)
          AS ln_ratio_micro,
-       ROUND((p - q)
-             * (CAST(CAST(ROUND(LN(p / q) * {LN_SCALE}.0, 0) AS BIGINT)
+       ROUND((ps - qs)
+             * (CAST(CAST(ROUND(LN(ps / qs) * {LN_SCALE}.0, 0) AS BIGINT)
                      AS DOUBLE) / {LN_SCALE}.0),
              {PSI_DECIMALS}) AS psi_term
 FROM terms
 """
 
+CORPUS_DRIFT_ORACLE = f"""
+WITH counts AS (
+  SELECT lang,
+         SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS n_at,
+         SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS n_delta
+  FROM documents GROUP BY lang
+),
+{_PSI_TAIL}"""
+
 register(QuerySpec("corpus_drift_psi", corpus_drift_psi,
                    CORPUS_DRIFT_ORACLE, tags=("llm", "MONITORING")))
+
+
+def corpus_drift_psi_onesided(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The monitor on a split that GUARANTEES one-sided buckets — the
+    delta half drops the corpus's most frequent language entirely (a
+    language vanishing from the new crawl, the strongest drift signal).
+    Exercises the epsilon-smoothed zero-bucket path end-to-end: the
+    vanished language's bucket has ``n_delta = 0`` and must yield a
+    large finite positive ``psi_term`` in BOTH engines, not NULL or a
+    saturated cast (the pre-smoothing failure mode: Spark ln(inf) →
+    Long.MaxValue vs DuckDB LN(0) → error)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    top = (
+        docs.groupBy("lang").count()
+        .orderBy(F.col("count").desc(), F.col("lang").asc())
+        .limit(1)
+    )
+    tagged = docs.crossJoin(
+        F.broadcast(top.select(F.col("lang").alias("top_lang")))
+    )
+    counts = tagged.groupBy("lang").agg(
+        F.sum((F.col("doc_id") % 2 == 0).cast("long")).alias("n_at"),
+        F.sum(
+            ((F.col("doc_id") % 2 == 1)
+             & (F.col("lang") != F.col("top_lang"))).cast("long")
+        ).alias("n_delta"),
+    )
+    return psi_terms(counts)
+
+
+CORPUS_DRIFT_ONESIDED_ORACLE = f"""
+WITH top AS (
+  SELECT lang AS top_lang FROM documents
+  GROUP BY lang ORDER BY COUNT(*) DESC, lang ASC LIMIT 1
+),
+counts AS (
+  SELECT d.lang,
+         SUM(CASE WHEN d.doc_id % 2 = 0 THEN 1 ELSE 0 END) AS n_at,
+         SUM(CASE WHEN d.doc_id % 2 = 1 AND d.lang <> t.top_lang
+                  THEN 1 ELSE 0 END) AS n_delta
+  FROM documents d CROSS JOIN top t
+  GROUP BY d.lang
+),
+{_PSI_TAIL}"""
+
+register(QuerySpec("corpus_drift_psi_onesided", corpus_drift_psi_onesided,
+                   CORPUS_DRIFT_ONESIDED_ORACLE,
+                   tags=("llm", "MONITORING")))

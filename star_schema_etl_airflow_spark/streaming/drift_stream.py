@@ -40,12 +40,28 @@ def merge_counts(existing: DataFrame | None, delta: DataFrame,
                  batch_id: int) -> DataFrame | None:
     """Additive fold of a batch's (lang, n) counts, tagged with the
     max applied batch id.  Returns None when the batch was already
-    applied (at-least-once re-delivery)."""
+    applied (at-least-once re-delivery).
+
+    Re-delivery discipline: availableNow + maxFilesPerTrigger processes
+    batches sequentially, so the ONLY batch the engine can legitimately
+    re-deliver is the high-water mark itself (the one whose fold may
+    have failed mid-publish).  ``batch_id == hwm`` → skip (exact
+    re-delivery); ``batch_id < hwm`` → the checkpoint was lost/rebuilt
+    (ids restarted) against a surviving state table, and silently
+    skipping would corrupt counts — fail loudly instead."""
     delta = delta.select("lang", "n", F.lit(batch_id).alias("max_batch"))
     if existing is None:
         return delta
-    if existing.filter(F.col("max_batch") >= batch_id).limit(1).count():
-        return None   # already applied — skip, do not double-count
+    hwm = existing.agg(F.max("max_batch")).first()[0]
+    if hwm is not None and batch_id == hwm:
+        return None   # exact re-delivery of the last applied batch
+    if hwm is not None and batch_id < hwm:
+        raise ValueError(
+            f"drift-stream state at high-water batch {hwm} but received "
+            f"batch {batch_id}: checkpoint was lost/rebuilt against a "
+            "surviving state table — refusing to fold (delete the state "
+            "table or restore the checkpoint)"
+        )
     return (
         existing.unionByName(delta)
         .groupBy("lang")
@@ -97,17 +113,34 @@ def run_drift_stream(
         .start()
     )
     query.awaitTermination()
+    if not _target_exists(state_path, spark):
+        # zero micro-batches (or all empty): no state was ever
+        # published — an empty counts relation, not a read error
+        return spark.createDataFrame(
+            [], "lang string, n long, max_batch long"
+        )
     return spark.read.parquet(state_path)
 
 
 def psi_against(at_counts: DataFrame, state: DataFrame) -> DataFrame:
     """PSI rows of the streamed delta state vs the at-rest snapshot —
     delegates to the batch monitor's statistic core, so stream and
-    batch monitors are definitionally identical."""
+    batch monitors are definitionally identical.  Full-outer join with
+    zero-fill: a language present on only one side (the strongest drift
+    signal) keeps its zero-count bucket exactly as the batch monitor's
+    single groupBy does, so totals and shares match the batch monitor
+    bucket-for-bucket; the smoothed PSI core makes the one-sided term
+    finite."""
     from star_schema_etl_airflow_spark.plans.corpus_drift import psi_terms
 
     counts = (
         at_counts.select("lang", F.col("n").alias("n_at"))
-        .join(state.select("lang", F.col("n").alias("n_delta")), "lang")
+        .join(state.select("lang", F.col("n").alias("n_delta")),
+              "lang", "full_outer")
+        .select(
+            "lang",
+            F.coalesce("n_at", F.lit(0)).alias("n_at"),
+            F.coalesce("n_delta", F.lit(0)).alias("n_delta"),
+        )
     )
     return psi_terms(counts)

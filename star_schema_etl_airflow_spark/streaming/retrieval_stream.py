@@ -109,4 +109,9 @@ def run_retrieval_stream(
         .start()
     )
     query.awaitTermination()
+    if not _target_exists(state_path, spark):
+        # zero micro-batches (or all empty): no list was ever published
+        return spark.createDataFrame(
+            [], "query_id int, doc_id long, score decimal(38,9)"
+        )
     return spark.read.parquet(state_path)

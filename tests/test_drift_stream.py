@@ -85,3 +85,57 @@ def test_redelivered_batch_is_not_double_counted(spark):
     s3 = merge_counts(s1, b1, batch_id=1)
     got = {(r.lang, r.n) for r in s3.collect()}
     assert got == {("en", 8), ("fr", 2)}
+
+
+def test_lost_checkpoint_against_surviving_state_raises(spark):
+    """batch_id below the state's high-water mark means the checkpoint
+    was lost/rebuilt (ids restarted at 0) against a surviving state
+    table — folding would silently skip real batches, so it must raise."""
+    import pytest
+
+    b0 = spark.createDataFrame([("en", 5)], "lang string, n long")
+    s1 = merge_counts(None, b0, batch_id=3)
+    with pytest.raises(ValueError, match="high-water"):
+        merge_counts(s1, b0, batch_id=0)
+
+
+def test_empty_landing_dir_yields_empty_state(spark, tmp_path):
+    """Zero micro-batches published: the drain must return an empty
+    counts relation with the state schema, not throw on a missing
+    parquet path."""
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    state = run_drift_stream(
+        spark, landing, str(tmp_path / "state"), SRC_SCHEMA
+    )
+    assert state.count() == 0
+    assert [f.name for f in state.schema.fields] == [
+        "lang", "n", "max_batch"
+    ]
+
+
+def test_onesided_language_kept_by_full_outer_psi(spark):
+    """A language present on only one side must appear in the streamed
+    PSI with a zero-filled bucket and a finite smoothed term — matching
+    the batch monitor, which keeps zero-count buckets in its single
+    groupBy."""
+    from star_schema_etl_airflow_spark.plans.corpus_drift import psi_terms
+
+    at = spark.createDataFrame(
+        [("en", 90), ("fr", 10)], "lang string, n long")
+    streamed = spark.createDataFrame(
+        [("en", 50), ("de", 50)], "lang string, n long")
+    got = {r.lang: r for r in psi_against(at, streamed).collect()}
+    # all three languages present; one-sided buckets zero-filled
+    assert set(got) == {"en", "fr", "de"}
+    assert (got["fr"].n_at, got["fr"].n_delta) == (10, 0)
+    assert (got["de"].n_at, got["de"].n_delta) == (0, 50)
+    # smoothed terms are finite and positive (drift contributions),
+    # never NULL or a saturated long cast
+    for lang in ("fr", "de"):
+        assert got[lang].psi_term is not None
+        assert got[lang].psi_term > 0
+        assert abs(got[lang].ln_ratio_micro) < 100 * 1_000_000
+    # shares use full totals (100 at-rest, 100 streamed), not the
+    # inner-join subset
+    assert got["en"].p_at == 0.9 and got["en"].q_delta == 0.5

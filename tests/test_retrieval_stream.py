@@ -166,3 +166,21 @@ def test_each_query_list_is_k_bounded_and_ranked(spark, tmp_path):
     for q, rows in per_q.items():
         assert len(rows) <= TOP_K
         assert len({r.doc_id for r in rows}) == len(rows)
+
+
+def test_empty_landing_dir_yields_empty_lists(spark, tmp_path):
+    """Zero micro-batches published: the drain must return an empty
+    top-k relation with the list schema, not throw on a missing
+    parquet path."""
+    import os as _os
+
+    landing = str(tmp_path / "landing")
+    _os.makedirs(landing)
+    state = run_retrieval_stream(
+        spark, landing, str(tmp_path / "state"), SRC_SCHEMA,
+        _at_rest_artifacts(spark)[0],
+    )
+    assert state.count() == 0
+    assert [f.name for f in state.schema.fields] == [
+        "query_id", "doc_id", "score"
+    ]
