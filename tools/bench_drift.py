@@ -87,6 +87,12 @@ GATED_EXTRAS = {
     "retrieval_rrf",
     "kmv_source_overlap",
     "zorder_skip_stats",
+    # r13 extras promoted in r14 (r13 verdict task 2): two committed
+    # quiet records exist (BENCH_QUIET_r13 1.621/0.832/0.351 and r13b
+    # 1.503/0.781/0.273), satisfying the two-record promotion rule.
+    "embed_ivfpq_rerank",
+    "hard_negatives",
+    "curriculum_order",
 }
 
 # round number -> committed quiet-host re-measure superseding the
