@@ -25,11 +25,12 @@ Scale design (100 TB): the word table is vocab-sized (~10⁶ rows
 regardless of corpus bytes), so each round's pair count + merge rewrite
 is a small job; ``localCheckpoint`` truncates the per-round lineage
 exactly like k-means/PageRank.  The corpus is read ONCE.  Differential
-correctness is pinned by ``tests/test_bpe.py`` against an independent
-pure-Python reference implementation (exact merge-table equality) —
-iterative argmax is not single-statement SQL, so this operator is
-deliberately not in the oracle registry (COVERAGE.md's full-oracle
-claim covers registry queries).
+correctness is pinned two ways: ``tests/test_bpe.py`` against an
+independent pure-Python reference implementation (exact merge-table
+equality), and the oracle registry via ``plans/bpe_queries.py``, whose
+DuckDB oracle unrolls the training rounds as materialized CTEs (the
+k-means/PageRank iterative-oracle pattern) with the greedy merge
+application re-expressed as a lookback ``list_reduce`` string fold.
 """
 
 from __future__ import annotations
@@ -78,6 +79,19 @@ def train_bpe(
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges; returns them in rank order.
     Stops early when no pair occurs at least twice."""
+    return [(l, r) for l, r, _n in train_bpe_ranked(docs, n_merges, text_col)[0]]
+
+
+def train_bpe_ranked(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """:func:`train_bpe` exposing the full training state: the merge
+    table WITH each merge's winning pair count (the oracle-checked
+    surface of ``plans/bpe_queries.py``) and the final ``(syms, freq)``
+    word table — which IS the encoded vocabulary, since training
+    applies the merges incrementally in rank order."""
     words = (
         word_frequencies(docs, text_col)
         .select(
@@ -85,7 +99,7 @@ def train_bpe(
         )
         .localCheckpoint()
     )
-    merges: list[tuple[str, str]] = []
+    merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
         pairs = (
             words.filter(F.size("syms") >= 2)
@@ -107,20 +121,55 @@ def train_bpe(
         if not pairs or pairs[0]["n"] < 2:
             break
         best = (pairs[0]["p"]["l"], pairs[0]["p"]["r"])
-        merges.append(best)
+        merges.append((best[0], best[1], int(pairs[0]["n"])))
         words = words.select(
             F.expr(_merge_expr(*best)).alias("syms"), "freq"
         ).localCheckpoint()
-    return merges
+    return merges, words
 
 
 def encode_words(
     df: DataFrame, merges: list[tuple[str, str]], word_col: str = "word"
 ) -> DataFrame:
     """Apply a learned merge table (in rank order) to a word column —
-    the tokenizer's encode step, same fold expression as training so
-    train/encode cannot drift."""
-    out = df.withColumn("syms", F.expr(f"split({word_col}, '')"))
-    for left, right in merges:
-        out = out.withColumn("syms", F.expr(_merge_expr(left, right)))
-    return out.withColumnRenamed("syms", "tokens")
+    the tokenizer's encode step, same per-merge fold semantics as
+    training so train/encode cannot drift.
+
+    The merge table rides as an ARRAY LITERAL folded by an outer
+    ``aggregate`` (one merge per step, each step the training fold),
+    NOT as chained per-merge ``withColumn`` expressions: Catalyst's
+    project collapsing would inline each step into every ``syms``
+    reference of the next (~6 per fold), growing the expression tree
+    exponentially in the merge count — a 20-merge table OOMs the
+    driver during analysis.  One constant-size expression evaluates
+    the same fold iteratively at runtime instead."""
+    esc = lambda s: s.replace("'", "\\'")  # noqa: E731
+    items = ",".join(
+        f"named_struct('l', '{esc(l)}', 'r', '{esc(r)}')" for l, r in merges
+    )
+    merges_sql = (
+        f"array({items})" if merges
+        else "cast(array() as array<struct<l:string,r:string>>)"
+    )
+    return df.withColumn(
+        "tokens",
+        F.expr(f"""
+        aggregate(
+          {merges_sql},
+          split({word_col}, ''),
+          (syms, m) -> aggregate(
+            sequence(0, size(syms) - 1),
+            named_struct('res', cast(array() as array<string>), 'skip', false),
+            (acc, i) -> if(
+              acc.skip,
+              named_struct('res', acc.res, 'skip', false),
+              if(i < size(syms) - 1 AND syms[i] = m.l AND syms[i + 1] = m.r,
+                 named_struct('res', concat(acc.res, array(concat(m.l, m.r))),
+                              'skip', true),
+                 named_struct('res', concat(acc.res, array(syms[i])),
+                              'skip', false))
+            ),
+            acc -> acc.res
+          )
+        )"""),
+    )

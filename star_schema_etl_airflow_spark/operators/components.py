@@ -14,9 +14,13 @@ near-dup clusters — typically tiny (2-100 nodes), so the round count ≈
 component diameter ≈ a handful.  Each round is one shuffle on node id of
 (labels ∪ neighbor messages).  For adversarial long-chain graphs the
 published fix is large-star/small-star (Kiveris et al., "Connected
-Components in MapReduce and Beyond"), which squares away chains in
-O(log²) rounds; the propagation loop below is the diameter-bounded
-simple form with an explicit ``max_iter`` guard.
+Components in MapReduce and Beyond", KDD 2014), which contracts chains
+in O(log² n) rounds: :func:`big_star_components` implements it with
+the same ``(node, component)`` contract, result-equality-pinned
+against :func:`connected_components` in ``tests/test_components.py``
+and round-count-measured in ``tools/cc_rounds_curve.py`` → SCALE.md.
+The simple propagation loop stays the default for near-dup clusters
+(tiny diameters; one shuffle per round vs large/small-star's two).
 """
 
 from __future__ import annotations
@@ -32,6 +36,7 @@ def connected_components(
     nodes: DataFrame | None = None,
     node_col: str = "node",
     max_iter: int = 50,
+    stats: dict | None = None,
 ) -> DataFrame:
     """``(node, component)`` for every node, where ``component`` is the
     smallest node id reachable through ``edges`` (undirected).
@@ -59,7 +64,9 @@ def connected_components(
     labels = vertices.withColumn("component", F.col("node")).localCheckpoint()
     sym = sym.localCheckpoint()
 
-    for _ in range(max_iter):
+    for it in range(max_iter):
+        if stats is not None:
+            stats["rounds"] = it + 1
         # push my current label to every neighbor, then take the min of
         # (own label, received labels) per node
         msgs = (
@@ -85,3 +92,115 @@ def connected_components(
             break
 
     return labels
+
+
+def _canon(pairs: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+    """Distinct unordered pairs as (lo, hi), self-loops dropped."""
+    return (
+        pairs.select(
+            F.least(F.col(a), F.col(b)).alias("lo"),
+            F.greatest(F.col(a), F.col(b)).alias("hi"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star: every node u connects its STRICTLY LARGER neighbors
+    to m = min(Γ(u) ∪ {u}) — Kiveris et al. §3, the phase that halves
+    long chains."""
+    sym = e.select(F.col("lo").alias("u"), F.col("hi").alias("v")).unionByName(
+        e.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+    return _canon(
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(
+            F.col("v").alias("a"),
+            F.least(F.col("mv"), F.col("u")).alias("b"),
+        )
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star: every node u connects its not-larger neighborhood
+    (and itself) to its minimum — the phase that flattens the stars
+    large-star built."""
+    mins = e.groupBy("hi").agg(F.min("lo").alias("m"))
+    leaves = (
+        e.join(mins, "hi")
+        .select(F.col("lo").alias("a"), F.col("m").alias("b"))
+    )
+    centers = mins.select(F.col("hi").alias("a"), F.col("m").alias("b"))
+    return _canon(leaves.unionByName(centers))
+
+
+def big_star_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    nodes: DataFrame | None = None,
+    node_col: str = "node",
+    max_iter: int = 50,
+    stats: dict | None = None,
+) -> DataFrame:
+    """:func:`connected_components` via alternating large-star /
+    small-star contractions (Kiveris et al., KDD 2014): converges in
+    O(log² n) rounds regardless of component DIAMETER, where min-label
+    propagation needs Θ(diameter) rounds — the robustness form for
+    adversarial long-chain graphs.  Same ``(node, component)``
+    contract; two shuffles per round (one per phase) on node id, edge
+    set monotonically contracting toward stars centered at each
+    component's minimum id.  Raises after ``max_iter`` non-converged
+    rounds rather than returning partial labels."""
+    e = _canon(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    ).localCheckpoint()
+
+    if nodes is None:
+        vertices = e.select(F.col("lo").alias("node")).unionByName(
+            e.select(F.col("hi").alias("node"))
+        ).distinct()
+    else:
+        vertices = nodes.select(F.col(node_col).alias("node")).distinct()
+
+    def _sig(df: DataFrame) -> tuple[int, int]:
+        row = df.agg(
+            F.count(F.lit(1)).alias("c"),
+            # xor: order-insensitive, overflow-free (rows are distinct,
+            # and count disambiguates the all-cancelled case)
+            F.coalesce(
+                F.expr("bit_xor(xxhash64(lo, hi))"), F.lit(0)
+            ).alias("h"),
+        ).first()
+        return int(row["c"]), int(row["h"])
+
+    if not e.isEmpty():
+        sig = _sig(e)
+        for it in range(max_iter):
+            if stats is not None:
+                stats["rounds"] = it + 1
+            e = _small_star(_large_star(e)).localCheckpoint()
+            new_sig = _sig(e)
+            if new_sig == sig:
+                break
+            sig = new_sig
+        else:
+            raise ValueError(
+                f"large/small-star did not converge in {max_iter} rounds"
+            )
+
+    # fixpoint: stars (root=lo, leaf=hi); groupBy-min collapses the
+    # final pre-convergence edge set defensively
+    labels = e.groupBy(F.col("hi").alias("node")).agg(
+        F.min("lo").alias("component")
+    )
+    return (
+        vertices.join(labels, "node", "left")
+        .select(
+            "node",
+            F.coalesce("component", F.col("node")).alias("component"),
+        )
+    )

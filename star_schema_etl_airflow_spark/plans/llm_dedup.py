@@ -503,6 +503,31 @@ register(QuerySpec("dedup_clusters", dedup_clusters, DEDUP_CLUSTERS_ORACLE,
                    tags=("LLM-dedup", "components")))
 
 
+def dedup_clusters_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_clusters`` resolved with large-star/small-star
+    contraction (Kiveris et al., KDD 2014; ``operators/
+    components.big_star_components``) instead of min-label
+    propagation: O(log² n) rounds regardless of component DIAMETER —
+    the robustness form for adversarial long-chain graphs.  Same
+    oracle verbatim: the two algorithms must agree bucket-for-bucket
+    on the real LSH pair graph."""
+    from star_schema_etl_airflow_spark.operators.components import (
+        big_star_components,
+    )
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    corpus_ids = build_corpus(spark, sf_dir).select(F.col("doc_id").alias("node"))
+    comp = big_star_components(pairs, "doc_a", "doc_b", nodes=corpus_ids)
+    return comp.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
+register(QuerySpec("dedup_clusters_bigstar", dedup_clusters_bigstar,
+                   DEDUP_CLUSTERS_ORACLE,
+                   tags=("LLM-dedup", "components")))
+
+
 # --- prefix-filtered set-similarity join (AllPairs/PPJoin-lite) ------------
 
 PREFIX_T_NUM, PREFIX_T_DEN = 9, 10  # Jaccard threshold 0.9, exact rational

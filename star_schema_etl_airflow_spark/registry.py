@@ -68,6 +68,7 @@ def _ensure_loaded() -> None:
         approx_queries,
         audio_dedup,
         bm25,
+        bpe_queries,
         clustering_queries,
         contrastive,
         core_queries,
