@@ -1,0 +1,105 @@
+"""Drift-gated refresh (plans/drift_gate.py): an injected drift must
+trigger exactly one weights publish with full audit provenance; a
+no-drift run must audit both stages and publish NOTHING."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from star_schema_etl_airflow_spark.plans.drift_gate import (
+    add_drift_gated_refresh,
+)
+from star_schema_etl_airflow_spark.plans.llm_sampling import mixture_refresh
+from star_schema_etl_airflow_spark.plans.pipeline import (
+    Pipeline,
+    run_audited,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _counts(spark, at_rows, delta_rows):
+    at = spark.createDataFrame(at_rows, "lang string, n_at long")
+    dl = spark.createDataFrame(delta_rows, "lang string, n_delta long")
+    return (
+        at.join(dl, "lang", "full_outer")
+        .select(
+            "lang",
+            F.coalesce("n_at", F.lit(0)).alias("n_at"),
+            F.coalesce("n_delta", F.lit(0)).alias("n_delta"),
+        )
+    )
+
+
+def _build(spark, tmp_path, at_rows, delta_rows, tag):
+    weights = str(tmp_path / f"weights_{tag}")
+    monitor = str(tmp_path / f"monitor_{tag}")
+    audit = str(tmp_path / f"audit_{tag}")
+    p = add_drift_gated_refresh(
+        Pipeline(),
+        counts_fn=lambda s, d: _counts(s, at_rows, delta_rows),
+        refresh_fn=lambda s, d: mixture_refresh(s, SF_DIR),
+        weights_path=weights,
+        monitor_path=monitor,
+    )
+    results, audit_df = run_audited(p, spark, "2024-06-01", audit_path=audit)
+    return results, audit_df, weights, monitor
+
+
+def test_injected_drift_triggers_exactly_one_refresh(spark, tmp_path):
+    # language mix inverted between halves — PSI >> 0.25
+    results, audit_df, weights, monitor = _build(
+        spark, tmp_path,
+        [("en", 90), ("fr", 10)], [("en", 10), ("fr", 90)], "drift",
+    )
+    assert results["drift_monitor"]["drifted"]
+    assert results["drift_monitor"]["psi_total"] > 0.25
+    assert results["mixture_refresh"]["action"] == "refreshed"
+    # exactly one publish: the weights table exists with the real
+    # tempered-weight schema, and the audit shows ONE ok refresh row
+    assert os.path.isdir(weights)
+    w = spark.read.parquet(weights)
+    assert {"lang", "q_at", "q_union", "q_shift"} <= set(w.columns)
+    assert w.count() > 0
+    rows = {
+        (r.stage, r.status, r.attempts)
+        for r in audit_df.select("stage", "status", "attempts").collect()
+    }
+    assert rows == {
+        ("drift_monitor", "ok", 1),
+        ("mixture_refresh", "ok", 1),
+    }
+    # monitoring history carries the run_date-tagged PSI terms
+    m = spark.read.parquet(monitor)
+    assert m.filter(F.col("run_date") == "2024-06-01").count() == 2
+
+
+def test_no_drift_publishes_nothing_but_audits_both_stages(spark, tmp_path):
+    # identical shares — PSI = 0
+    results, audit_df, weights, _monitor = _build(
+        spark, tmp_path,
+        [("en", 90), ("fr", 10)], [("en", 900), ("fr", 100)], "quiet",
+    )
+    assert not results["drift_monitor"]["drifted"]
+    assert results["mixture_refresh"]["action"] == "noop"
+    assert not os.path.exists(weights)  # zero publishes, zero churn
+    rows = {
+        (r.stage, r.status)
+        for r in audit_df.select("stage", "status").collect()
+    }
+    assert rows == {("drift_monitor", "ok"), ("mixture_refresh", "ok")}
+
+
+def test_vanished_language_is_a_drift_signal_end_to_end(spark, tmp_path):
+    """The round-13 advice scenario: a language present only at rest
+    (n_delta=0) must yield a finite smoothed term that TRIPS the gate,
+    not a NULL that silently reads as no-drift."""
+    results, _audit, weights, _m = _build(
+        spark, tmp_path,
+        [("en", 60), ("fr", 40)], [("en", 100)], "vanish",
+    )
+    assert results["drift_monitor"]["psi_total"] > 0.25
+    assert results["mixture_refresh"]["action"] == "refreshed"
+    assert os.path.isdir(weights)
