@@ -145,3 +145,66 @@ FROM ranked r JOIN offsets o USING (stage)
 
 register(QuerySpec("curriculum_order", curriculum_order, CURRICULUM_ORACLE,
                    tags=("llm", "curriculum")))
+
+
+# --- approx-percentile staging: the measured scale path ---------------------
+#
+# The NTILE staging above is the exact-semantics spec but costs a
+# per-language global sort.  The 100 TB path the module docstring
+# promises: per-language cut points from percentile_approx (a
+# lang × (NUM_STAGES−1) relation, broadcast), staging as a map-only
+# comparison — one aggregation + one map over the corpus, no sort.
+# The price is approximation at stage BOUNDARIES only; this query
+# measures it (the ``approx_quantile_bound`` pattern: the comparison
+# happens Spark-side, the oracle pins the exact columns and the
+# boolean bound verdict — the sketch itself is engine-specific and
+# never crosses engines).
+
+PCTL_ACCURACY = 10_000
+# measured stage agreement vs exact NTILE: overall 0.996/0.992/0.998
+# (worst language 0.987/0.986/0.996) at sf0.001/0.01/0.1 —
+# disagreement = ties + ntile remainder docs at stage boundaries; the
+# gate fails if the approx path ever degrades past this floor
+AGREE_FLOOR = 0.95
+
+
+def curriculum_stage_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, n_docs, agree_ok): per-language agreement of the
+    approx-cutpoint staging with the exact NTILE staging, collapsed to
+    the boolean ≥ ``AGREE_FLOOR`` verdict the oracle can check."""
+    staged = staged_documents(spark, sf_dir)
+    qs = [i / NUM_STAGES for i in range(1, NUM_STAGES)]
+    cuts = staged.groupBy("lang").agg(
+        F.percentile_approx("ttr", qs, PCTL_ACCURACY).alias("cuts")
+    )
+    both = staged.join(F.broadcast(cuts), "lang").withColumn(
+        "stage_approx",
+        (F.lit(1) + F.expr("size(filter(cuts, c -> ttr > c))")).cast("int"),
+    )
+    return (
+        both.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                (F.col("stage") == F.col("stage_approx")).cast("long")
+            ).alias("n_agree"),
+        )
+        .select(
+            "lang",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            (
+                F.col("n_agree").cast("double")
+                / F.col("n_docs").cast("double")
+                >= AGREE_FLOOR
+            ).alias("agree_ok"),
+        )
+    )
+
+
+CURRICULUM_AGREEMENT_ORACLE = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, TRUE AS agree_ok
+FROM documents GROUP BY lang
+"""
+
+register(QuerySpec("curriculum_stage_agreement", curriculum_stage_agreement,
+                   CURRICULUM_AGREEMENT_ORACLE, tags=("llm", "curriculum")))

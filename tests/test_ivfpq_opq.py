@@ -1,0 +1,78 @@
+"""OPQ-rotated IVFADC (plans/ivfpq_opq.py): the rotation must preserve
+candidate sets (orthogonal-up-to-scale) and beat the unrotated trained
+index on codes-only recall; the variant eval must report the full
+ablation consistently."""
+
+from __future__ import annotations
+
+from star_schema_etl_airflow_spark.plans.ivfpq_opq import (
+    BLOCK,
+    DIM,
+    ivfpq_variant_eval,
+    rotation_terms,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_rotation_matrix_is_orthogonal_up_to_scale():
+    """R·Rᵀ = 8·I — the invariant everything else rests on (uniform
+    distance scaling => assignment/probe/re-rank order preserved)."""
+    rows = [[0] * DIM for _ in range(DIM)]
+    for j, term in enumerate(rotation_terms()):
+        for p, c in term:
+            rows[j][p] += c
+    for i in range(DIM):
+        for k in range(DIM):
+            dot = sum(rows[i][t] * rows[k][t] for t in range(DIM))
+            assert dot == (BLOCK if i == k else 0), (i, k, dot)
+
+
+def test_opq_beats_trained_and_trained_beats_band(spark):
+    """The two levers in order on the same corpus: trained cells beat
+    the band quantizer (r13 pin), and the OPQ rotation beats trained
+    (measured 0.31 vs 0.25 at sf0.001, seed scan in
+    tools/opq_seed_scan.py).  n_scored must be IDENTICAL for trained
+    and opq — rotation changes code geometry, never the probed
+    candidate set."""
+    rows = {r.variant: r for r in ivfpq_variant_eval(spark, SF_DIR).collect()}
+    assert set(rows) == {"band", "trained", "opq"}
+    assert rows["trained"].recall_codes > rows["band"].recall_codes
+    assert rows["opq"].recall_codes > rows["trained"].recall_codes
+    assert rows["opq"].n_scored == rows["trained"].n_scored
+
+
+# --- approx-percentile curriculum staging (same round, r13 task 8) ----------
+
+
+def test_curriculum_approx_staging_agreement_pinned(spark):
+    """The map-only approx-cutpoint staging must agree with the exact
+    NTILE staging on ≥ 95% of docs per language (measured 0.987+ at
+    every SF; disagreement is confined to stage-boundary ties and
+    ntile remainder docs)."""
+    from pyspark.sql import functions as F
+
+    from star_schema_etl_airflow_spark.plans.curriculum import (
+        NUM_STAGES,
+        PCTL_ACCURACY,
+        curriculum_stage_agreement,
+        staged_documents,
+    )
+
+    rows = curriculum_stage_agreement(spark, SF_DIR).collect()
+    assert rows and all(r.agree_ok for r in rows)
+    # the raw rate, pinned loosely (the committed figure is 0.996)
+    staged = staged_documents(spark, SF_DIR)
+    qs = [i / NUM_STAGES for i in range(1, NUM_STAGES)]
+    cuts = staged.groupBy("lang").agg(
+        F.percentile_approx("ttr", qs, PCTL_ACCURACY).alias("cuts")
+    )
+    rate = (
+        staged.join(F.broadcast(cuts), "lang")
+        .withColumn(
+            "sa", F.lit(1) + F.expr("size(filter(cuts, c -> ttr > c))")
+        )
+        .agg(F.avg((F.col("stage") == F.col("sa")).cast("double")))
+        .first()[0]
+    )
+    assert rate >= 0.98, rate
