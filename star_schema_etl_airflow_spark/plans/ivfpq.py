@@ -148,7 +148,8 @@ def _encode(cand: DataFrame, cells: DataFrame, cb: DataFrame) -> DataFrame:
 
 
 def _adc_scores(spark: SparkSession, sf_dir: str, codes_of=None,
-                nprobe: int = NPROBE, cells_of=None):
+                nprobe: int = NPROBE, cells_of=None,
+                rotate: str | None = None):
     """Shared IVFADC machinery: returns ``(adc, emb)`` where ``adc`` is
     the per-(query, candidate-in-probed-cell) asymmetric distance
     relation and ``emb`` the scaled-int vector relation (for refine).
@@ -156,10 +157,16 @@ def _adc_scores(spark: SparkSession, sf_dir: str, codes_of=None,
     (the incremental-add path supplies a union of frozen + delta
     encodes); ``nprobe`` overrides the probe depth (the eval sweep);
     ``cells_of(spark, sf_dir)`` overrides the coarse quantizer (the
-    k-means-trained variant)."""
+    k-means-trained variant); ``rotate`` is a Spark-SQL expression over
+    a bound array column named ``sv`` applying an orthogonal-up-to-
+    scale INT64 transform to every vector at load (the OPQ seam —
+    ``plans/ivfpq_opq.py``; ``cells_of`` must rotate its centroids
+    identically)."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr(_SV_S).alias("sv")
     )
+    if rotate is not None:
+        emb = emb.select("vec_id", F.expr(rotate).alias("sv"))
     cells, cb = _artifacts(emb, cells=(
         None if cells_of is None else cells_of(spark, sf_dir)
     ))

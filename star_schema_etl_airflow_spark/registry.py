@@ -84,6 +84,7 @@ def _ensure_loaded() -> None:
         governance_queries,
         image_dedup,
         ivfpq,
+        ivfpq_opq,
         ivm_queries,
         jl_projection,
         kmv_overlap,
