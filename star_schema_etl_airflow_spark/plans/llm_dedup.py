@@ -577,12 +577,40 @@ def dedup_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: token DF is one aggregate; candidate generation shuffles on
     (token, length-bucket); the verify carries the token sets only for
-    surviving candidates."""
+    surviving candidates.
+
+    Verify-stage plan pinning (r13 verdict task 4 — this query's
+    recorded bench figure swung 1.5–5.7 s SAME-CODE across quiet runs,
+    costing an A/B adjudication cycle every round): the swing was
+    AQE re-planning the two verify joins run-to-run from borderline
+    runtime stats (5.6 M candidate rows against a 6.5 k-doc token-set
+    relation at sf0.1).  Below the ``FANOUT_PIN_BYTES`` corpus seam —
+    the same probe the candidate stage uses — the token-set sides are
+    explicitly BROADCAST (measured 6× verify spread → 1.5× and ~2×
+    faster median; the relation is doc-count-sized with ≤31-int
+    arrays, trivially broadcastable at any SF below the seam).  Above
+    the seam toks is corpus-sized, so broadcast would be a
+    scale-killer: the candidates repartition to an explicit
+    pair-derived width instead (user-specified width, which AQE
+    respects), the same pinning the candidate stage applies there."""
     toks, cands = prefix_join_candidates(spark, sf_dir)
+    from star_schema_etl_airflow_spark.operators.scd2 import (
+        _estimated_bytes,
+    )
+
+    small_corpus = _estimated_bytes(
+        build_corpus(spark, sf_dir)
+    ) <= FANOUT_PIN_BYTES
+    if not small_corpus:
+        cands = cands.repartition(
+            spark.sparkContext.defaultParallelism * 2, "id_a"
+        )
     sa = toks.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"),
                      F.col("n").alias("na"))
     sb = toks.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"),
                      F.col("n").alias("nb"))
+    if small_corpus:
+        sa, sb = F.broadcast(sa), F.broadcast(sb)
     # J = o / (na + nb - o): one array_intersect per candidate, reusing
     # the persisted set sizes — array_union would rebuild a hash set per
     # row just to count it; |A∪B| = na + nb - o is the same integer, so
