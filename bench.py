@@ -177,10 +177,15 @@ def main() -> None:
         "retrieval_rrf",
         "kmv_source_overlap",
         "zorder_skip_stats",
-        # r13 trio — non-gating until they have two quiet records
+        # r13 trio — promoted to GATING in tools/bench_drift.py (r13
+        # verdict task 2: two committed quiet records exist)
         "embed_ivfpq_rerank",
         "hard_negatives",
         "curriculum_order",
+        # r14 trio — non-gating until they have two quiet records
+        "embed_ivfpq_opq",
+        "dedup_clusters_bigstar",
+        "bpe_encode_census",
     )
     all_specs = {s.name: s for s in registry.specs()}
     extras: dict[str, float] = {}

@@ -106,6 +106,13 @@ EXTRA = [
     "simhash_eval",
     "forecast_eval",
     "packing_eval",
+    # round-14 structural shapes
+    "bpe_encode_census",
+    "dedup_clusters_bigstar",
+    "embed_ivfpq_opq",
+    "ivfpq_variant_eval",
+    "corpus_drift_psi_onesided",
+    "curriculum_stage_agreement",
 ]
 
 
