@@ -182,10 +182,13 @@ def main() -> None:
         "embed_ivfpq_rerank",
         "hard_negatives",
         "curriculum_order",
-        # r14 trio — non-gating until they have two quiet records
+        # r14 pair — non-gating until they have two quiet records.
+        # bpe_encode_census is deliberately NOT an extra: it re-trains
+        # the tokenizer (20 driver-loop rounds at sf0.1) on every call,
+        # so min-of-3 benching would spend ~2 min re-measuring training
+        # rounds the 3-SF correctness record already gauges.
         "embed_ivfpq_opq",
         "dedup_clusters_bigstar",
-        "bpe_encode_census",
     )
     all_specs = {s.name: s for s in registry.specs()}
     extras: dict[str, float] = {}
