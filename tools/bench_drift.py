@@ -63,6 +63,19 @@ ACKED: dict[str, str] = {
     # overhead at sf0.1 — the price of no-silent-caps observability.
     "kmv_source_overlap": "census job added by fa76bc7 post-r12-record "
                           "(+~0.18s fixed; BENCH_HISTORY r13)",
+    # r14 adjudications (BENCH_HISTORY r14): the r14 host never reached
+    # the r13 quiet band (pyloop 0.60-0.91 vs 0.48-0.60 across three
+    # full samples) and mean-pyloop normalization under-corrects its
+    # bursty windows.
+    "ngram_lm_score": "host drift: A/B at 45cf2c8 on the r14 host "
+                      "measures OLD min 1.40 vs NEW min 1.19 — new code "
+                      "is faster; r13's 0.961 was a quieter host",
+    "embed_ivfpq_rerank": "one-off contention sample: the other two "
+                          "same-code r14 records measure 1.461/1.578 vs "
+                          "the 1.621 baseline — flat-to-better",
+    "zorder_skip_stats": "one-off contention sample: the other two "
+                         "same-code r14 records measure 3.881/4.021 vs "
+                         "the 3.889 baseline — flat",
 }
 
 # Extras promoted to GATING (r11 verdict task 3): these have two
