@@ -77,6 +77,7 @@ def _ensure_loaded() -> None:
         curation_clusters,
         curation_multimodal,
         dedup_eval,
+        doremi,
         dsir,
         events_queries,
         fixture_queries,
