@@ -279,3 +279,151 @@ WITH {_STATS_CTES},{",".join(_round_cte(t) for t in range(1, T_ROUNDS + 1))}
 
 register(QuerySpec("doremi_mixture_weights", doremi_mixture_weights,
                    DOREMI_ORACLE, tags=("llm", "MIX")))
+
+
+# --- RHO-LOSS: the same excess-loss signal at EXAMPLE grain -----------------
+
+RHO_TOP_N = 200
+
+
+def rho_loss_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reducible-holdout-loss data selection (Mindermann et al.,
+    "Prioritized Training on Points that are Learnable, Worth
+    Learning, and Not Yet Learnt", ICML 2022), deterministically: a
+    document's REDUCIBLE loss is its loss under the weak proxy minus
+    its loss under the stronger reference — here the per-doc average
+    micro-NLL gap between the unigram and bigram corpus LMs (the same
+    two closed-form scorers the DoReMi domain loop uses, at example
+    grain).  High gap = learnable structure the weak model misses but
+    the strong one captures; noise scores high under BOTH models and
+    cancels.  Returns the top ``RHO_TOP_N`` selection, ranked.
+
+    Docs with fewer than 2 tokens have no bigram loss and are excluded
+    (inner join) — selection only considers scoreable examples.
+
+    Scale: one corpus tokenize feeds both models (the ngram_lm
+    single-scan identities); the rank is a TOP_N window — Catalyst's
+    partial WindowGroupLimit bounds the exchange."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+    toks = persist_once(
+        docs.select("doc_id", F.explode(F.expr(_TOKS_S)).alias("w"))
+    )
+    totals = toks.agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("w").alias("v")
+    )
+    cw = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    lp_uni = cw.crossJoin(F.broadcast(totals)).select(
+        "w",
+        F.round(
+            F.log(
+                (F.col("c") + 1).cast("double")
+                / (F.col("n") + F.col("v")).cast("double")
+            ) * F.lit(float(W_SCALE)), 0,
+        ).cast("long").alias("lp"),
+    )
+    uni = (
+        toks.join(lp_uni, "w").groupBy("doc_id")
+        .agg((-F.sum("lp")).alias("nll"), F.count(F.lit(1)).alias("ntok"))
+        .select("doc_id", F.expr("nll div ntok").alias("l_uni_micro"))
+    )
+
+    bg = persist_once(
+        docs.select(
+            "doc_id",
+            F.explode(F.expr(
+                f"CASE WHEN size({_TOKS_S}) < 2 THEN "
+                "cast(array() as array<struct<w1:string,w2:string>>) "
+                f"ELSE zip_with(slice({_TOKS_S}, 1, size({_TOKS_S}) - 1), "
+                f"slice({_TOKS_S}, 2, size({_TOKS_S}) - 1), "
+                "(a, b) -> named_struct('w1', a, 'w2', b)) END"
+            )).alias("b"),
+        ).select("doc_id", F.col("b.w1").alias("w1"),
+                 F.col("b.w2").alias("w2"))
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    lp_bi = (
+        c2.withColumn("c1", F.sum("c2").over(Window.partitionBy("w1")))
+        .crossJoin(F.broadcast(totals.select("v")))
+        .select(
+            "w1", "w2",
+            F.round(
+                F.log(
+                    (F.col("c2") + 1).cast("double")
+                    / (F.col("c1") + F.col("v")).cast("double")
+                ) * F.lit(float(W_SCALE)), 0,
+            ).cast("long").alias("lp"),
+        )
+    )
+    bi = (
+        bg.join(lp_bi, ["w1", "w2"]).groupBy("doc_id")
+        .agg((-F.sum("lp")).alias("nll"), F.count(F.lit(1)).alias("nbg"))
+        .select("doc_id", F.expr("nll div nbg").alias("l_bi_micro"))
+    )
+
+    scored = uni.join(bi, "doc_id").select(
+        "doc_id", "l_uni_micro", "l_bi_micro",
+        (F.col("l_uni_micro") - F.col("l_bi_micro")).alias("rho_micro"),
+    )
+    w = Window.orderBy(F.col("rho_micro").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= RHO_TOP_N)
+        .select("doc_id", "l_uni_micro", "l_bi_micro", "rho_micro",
+                F.col("rank").cast("int").alias("rank"))
+    )
+
+
+RHO_LOSS_ORACLE = f"""
+WITH dm_toks AS (
+  SELECT doc_id, unnest({_TOKS_D}) AS w FROM documents
+),
+dm_tot AS (SELECT COUNT(*) AS n, COUNT(DISTINCT w) AS v FROM dm_toks),
+dm_cw AS (SELECT w, COUNT(*) AS c FROM dm_toks GROUP BY w),
+dm_lp_uni AS (
+  SELECT w, CAST(round({W_SCALE}.0 * ln(
+    CAST(c + 1 AS DOUBLE) / CAST(n + v AS DOUBLE))) AS BIGINT) AS lp
+  FROM dm_cw CROSS JOIN dm_tot
+),
+dm_uni AS (
+  SELECT doc_id, CAST(-SUM(lp) AS BIGINT) // COUNT(*) AS l_uni_micro
+  FROM dm_toks t JOIN dm_lp_uni u ON t.w = u.w GROUP BY doc_id
+),
+dm_bg AS (
+  SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
+    SELECT doc_id, unnest(
+      CASE WHEN len({_TOKS_D}) < 2 THEN [] ELSE
+      list_transform(range(1, len({_TOKS_D})),
+        i -> struct_pack(w1 := ({_TOKS_D})[i], w2 := ({_TOKS_D})[i + 1]))
+      END) AS b
+    FROM documents)
+),
+dm_c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM dm_bg GROUP BY 1, 2),
+dm_c1 AS (SELECT w1, COUNT(*) AS c1 FROM dm_bg GROUP BY 1),
+dm_lp_bi AS (
+  SELECT c2.w1, c2.w2, CAST(round({W_SCALE}.0 * ln(
+    CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + t.v AS DOUBLE)))
+    AS BIGINT) AS lp
+  FROM dm_c2 c2 JOIN dm_c1 c1 ON c2.w1 = c1.w1 CROSS JOIN dm_tot t
+),
+dm_bi AS (
+  SELECT doc_id, CAST(-SUM(lp) AS BIGINT) // COUNT(*) AS l_bi_micro
+  FROM dm_bg b JOIN dm_lp_bi m ON b.w1 = m.w1 AND b.w2 = m.w2
+  GROUP BY doc_id
+)
+SELECT doc_id, l_uni_micro, l_bi_micro, rho_micro,
+       CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT u.doc_id, u.l_uni_micro, b.l_bi_micro,
+         u.l_uni_micro - b.l_bi_micro AS rho_micro,
+         ROW_NUMBER() OVER (
+           ORDER BY u.l_uni_micro - b.l_bi_micro DESC, u.doc_id ASC)
+           AS rank
+  FROM dm_uni u JOIN dm_bi b ON u.doc_id = b.doc_id
+) WHERE rank <= {RHO_TOP_N}
+"""
+
+register(QuerySpec("rho_loss_select", rho_loss_select, RHO_LOSS_ORACLE,
+                   tags=("llm", "MIX")))

