@@ -299,3 +299,51 @@ def _variant_eval_oracle() -> str:
 
 register(QuerySpec("ivfpq_variant_eval", ivfpq_variant_eval,
                    _variant_eval_oracle(), tags=("llm", "ann", "EVAL")))
+
+
+def embed_ivfpq_opq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental add under the OPQ rotation: delta vectors (the
+    ``vec_id >= IVFPQ_ADD_CUT`` band) encode against the FROZEN rotated
+    artifacts and append to the at-rest code table — rotation does not
+    disturb the per-vector purity that licenses append-encode, so this
+    shares ``embed_ivfpq_opq``'s full-rebuild oracle VERBATIM (the
+    ``embed_ivfpq_incremental`` convention)."""
+    from star_schema_etl_airflow_spark.plans.ivfpq import (
+        IVFPQ_ADD_CUT,
+        _encode,
+    )
+
+    def codes_of(emb, cells, cb):
+        at_rest = emb.filter(
+            (F.col("vec_id") >= N_QUERIES)
+            & (F.col("vec_id") < IVFPQ_ADD_CUT)
+        ).withColumnRenamed("vec_id", "cand_id")
+        delta = emb.filter(
+            F.col("vec_id") >= IVFPQ_ADD_CUT
+        ).withColumnRenamed("vec_id", "cand_id")
+        return _encode(at_rest, cells, cb).unionByName(
+            _encode(delta, cells, cb)
+        )
+
+    adc, _ = _adc_scores(
+        spark, sf_dir,
+        codes_of=codes_of,
+        cells_of=_rotated_trained_cells,
+        rotate=_rot_spark("sv"),
+    )
+    wr = Window.partitionBy("query_id").orderBy("adc_dist", "cand_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id", "cand_id", "cell", "adc_dist",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+# same oracle ON PURPOSE: rotated append-encode must equal the rotated
+# full rebuild exactly
+register(QuerySpec("embed_ivfpq_opq_incremental",
+                   embed_ivfpq_opq_incremental, _opq_oracle(),
+                   tags=("llm", "ann", "OPQ", "INCREMENTAL")))
