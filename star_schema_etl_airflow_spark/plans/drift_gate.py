@@ -42,16 +42,6 @@ from star_schema_etl_airflow_spark.plans.pipeline import Pipeline
 PSI_ACTION_THRESHOLD = 0.25
 
 
-def _publish_swap(df: DataFrame, path: str) -> None:
-    from star_schema_etl_airflow_spark.sources.io import _swap_publish
-
-    path = path.rstrip("/")
-    tmp = path + "__tmp_swap"
-    df.write.mode("overwrite").parquet(tmp)
-    _swap_publish(tmp, path)
-    df.sparkSession.catalog.refreshByPath(path)
-
-
 def add_drift_gated_refresh(
     pipeline: Pipeline,
     counts_fn: Callable[..., DataFrame],
@@ -92,7 +82,9 @@ def add_drift_gated_refresh(
         verdict = results[monitor_stage]
         if not verdict["drifted"]:
             return {"action": "noop", "psi_total": verdict["psi_total"]}
-        _publish_swap(refresh_fn(spark, run_date), weights_path)
+        from star_schema_etl_airflow_spark.sources.io import publish_swap
+
+        publish_swap(refresh_fn(spark, run_date), weights_path)
         return {"action": "refreshed", "psi_total": verdict["psi_total"]}
 
     pipeline.add_stage(monitor_stage, monitor, deps=deps, layer="monitoring")

@@ -482,6 +482,19 @@ def _swap_publish(tmp: str, path: str) -> None:
         shutil.rmtree(old)
 
 
+def publish_swap(df, path: str) -> None:
+    """Write ``df`` as parquet and crash-safely swap it in at ``path``
+    (write to a temp sibling → :func:`_swap_publish` → refresh the
+    catalog cache) — the shared publish step of every streaming fold
+    and the drift-gated refresh, consolidated here after five modules
+    grew identical private copies."""
+    path = path.rstrip("/")
+    tmp = path + "__tmp_swap"
+    df.write.mode("overwrite").parquet(tmp)
+    _swap_publish(tmp, path)
+    df.sparkSession.catalog.refreshByPath(path)
+
+
 def recover_swap(path: str) -> bool:
     """Crash-recovery for ``_swap_publish``: if ``path`` is missing but a
     COMPLETE ``__tmp_swap`` sibling exists (Spark's ``_SUCCESS`` marker

@@ -30,8 +30,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from star_schema_etl_airflow_spark.sources.io import (
-    _swap_publish,
     _target_exists,
+    publish_swap,
     recover_swap,
 )
 
@@ -69,13 +69,6 @@ def merge_counts(existing: DataFrame | None, delta: DataFrame,
     )
 
 
-def _publish_swap(df: DataFrame, path: str) -> None:
-    path = path.rstrip("/")
-    tmp = path + "__tmp_swap"
-    df.write.mode("overwrite").parquet(tmp)
-    _swap_publish(tmp, path)
-    df.sparkSession.catalog.refreshByPath(path)
-
 
 def run_drift_stream(
     spark: SparkSession,
@@ -104,7 +97,7 @@ def run_drift_stream(
         delta = batch_df.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
         merged = merge_counts(existing, delta, batch_id)
         if merged is not None:
-            _publish_swap(merged, state_path)
+            publish_swap(merged, state_path)
 
     query = (
         stream.writeStream.foreachBatch(fold_batch)

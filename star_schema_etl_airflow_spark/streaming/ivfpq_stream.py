@@ -40,8 +40,8 @@ from pyspark.sql import functions as F
 from star_schema_etl_airflow_spark.plans.ivfpq import _encode
 from star_schema_etl_airflow_spark.plans.pq import _SV_S
 from star_schema_etl_airflow_spark.sources.io import (
-    _swap_publish,
     _target_exists,
+    publish_swap,
     recover_swap,
 )
 
@@ -56,13 +56,6 @@ def merge_codes(existing: DataFrame | None, delta_codes: DataFrame) -> DataFrame
         return delta_codes.distinct()
     return existing.unionByName(delta_codes).distinct()
 
-
-def _publish_swap(df: DataFrame, path: str) -> None:
-    path = path.rstrip("/")
-    tmp = path + "__tmp_swap"
-    df.write.mode("overwrite").parquet(tmp)
-    _swap_publish(tmp, path)
-    df.sparkSession.catalog.refreshByPath(path)
 
 
 def run_ivfpq_stream(
@@ -100,7 +93,7 @@ def run_ivfpq_stream(
             F.col("m").cast("int").alias("m"),
             "code",
         )
-        _publish_swap(merge_codes(existing, delta_codes), state_path)
+        publish_swap(merge_codes(existing, delta_codes), state_path)
 
     query = (
         stream.writeStream.foreachBatch(fold_batch)

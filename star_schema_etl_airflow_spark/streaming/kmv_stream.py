@@ -34,8 +34,8 @@ from star_schema_etl_airflow_spark.plans.kmv_overlap import (
     kmv_sketches,
 )
 from star_schema_etl_airflow_spark.sources.io import (
-    _swap_publish,
     _target_exists,
+    publish_swap,
     recover_swap,
 )
 
@@ -54,13 +54,6 @@ def merge_sketches(existing: DataFrame | None, delta_sig: DataFrame) -> DataFram
         .select("source", "h")
     )
 
-
-def _publish_swap(df: DataFrame, path: str) -> None:
-    path = path.rstrip("/")
-    tmp = path + "__tmp_swap"
-    df.write.mode("overwrite").parquet(tmp)
-    _swap_publish(tmp, path)
-    df.sparkSession.catalog.refreshByPath(path)
 
 
 def run_kmv_stream(
@@ -93,7 +86,7 @@ def run_kmv_stream(
             else None
         )
         delta_sig = kmv_sketches(spark, batch_df.select("source", "text"))
-        _publish_swap(merge_sketches(existing, delta_sig), sketch_path)
+        publish_swap(merge_sketches(existing, delta_sig), sketch_path)
 
     query = (
         stream.writeStream.foreachBatch(fold_batch)

@@ -37,8 +37,8 @@ from star_schema_etl_airflow_spark.plans.bm25 import (
     bm25_score_with_index,
 )
 from star_schema_etl_airflow_spark.sources.io import (
-    _swap_publish,
     _target_exists,
+    publish_swap,
     recover_swap,
 )
 
@@ -61,13 +61,6 @@ def merge_topk(existing: DataFrame | None, delta_scores: DataFrame) -> DataFrame
         .select("query_id", "doc_id", "score")
     )
 
-
-def _publish_swap(df: DataFrame, path: str) -> None:
-    path = path.rstrip("/")
-    tmp = path + "__tmp_swap"
-    df.write.mode("overwrite").parquet(tmp)
-    _swap_publish(tmp, path)
-    df.sparkSession.catalog.refreshByPath(path)
 
 
 def run_retrieval_stream(
@@ -100,7 +93,7 @@ def run_retrieval_stream(
         scores = bm25_score_with_index(
             batch_df.select("doc_id", "text"), qidf
         )
-        _publish_swap(merge_topk(existing, scores), state_path)
+        publish_swap(merge_topk(existing, scores), state_path)
 
     query = (
         stream.writeStream.foreachBatch(fold_batch)

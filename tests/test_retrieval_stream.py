@@ -83,8 +83,8 @@ def test_stream_fold_equals_batch_probe(spark, tmp_path):
     landing = _stage(spark, tmp_path, BATCHES)
     # seed the standing state with the at-rest lists, as a deployment
     # would after its last full pass
-    from star_schema_etl_airflow_spark.streaming.retrieval_stream import (
-        _publish_swap,
+    from star_schema_etl_airflow_spark.sources.io import (
+        publish_swap as _publish_swap,
     )
 
     state = str(tmp_path / "state")
@@ -106,8 +106,8 @@ def test_stream_fold_equals_batch_probe(spark, tmp_path):
 
 def test_batching_independence(spark, tmp_path):
     qidf, at_topk = _at_rest_artifacts(spark)
-    from star_schema_etl_airflow_spark.streaming.retrieval_stream import (
-        _publish_swap,
+    from star_schema_etl_airflow_spark.sources.io import (
+        publish_swap as _publish_swap,
     )
 
     all_rows = [sorted({r for b in BATCHES for r in b})]
@@ -128,8 +128,8 @@ def test_batching_independence(spark, tmp_path):
 
 def test_redelivery_is_a_noop(spark, tmp_path):
     qidf, at_topk = _at_rest_artifacts(spark)
-    from star_schema_etl_airflow_spark.streaming.retrieval_stream import (
-        _publish_swap,
+    from star_schema_etl_airflow_spark.sources.io import (
+        publish_swap as _publish_swap,
     )
 
     state = str(tmp_path / "state")
@@ -150,8 +150,8 @@ def test_each_query_list_is_k_bounded_and_ranked(spark, tmp_path):
     from star_schema_etl_airflow_spark.plans.bm25 import TOP_K
 
     qidf, at_topk = _at_rest_artifacts(spark)
-    from star_schema_etl_airflow_spark.streaming.retrieval_stream import (
-        _publish_swap,
+    from star_schema_etl_airflow_spark.sources.io import (
+        publish_swap as _publish_swap,
     )
 
     state = str(tmp_path / "state")
