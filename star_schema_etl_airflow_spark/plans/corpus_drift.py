@@ -171,3 +171,104 @@ counts AS (
 register(QuerySpec("corpus_drift_psi_onesided", corpus_drift_psi_onesided,
                    CORPUS_DRIFT_ONESIDED_ORACLE,
                    tags=("llm", "MONITORING")))
+
+
+# --- two-sample Kolmogorov-Smirnov drift on a numeric property --------------
+#
+# The PSI monitor watches a CATEGORICAL mix (languages); this is its
+# numeric sibling: the two-sample KS statistic D = sup_x |F_at(x) −
+# F_delta(x)| between the at-rest and delta document-length
+# distributions — the standard distribution-shift test when the
+# monitored property is continuous-ish.  Unlike PSI it needs no
+# binning policy and no smoothing: D is a maximum of differences of
+# exact integer-count ratios, so the whole statistic is rational —
+# one double division per side and a subtract, no transcendental at
+# all.  Scale: one value-grain count aggregation (distinct lengths ≪
+# corpus), two window cumulative sums over the value-sorted relation,
+# one 1-row max — no corpus-sized joins.
+
+KS_DECIMALS = 9
+
+
+def corpus_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_at, n_delta, ks_d, at_value): the two-sample KS statistic on
+    ``n_chars`` between the even/odd doc_id halves (the standing
+    two-ingest-days split), with the smallest length attaining the
+    supremum as the deterministic witness."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    counts = docs.groupBy("n_chars").agg(
+        F.sum((F.col("doc_id") % 2 == 0).cast("long")).alias("c_at"),
+        F.sum((F.col("doc_id") % 2 == 1).cast("long")).alias("c_delta"),
+    )
+    w = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    totals = counts.agg(
+        F.sum("c_at").alias("t_at"), F.sum("c_delta").alias("t_delta")
+    )
+    gaps = (
+        counts.withColumn("cum_at", F.sum("c_at").over(w))
+        .withColumn("cum_delta", F.sum("c_delta").over(w))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "n_chars", "t_at", "t_delta",
+            F.round(
+                F.abs(
+                    F.col("cum_at").cast("double")
+                    / F.col("t_at").cast("double")
+                    - F.col("cum_delta").cast("double")
+                    / F.col("t_delta").cast("double")
+                ),
+                KS_DECIMALS,
+            ).alias("gap"),
+        )
+    )
+    return (
+        gaps.groupBy("t_at", "t_delta")
+        .agg(
+            F.max("gap").alias("ks_d"),
+            F.min_by("n_chars", F.struct(
+                (-F.col("gap")).alias("g"), F.col("n_chars").alias("v")
+            )).alias("at_value"),
+        )
+        .select(
+            F.col("t_at").cast("long").alias("n_at"),
+            F.col("t_delta").cast("long").alias("n_delta"),
+            "ks_d",
+            F.col("at_value").cast("long").alias("at_value"),
+        )
+    )
+
+
+CORPUS_DRIFT_KS_ORACLE = f"""
+WITH counts AS (
+  SELECT n_chars,
+         SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS c_at,
+         SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS c_delta
+  FROM documents GROUP BY n_chars
+),
+totals AS (
+  SELECT SUM(c_at) AS t_at, SUM(c_delta) AS t_delta FROM counts
+),
+gaps AS (
+  SELECT c.n_chars, t.t_at, t.t_delta,
+         ROUND(ABS(
+           CAST(SUM(c.c_at) OVER (ORDER BY c.n_chars) AS DOUBLE)
+             / CAST(t.t_at AS DOUBLE)
+           - CAST(SUM(c.c_delta) OVER (ORDER BY c.n_chars) AS DOUBLE)
+             / CAST(t.t_delta AS DOUBLE)), {KS_DECIMALS}) AS gap
+  FROM counts c CROSS JOIN totals t
+)
+SELECT CAST(t_at AS BIGINT) AS n_at,
+       CAST(t_delta AS BIGINT) AS n_delta,
+       MAX(gap) AS ks_d,
+       CAST(MIN(n_chars) FILTER (
+         WHERE gap = (SELECT MAX(gap) FROM gaps)) AS BIGINT) AS at_value
+FROM gaps
+GROUP BY t_at, t_delta
+"""
+
+register(QuerySpec("corpus_drift_ks", corpus_drift_ks,
+                   CORPUS_DRIFT_KS_ORACLE, tags=("llm", "MONITORING")))

@@ -943,3 +943,72 @@ WHERE GREATEST(contain_a_in_b, contain_b_in_a) >= {CONTAINMENT_THRESHOLD}
 
 register(QuerySpec("dedup_containment", dedup_containment,
                    _containment_oracle(), tags=("LLM-dedup",)))
+
+
+# --- duplication-aware soft reweighting (SoftDeDup) -------------------------
+
+SOFT_SCALE = 1_000_000_000  # nano: prob resolution at corpus-sized n_clusters
+
+
+def softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-aware SOFT reweighting instead of hard removal
+    (He et al., "SoftDedup: an Efficient Data Reweighting Method for
+    Speeding Up Language Model Pre-training", ACL 2024): every document
+    stays in the corpus but its sampling weight is the inverse of its
+    "commonness" — here the near-dup cluster size from the repo's
+    MinHash-LSH transitive clusters, so a 5-way duplicated page
+    contributes the same expected mass as one unique page.
+
+    Exactness note: the normalized sampling probability needs
+    Σ_docs (1/size_d), which is a FLOAT sum in general (order-dependent
+    across engines) — but each cluster contributes size·(1/size) = 1,
+    so the sum is EXACTLY the number of clusters, and
+    prob_d = 1/(size_d · n_clusters) is a pure integer ratio: one
+    double division and a round, bit-identical in both engines.
+
+    Scale: one cluster-size aggregation over the (doc, cluster)
+    relation, joined back on cluster_id; n_clusters is a broadcast
+    1-row total."""
+    clusters = dedup_clusters(spark, sf_dir)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    nc = sizes.agg(F.count(F.lit(1)).alias("n_clusters"))
+    return (
+        clusters.join(sizes, "cluster_id")
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "doc_id",
+            "cluster_id",
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            F.round(
+                F.lit(float(SOFT_SCALE))
+                / F.col("cluster_size").cast("double"), 0,
+            ).cast("long").alias("weight_nano"),
+            F.round(
+                F.lit(float(SOFT_SCALE))
+                / (F.col("cluster_size") * F.col("n_clusters"))
+                .cast("double"), 0,
+            ).cast("long").alias("prob_nano"),
+        )
+    )
+
+
+SOFTDEDUP_ORACLE = f"""
+WITH clusters AS ({DEDUP_CLUSTERS_ORACLE}),
+sizes AS (
+  SELECT cluster_id, COUNT(*) AS cluster_size FROM clusters GROUP BY 1
+),
+nc AS (SELECT COUNT(*) AS n_clusters FROM sizes)
+SELECT c.doc_id, c.cluster_id,
+       CAST(s.cluster_size AS BIGINT) AS cluster_size,
+       CAST(round({SOFT_SCALE}.0 / CAST(s.cluster_size AS DOUBLE))
+            AS BIGINT) AS weight_nano,
+       CAST(round({SOFT_SCALE}.0
+                  / CAST(s.cluster_size * n.n_clusters AS DOUBLE))
+            AS BIGINT) AS prob_nano
+FROM clusters c JOIN sizes s USING (cluster_id) CROSS JOIN nc n
+"""
+
+register(QuerySpec("softdedup_weights", softdedup_weights,
+                   SOFTDEDUP_ORACLE, tags=("LLM-dedup", "MIX")))

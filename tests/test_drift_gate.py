@@ -103,3 +103,54 @@ def test_vanished_language_is_a_drift_signal_end_to_end(spark, tmp_path):
     assert results["drift_monitor"]["psi_total"] > 0.25
     assert results["mixture_refresh"]["action"] == "refreshed"
     assert os.path.isdir(weights)
+
+
+# --- KS drift + SoftDeDup reweighting (same monitoring/mixing family) -------
+
+
+def test_ks_statistic_bounds_and_witness(spark):
+    from star_schema_etl_airflow_spark.plans.corpus_drift import (
+        corpus_drift_ks,
+    )
+
+    row = corpus_drift_ks(spark, SF_DIR).collect()[0]
+    assert 0.0 <= row.ks_d <= 1.0
+    assert row.n_at > 0 and row.n_delta > 0
+    # the witness value is a realized document length
+    lengths = {
+        r.n_chars
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("n_chars").distinct().collect()
+    }
+    assert row.at_value in lengths
+
+
+def test_softdedup_preserves_expected_mass_per_cluster(spark):
+    """The SoftDeDup invariant: every cluster contributes the same
+    expected sampling mass (size x 1/size = 1), so summed probs ~= 1
+    and per-cluster prob sums are equal within rounding."""
+    from star_schema_etl_airflow_spark.plans.llm_dedup import (
+        SOFT_SCALE,
+        softdedup_weights,
+    )
+
+    rows = softdedup_weights(spark, SF_DIR).collect()
+    n_clusters = len({r.cluster_id for r in rows})
+    total_prob = sum(r.prob_nano for r in rows)
+    # sum over docs of 1/(size*n_clusters) == 1 exactly; rounding adds
+    # at most 0.5 nano per doc
+    assert abs(total_prob - SOFT_SCALE) <= len(rows)
+    per_cluster: dict = {}
+    for r in rows:
+        per_cluster.setdefault(r.cluster_id, []).append(r)
+    masses = {
+        cid: sum(r.prob_nano for r in rs)
+        for cid, rs in per_cluster.items()
+    }
+    lo, hi = min(masses.values()), max(masses.values())
+    assert hi - lo <= max(len(rs) for rs in per_cluster.values())
+    # weight is exactly the inverse commonness
+    assert all(
+        r.weight_nano == round(SOFT_SCALE / r.cluster_size) for r in rows
+    )
+    assert n_clusters == len(masses)
