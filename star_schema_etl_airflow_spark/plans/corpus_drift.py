@@ -190,18 +190,13 @@ register(QuerySpec("corpus_drift_psi_onesided", corpus_drift_psi_onesided,
 KS_DECIMALS = 9
 
 
-def corpus_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(n_at, n_delta, ks_d, at_value): the two-sample KS statistic on
-    ``n_chars`` between the even/odd doc_id halves (the standing
-    two-ingest-days split), with the smallest length attaining the
-    supremum as the deterministic witness."""
+def ks_statistic(counts: DataFrame) -> DataFrame:
+    """The KS core over a ``(n_chars, c_at, c_delta)`` value-grain count
+    relation — shared by the batch monitor and the streaming twin
+    (``streaming/drift_stream.py`` maintains the delta counts
+    incrementally, exactly like the PSI twin)."""
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    counts = docs.groupBy("n_chars").agg(
-        F.sum((F.col("doc_id") % 2 == 0).cast("long")).alias("c_at"),
-        F.sum((F.col("doc_id") % 2 == 1).cast("long")).alias("c_delta"),
-    )
     w = Window.orderBy("n_chars").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -240,6 +235,19 @@ def corpus_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("at_value").cast("long").alias("at_value"),
         )
     )
+
+
+def corpus_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_at, n_delta, ks_d, at_value): the two-sample KS statistic on
+    ``n_chars`` between the even/odd doc_id halves (the standing
+    two-ingest-days split), with the smallest length attaining the
+    supremum as the deterministic witness."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    counts = docs.groupBy("n_chars").agg(
+        F.sum((F.col("doc_id") % 2 == 0).cast("long")).alias("c_at"),
+        F.sum((F.col("doc_id") % 2 == 1).cast("long")).alias("c_delta"),
+    )
+    return ks_statistic(counts)
 
 
 CORPUS_DRIFT_KS_ORACLE = f"""

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from star_schema_etl_airflow_spark.sources.io import (
     _target_exists,
@@ -37,7 +38,7 @@ from star_schema_etl_airflow_spark.sources.io import (
 
 
 def merge_counts(existing: DataFrame | None, delta: DataFrame,
-                 batch_id: int) -> DataFrame | None:
+                 batch_id: int, key_col: str = "lang") -> DataFrame | None:
     """Additive fold of a batch's (lang, n) counts, tagged with the
     max applied batch id.  Returns None when the batch was already
     applied (at-least-once re-delivery).
@@ -49,7 +50,7 @@ def merge_counts(existing: DataFrame | None, delta: DataFrame,
     re-delivery); ``batch_id < hwm`` → the checkpoint was lost/rebuilt
     (ids restarted) against a surviving state table, and silently
     skipping would corrupt counts — fail loudly instead."""
-    delta = delta.select("lang", "n", F.lit(batch_id).alias("max_batch"))
+    delta = delta.select(key_col, "n", F.lit(batch_id).alias("max_batch"))
     if existing is None:
         return delta
     hwm = existing.agg(F.max("max_batch")).first()[0]
@@ -64,7 +65,7 @@ def merge_counts(existing: DataFrame | None, delta: DataFrame,
         )
     return (
         existing.unionByName(delta)
-        .groupBy("lang")
+        .groupBy(key_col)
         .agg(F.sum("n").alias("n"), F.max("max_batch").alias("max_batch"))
     )
 
@@ -75,10 +76,14 @@ def run_drift_stream(
     landing_dir: str,
     state_path: str,
     source_schema,
+    key_col: str = "lang",
 ) -> DataFrame:
     """Consume all pending delta files (availableNow, one file per
-    micro-batch), folding per-language counts into the persisted state;
-    returns the final (lang, n, max_batch) counts."""
+    micro-batch), folding per-``key_col`` counts into the persisted
+    state; returns the final (key, n, max_batch) counts.  ``key_col``
+    is the monitored bucket: the language for the PSI twin (default),
+    a numeric property (``n_chars``) for the KS twin — the fold is the
+    same counting-IVM addition either way."""
     stream = (
         spark.readStream.schema(source_schema)
         .option("maxFilesPerTrigger", 1)
@@ -94,8 +99,8 @@ def run_drift_stream(
             if _target_exists(state_path, spark)
             else None
         )
-        delta = batch_df.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
-        merged = merge_counts(existing, delta, batch_id)
+        delta = batch_df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
+        merged = merge_counts(existing, delta, batch_id, key_col)
         if merged is not None:
             publish_swap(merged, state_path)
 
@@ -109,8 +114,16 @@ def run_drift_stream(
     if not _target_exists(state_path, spark):
         # zero micro-batches (or all empty): no state was ever
         # published — an empty counts relation, not a read error
+        key_field = next(
+            f for f in source_schema.fields if f.name == key_col
+        )
         return spark.createDataFrame(
-            [], "lang string, n long, max_batch long"
+            [],
+            T.StructType([
+                key_field,
+                T.StructField("n", T.LongType()),
+                T.StructField("max_batch", T.LongType()),
+            ]),
         )
     return spark.read.parquet(state_path)
 
@@ -137,3 +150,27 @@ def psi_against(at_counts: DataFrame, state: DataFrame) -> DataFrame:
         )
     )
     return psi_terms(counts)
+
+
+def ks_against(at_counts: DataFrame, state: DataFrame) -> DataFrame:
+    """KS statistic of the streamed numeric-bucket state vs the at-rest
+    snapshot — delegates to the batch monitor's statistic core
+    (``plans/corpus_drift.ks_statistic``), full-outer zero-fill like
+    :func:`psi_against` so a length present on only one side keeps its
+    bucket (zero counts contribute a flat CDF step, exactly as the
+    batch monitor's single groupBy produces)."""
+    from star_schema_etl_airflow_spark.plans.corpus_drift import (
+        ks_statistic,
+    )
+
+    counts = (
+        at_counts.select("n_chars", F.col("n").alias("c_at"))
+        .join(state.select("n_chars", F.col("n").alias("c_delta")),
+              "n_chars", "full_outer")
+        .select(
+            "n_chars",
+            F.coalesce("c_at", F.lit(0)).alias("c_at"),
+            F.coalesce("c_delta", F.lit(0)).alias("c_delta"),
+        )
+    )
+    return ks_statistic(counts)

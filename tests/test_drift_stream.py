@@ -139,3 +139,49 @@ def test_onesided_language_kept_by_full_outer_psi(spark):
     # shares use full totals (100 at-rest, 100 streamed), not the
     # inner-join subset
     assert got["en"].p_at == 0.9 and got["en"].q_delta == 0.5
+
+
+def test_streamed_ks_equals_batch_monitor(spark, tmp_path):
+    """The KS twin: fold the odd-half documents' n_chars counts through
+    the generalized stream, compute KS vs the at-rest snapshot — must
+    be bit-identical to the batch corpus_drift_ks."""
+    from star_schema_etl_airflow_spark.plans.corpus_drift import (
+        corpus_drift_ks,
+    )
+    from star_schema_etl_airflow_spark.streaming.drift_stream import (
+        ks_against,
+    )
+
+    ks_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_chars", T.LongType()),
+    ])
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "n_chars")
+        .filter(F.col("doc_id") % 2 == 1)
+    )
+    landing = str(tmp_path / "landing_ks")
+    os.makedirs(landing)
+    for i in range(3):
+        staging = str(tmp_path / f"stage_ks_{i}")
+        docs.filter((F.col("doc_id") % 6) == 2 * i + 1) \
+            .coalesce(1).write.mode("overwrite").parquet(staging)
+        part = next(
+            f for f in os.listdir(staging)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        os.rename(os.path.join(staging, part),
+                  os.path.join(landing, f"batch_{i}.parquet"))
+    state = run_drift_stream(
+        spark, landing, str(tmp_path / "state_ks"), ks_schema,
+        key_col="n_chars",
+    )
+    at_counts = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .filter(F.col("doc_id") % 2 == 0)
+        .groupBy("n_chars").agg(F.count(F.lit(1)).alias("n"))
+    )
+    stream_row = ks_against(at_counts, state).collect()[0]
+    batch_row = corpus_drift_ks(spark, SF_DIR).collect()[0]
+    assert tuple(stream_row) == tuple(batch_row)
