@@ -113,6 +113,11 @@ EXTRA = [
     "ivfpq_variant_eval",
     "corpus_drift_psi_onesided",
     "curriculum_stage_agreement",
+    "doremi_mixture_weights",
+    "rho_loss_select",
+    "corpus_drift_ks",
+    "softdedup_weights",
+    "embed_ivfpq_opq_incremental",
 ]
 
 
