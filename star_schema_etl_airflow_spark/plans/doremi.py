@@ -170,6 +170,12 @@ def doremi_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", "excess_micro", "boost_micro", "weight_micro",
     )
     for t in range(1, T_ROUNDS + 1):
+        # truncate per-round lineage (the kmeans/components loop
+        # discipline): without this the round-t branch re-plans rounds
+        # 1..t-1 and the final union carries a quadratic plan (124
+        # shuffles at T=3 — harmless on the D-row relation but the
+        # wrong shape); lazy checkpoint materializes at the action
+        w = w.localCheckpoint(eager=False)
         raw = w.withColumn(
             "raw", F.col("weight_micro") * F.col("boost_micro")
         )
