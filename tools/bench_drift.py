@@ -24,9 +24,31 @@ to ``RECONCILED`` with the re-measure's filename and record the
 attribution in ``BENCH_HISTORY.md``.  The driver's record stays on disk
 for the judge; the gate reads the reconciled one.
 
+Round-15 upgrade (r14 verdict task 1 — 3 manual ACK cycles in r14,
+2 in r13, each costing an A/B worktree run):
+
+* ``host_speed`` is now the **median** of the pyloop samples, not the
+  mean — the calibration loop deliberately runs often enough to catch
+  contention bursts, and those burst samples (e.g. 1.416s inside an
+  0.58-0.66s band) dragged the mean and mis-sized the factor in both
+  directions.
+* Before failing, the gate consults **multi-record evidence**: every
+  committed record of a round (driver + all ``BENCH_QUIET_r{N}*``)
+  measures the same code, so the per-query MIN across them is the
+  round's best honest figure — exactly the adjudication the r13/r14
+  ACK notes performed by hand ("the other two same-code records are
+  flat").  A breach on the canonical pair that is within threshold on
+  min-vs-min (same raw-AND-normalized conjunction, normalized by the
+  min-records' own host medians) downgrades to an automatic pass.
+  This only ever *relaxes* the canonical verdict — contention can only
+  slow a sample, never fake a fast one — so a regression present in
+  every record of the round still fails.
+
 Usage:
     python tools/bench_drift.py                    # latest vs previous round
     python tools/bench_drift.py local_bench.json   # a fresh local run vs latest
+    python tools/bench_drift.py --history-table    # regenerate the normalized
+                                                   # table in BENCH_HISTORY.md
 """
 
 from __future__ import annotations
@@ -63,19 +85,11 @@ ACKED: dict[str, str] = {
     # overhead at sf0.1 — the price of no-silent-caps observability.
     "kmv_source_overlap": "census job added by fa76bc7 post-r12-record "
                           "(+~0.18s fixed; BENCH_HISTORY r13)",
-    # r14 adjudications (BENCH_HISTORY r14): the r14 host never reached
-    # the r13 quiet band (pyloop 0.60-0.91 vs 0.48-0.60 across three
-    # full samples) and mean-pyloop normalization under-corrects its
-    # bursty windows.
-    "ngram_lm_score": "host drift: A/B at 45cf2c8 on the r14 host "
-                      "measures OLD min 1.40 vs NEW min 1.19 — new code "
-                      "is faster; r13's 0.961 was a quieter host",
-    "embed_ivfpq_rerank": "one-off contention sample: the other two "
-                          "same-code r14 records measure 1.461/1.578 vs "
-                          "the 1.621 baseline — flat-to-better",
-    "zorder_skip_stats": "one-off contention sample: the other two "
-                         "same-code r14 records measure 3.881/4.021 vs "
-                         "the 3.889 baseline — flat",
+    # The three r14 host-drift ACKs (ngram_lm_score, embed_ivfpq_rerank,
+    # zorder_skip_stats) were REMOVED in r15: the multi-record-evidence
+    # pass now reproduces each of those manual A/B adjudications
+    # automatically (pinned by tests/test_bench_drift.py::
+    # test_r14_host_drift_acks_pass_without_ack_entries).
 }
 
 # Extras promoted to GATING (r11 verdict task 3): these have two
@@ -160,15 +174,79 @@ def rounds() -> list[str]:
 
 
 def host_speed(parsed: dict) -> float | None:
-    """Mean of the record's pyloop calibration samples (seconds for the
-    fixed workload; larger = slower host at measurement time)."""
+    """Median of the record's pyloop calibration samples (seconds for
+    the fixed workload; larger = slower host at measurement time).
+    Median, not mean: the samples bracket every query, so a handful of
+    contention-burst outliers (1.4s inside an 0.6s band) are expected
+    and must not drag the factor (r14 verdict task 1)."""
     cal = parsed.get("host_pyloop_sec")
     if not cal:
         return None
-    return sum(cal) / len(cal)
+    s = sorted(cal)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
 
-def drift(base: dict, new: dict, base_name: str, new_name: str) -> int:
+def round_records(n: int) -> list[str]:
+    """Every committed bench record measuring round *n*'s code: the
+    driver's ``BENCH_r{n}.json`` plus all quiet-host companions
+    (``BENCH_QUIET_r{n}*.json``, including ones kept for the judge
+    despite known contention — contention only ever slows a figure,
+    so extra records can only strengthen the min)."""
+    return sorted(
+        p for p in glob.glob(os.path.join(REPO, "BENCH*r*.json"))
+        if round_no(p) == n
+    )
+
+
+def round_evidence(n: int) -> dict[str, tuple[float, float | None]]:
+    """Per-query best honest figure for round *n*: the MIN over every
+    committed record of the round (headline + extras), paired with the
+    host median of the record that produced it."""
+    best: dict[str, tuple[float, float | None]] = {}
+    for p in round_records(n):
+        try:
+            parsed = load(p)
+        except SystemExit:
+            continue
+        hs = host_speed(parsed)
+        figures = dict(parsed.get("queries") or {})
+        figures.update(parsed.get("extras") or {})
+        for q, t in figures.items():
+            if q not in best or t < best[q][0]:
+                best[q] = (t, hs)
+    return best
+
+
+def _evidence_pass(q: str, eb: dict, en: dict) -> str | None:
+    """If min-vs-min across each round's committed records is within
+    the gate (same raw-AND-normalized conjunction), return the pass
+    message; else None.  Normalization uses the host medians of the
+    two records that produced the minima."""
+    if q not in eb or q not in en:
+        return None
+    (b, bh), (t, nh) = eb[q], en[q]
+    f = (nh / bh) if bh and nh else 1.0
+    breach = all(
+        (x - b) / b > THRESHOLD and (x - b) > ABS_FLOOR_SEC
+        for x in (t, t / f)
+    )
+    if breach:
+        return None
+    return (f"ok   {q}: multi-record evidence min {b:.3f} -> "
+            f"{t:.3f} raw / {t / f:.3f} norm "
+            f"({(t / f - b) / b:+.0%}) — canonical-pair breach "
+            "attributed to host (same-code committed records)")
+
+
+def drift(base: dict, new: dict, base_name: str, new_name: str,
+          base_round: int | None = None,
+          new_round: int | None = None) -> int:
+    # Multi-record evidence (r14 verdict task 1): only available when
+    # both sides are committed rounds (a fresh local bench line has no
+    # sibling records yet).
+    eb = round_evidence(base_round) if base_round and base_round > 0 else {}
+    en = round_evidence(new_round) if new_round and new_round > 0 else {}
     if base.get("sf") != new.get("sf"):
         raise SystemExit(
             f"sf mismatch: {base_name} sf={base.get('sf')} "
@@ -217,7 +295,10 @@ def drift(base: dict, new: dict, base_name: str, new_name: str) -> int:
         )
         rel = (norm - b) / b
         if breach:
-            if q in ACKED:
+            ev = _evidence_pass(q, eb, en)
+            if ev:
+                print(ev)
+            elif q in ACKED:
                 print(f"ACK  {q}: {b:.3f} -> {norm:.3f} ({rel:+.0%}) "
                       f"— {ACKED[q]}")
             else:
@@ -248,6 +329,20 @@ def drift(base: dict, new: dict, base_name: str, new_name: str) -> int:
     # same conjunction as per-query: breach both raw and normalized
     relt_raw, relt = (nt_raw - bt) / bt, (nt - bt) / bt
     breach_t = relt > 0.15 and relt_raw > 0.15
+    if breach_t and all(q in eb and q in en for q in shared):
+        # multi-record evidence for the total: sum of per-query minima,
+        # normalized by the median host factor over the contributing
+        # record pairs
+        ebt = sum(eb[q][0] for q in shared)
+        ent = sum(en[q][0] for q in shared)
+        fs = sorted(en[q][1] / eb[q][1] for q in shared
+                    if eb[q][1] and en[q][1])
+        fe = fs[len(fs) // 2] if fs else 1.0
+        if (ent - ebt) / ebt <= 0.15 or (ent / fe - ebt) / ebt <= 0.15:
+            print(f"ok   total multi-record evidence: min-sum {ebt:.3f} -> "
+                  f"{ent:.3f} raw / {ent / fe:.3f} norm — canonical-pair "
+                  "breach attributed to host")
+            breach_t = False
     tag = "FAIL" if breach_t else "ok  "
     if breach_t:
         bad += 1
@@ -269,7 +364,10 @@ def drift(base: dict, new: dict, base_name: str, new_name: str) -> int:
                     and (t - be[q]) > ABS_FLOOR_SEC
                     for t in (raw, norm)
                 )
-                if breach and q in ACKED:
+                ev = _evidence_pass(q, eb, en) if breach else None
+                if breach and ev:
+                    print(ev)
+                elif breach and q in ACKED:
                     print(f"ACK  {q}: {be[q]:.3f} -> {norm:.3f} "
                           f"({rel:+.0%}) — {ACKED[q]}")
                 elif breach:
@@ -292,18 +390,96 @@ def drift(base: dict, new: dict, base_name: str, new_name: str) -> int:
     return bad
 
 
+HIST_BEGIN = "<!-- bench_drift:normalized-table:begin -->"
+HIST_END = "<!-- bench_drift:normalized-table:end -->"
+
+
+def history_table() -> str:
+    """Generated normalized round-over-round table (r14 verdict task 1:
+    'BENCH_HISTORY gains a generated, not hand-written, normalized
+    column').  One row per round: the canonical record's raw headline
+    total, its host median, the total normalized to the FIRST round's
+    host, and the round's multi-record min-sum over the canonical
+    headline set."""
+    rows = []
+    anchor = None
+    for p in rounds():
+        try:
+            parsed = load(p)
+        except SystemExit:
+            continue  # early-round records predate the parsed format
+        n = round_no(p)
+        hs = host_speed(parsed)
+        if anchor is None and hs:
+            anchor = hs
+        f = (hs / anchor) if hs and anchor else 1.0
+        ev = round_evidence(n)
+        shared = [q for q in parsed["queries"] if q in ev]
+        minsum = sum(ev[q][0] for q in shared) if shared else None
+        rows.append((n, os.path.basename(p), parsed.get("sf"),
+                     parsed["value"], hs, parsed["value"] / f, minsum,
+                     len(round_records(n))))
+    lines = [
+        HIST_BEGIN,
+        "",
+        "Generated by `python tools/bench_drift.py --history-table` — do not",
+        "hand-edit between the markers.  `norm total` divides the canonical",
+        "record's raw headline total by its host-median pyloop ratio vs the",
+        f"r{rows[0][0]} anchor host; `min-sum` is the per-query minimum over",
+        "all committed records of the round, summed over the canonical",
+        "headline set (the round's best honest figure).  Headline sets grow",
+        "across rounds, so compare adjacent rounds only.",
+        "",
+        "| round | record | sf | raw total | host median | norm total |"
+        " min-sum | records |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for n, name, sf, raw, hs, norm, minsum, nrec in rows:
+        lines.append(
+            f"| r{n} | {name} | {sf} | {raw:.3f} | "
+            f"{hs:.3f} | {norm:.3f} | "
+            f"{minsum:.3f} | {nrec} |" if hs and minsum is not None else
+            f"| r{n} | {name} | {sf} | {raw:.3f} | — | — | — | {nrec} |"
+        )
+    lines += ["", HIST_END]
+    return "\n".join(lines)
+
+
+def write_history_table() -> None:
+    path = os.path.join(REPO, "BENCH_HISTORY.md")
+    table = history_table()
+    with open(path) as f:
+        text = f.read()
+    if HIST_BEGIN in text and HIST_END in text:
+        pre = text[: text.index(HIST_BEGIN)]
+        post = text[text.index(HIST_END) + len(HIST_END):]
+        text = pre + table + post
+    else:
+        text = text.rstrip() + "\n\n## Normalized totals (generated)\n\n" \
+            + table + "\n"
+    with open(path, "w") as f:
+        f.write(text)
+    print(f"wrote normalized table ({len(rounds())} rounds) to {path}")
+
+
 def main(argv: list[str]) -> int:
+    if argv and argv[0] == "--history-table":
+        write_history_table()
+        return 0
     rs = rounds()
     if argv:
         base, new = load(rs[-1]), load(argv[0])
         base_name, new_name = os.path.basename(rs[-1]), argv[0]
+        base_round, new_round = round_no(rs[-1]), -1
     else:
         if len(rs) < 2:
             raise SystemExit("need two BENCH_r*.json rounds")
         base, new = load(rs[-2]), load(rs[-1])
         base_name, new_name = (os.path.basename(p) for p in rs[-2:])
+        base_round, new_round = (round_no(p) for p in rs[-2:])
     print(f"drift gate: {base_name} -> {new_name} (±{THRESHOLD:.0%})")
-    return 1 if drift(base, new, base_name, new_name) else 0
+    return 1 if drift(base, new, base_name, new_name,
+                      base_round, new_round) else 0
 
 
 if __name__ == "__main__":
