@@ -52,11 +52,21 @@ def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _esc_literal(s: str) -> str:
+    """Escape a symbol for embedding in a Spark SQL single-quoted
+    string literal: backslashes BEFORE quotes, or a symbol containing
+    a backslash silently diverges from the Python trainer."""
+    return s.replace("\\", "\\\\").replace("'", "\\'")
+
+
 def _merge_expr(left: str, right: str) -> str:
     """Spark-SQL fold applying ONE merge (left,right)→left||right to the
     ``syms`` array, left-to-right non-overlapping (classic BPE greedy:
     'AAA' with pair (A,A) → ['AA','A'])."""
-    l, r = left.replace("'", "\\'"), right.replace("'", "\\'")
+    # backslash first, then quote — a learned symbol containing '\'
+    # (codepoint 92 is inside the printable fixture range) would
+    # otherwise be corrupted by Spark's string-literal unescaping
+    l, r = (_esc_literal(left), _esc_literal(right))
     return f"""
     aggregate(
       sequence(0, size(syms) - 1),
@@ -143,9 +153,9 @@ def encode_words(
     exponentially in the merge count — a 20-merge table OOMs the
     driver during analysis.  One constant-size expression evaluates
     the same fold iteratively at runtime instead."""
-    esc = lambda s: s.replace("'", "\\'")  # noqa: E731
     items = ",".join(
-        f"named_struct('l', '{esc(l)}', 'r', '{esc(r)}')" for l, r in merges
+        f"named_struct('l', '{_esc_literal(l)}', 'r', '{_esc_literal(r)}')"
+        for l, r in merges
     )
     merges_sql = (
         f"array({items})" if merges

@@ -166,7 +166,7 @@ def big_star_components(
     else:
         vertices = nodes.select(F.col(node_col).alias("node")).distinct()
 
-    def _sig(df: DataFrame) -> tuple[int, int]:
+    def _sig(df: DataFrame) -> tuple[int, int, int]:
         row = df.agg(
             F.count(F.lit(1)).alias("c"),
             # xor: order-insensitive, overflow-free (rows are distinct,
@@ -174,8 +174,16 @@ def big_star_components(
             F.coalesce(
                 F.expr("bit_xor(xxhash64(lo, hi))"), F.lit(0)
             ).alias("h"),
+            # second independent 64-bit aggregate (seeded differently
+            # via an extra literal column): a single-hash collision
+            # between consecutive DISTINCT edge sets would end the loop
+            # early and return wrong components silently; requiring two
+            # independent collisions makes that ~2^-128 (ADVICE r14)
+            F.coalesce(
+                F.expr("bit_xor(xxhash64(hi, lo, 'cc2'))"), F.lit(0)
+            ).alias("h2"),
         ).first()
-        return int(row["c"]), int(row["h"])
+        return int(row["c"]), int(row["h"]), int(row["h2"])
 
     if not e.isEmpty():
         sig = _sig(e)

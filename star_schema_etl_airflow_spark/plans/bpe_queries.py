@@ -109,8 +109,12 @@ def _fold_sql(syms: str, l: str, r: str) -> str:
 def _round_ctes(k: int) -> str:
     """One training round: pair counts from w{k}, best pair b{k}
     (count desc, pair lexicographic asc, must occur >= 2), merged word
-    table w{k+1}.  An empty b{k} (early stop) empties every later
-    round — matching the Spark trainer's break."""
+    table w{k+1}.  An empty b{k} (early stop) makes the round a NO-OP
+    (LEFT JOIN keeps every word, the fold is skipped) — matching the
+    Spark trainer's break, which stops merging but keeps the word
+    table.  A CROSS JOIN here would instead empty every later w{k} and
+    return a zero-row census on any corpus with fewer than N_MERGES
+    learnable merges (ADVICE r14)."""
     return f"""
 p{k} AS MATERIALIZED (
   SELECT l, r, SUM(freq) AS n FROM (
@@ -125,8 +129,9 @@ b{k} AS MATERIALIZED (
   ORDER BY n DESC, l ASC, r ASC LIMIT 1
 ),
 w{k + 1} AS MATERIALIZED (
-  SELECT {_fold_sql('w.syms', 'b.l', 'b.r')} AS syms, w.freq
-  FROM w{k} w CROSS JOIN b{k} b
+  SELECT CASE WHEN b.l IS NULL THEN w.syms
+         ELSE {_fold_sql('w.syms', 'b.l', 'b.r')} END AS syms, w.freq
+  FROM w{k} w LEFT JOIN b{k} b ON TRUE
 )"""
 
 

@@ -38,10 +38,11 @@ from star_schema_etl_airflow_spark.sources.io import (
 
 
 def merge_counts(existing: DataFrame | None, delta: DataFrame,
-                 batch_id: int, key_col: str = "lang") -> DataFrame | None:
+                 batch_id: int, key_col: str = "lang",
+                 run_id: str | None = None) -> DataFrame | None:
     """Additive fold of a batch's (lang, n) counts, tagged with the
-    max applied batch id.  Returns None when the batch was already
-    applied (at-least-once re-delivery).
+    max applied batch id and the stream run id.  Returns None when the
+    batch was already applied (at-least-once re-delivery).
 
     Re-delivery discipline: availableNow + maxFilesPerTrigger processes
     batches sequentially, so the ONLY batch the engine can legitimately
@@ -49,12 +50,39 @@ def merge_counts(existing: DataFrame | None, delta: DataFrame,
     have failed mid-publish).  ``batch_id == hwm`` → skip (exact
     re-delivery); ``batch_id < hwm`` → the checkpoint was lost/rebuilt
     (ids restarted) against a surviving state table, and silently
-    skipping would corrupt counts — fail loudly instead."""
-    delta = delta.select(key_col, "n", F.lit(batch_id).alias("max_batch"))
+    skipping would corrupt counts — fail loudly instead.
+
+    ``run_id`` (the streaming query id persisted in the checkpoint's
+    ``metadata`` file — stable across restarts of the SAME checkpoint,
+    fresh on a rebuilt one) closes the hole ``batch_id < hwm`` cannot
+    see (ADVICE r14): a rebuilt checkpoint restarting at batch 0
+    against a surviving state whose high-water mark is ALSO 0 would
+    land in the skip branch and silently drop the first real batch.
+    With run ids, ``batch_id == hwm`` under a DIFFERENT run id raises
+    instead of skipping.  States written before the column existed
+    carry no run id and keep the legacy skip behavior."""
+    delta = delta.select(
+        key_col, "n", F.lit(batch_id).alias("max_batch"),
+        F.lit(run_id).cast("string").alias("run_id"),
+    )
     if existing is None:
         return delta
-    hwm = existing.agg(F.max("max_batch")).first()[0]
+    if "run_id" not in existing.columns:   # pre-upgrade state table
+        existing = existing.withColumn(
+            "run_id", F.lit(None).cast("string"))
+    hwm, stored_run = existing.agg(
+        F.max("max_batch"), F.max("run_id")).first()
     if hwm is not None and batch_id == hwm:
+        if run_id is not None and stored_run is not None \
+                and run_id != stored_run:
+            raise ValueError(
+                f"drift-stream state at high-water batch {hwm} was "
+                f"written by stream run {stored_run} but batch "
+                f"{batch_id} arrived from run {run_id}: the checkpoint "
+                "was rebuilt against a surviving state table — refusing "
+                "to fold (delete the state table or restore the "
+                "checkpoint)"
+            )
         return None   # exact re-delivery of the last applied batch
     if hwm is not None and batch_id < hwm:
         raise ValueError(
@@ -66,9 +94,28 @@ def merge_counts(existing: DataFrame | None, delta: DataFrame,
     return (
         existing.unionByName(delta)
         .groupBy(key_col)
-        .agg(F.sum("n").alias("n"), F.max("max_batch").alias("max_batch"))
+        .agg(F.sum("n").alias("n"), F.max("max_batch").alias("max_batch"),
+             F.max("run_id").alias("run_id"))
     )
 
+
+
+def _checkpoint_query_id(ckpt_dir: str) -> str | None:
+    """The streaming query id Structured Streaming persists in the
+    checkpoint's ``metadata`` file at stream start — stable across
+    restarts of the SAME checkpoint, freshly generated for a rebuilt
+    one, which makes it the run identity the fold's lost-checkpoint
+    guard compares.  None when unreadable (non-local checkpoint or
+    pre-start call): the guard then degrades to batch-id-only."""
+    import json
+    import os
+
+    path = os.path.join(ckpt_dir, "metadata")
+    try:
+        with open(path) as f:
+            return json.load(f).get("id")
+    except (OSError, ValueError):
+        return None
 
 
 def run_drift_stream(
@@ -89,6 +136,7 @@ def run_drift_stream(
         .option("maxFilesPerTrigger", 1)
         .parquet(landing_dir)
     )
+    ckpt = state_path.rstrip("/") + "_ckpt"
 
     def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -100,13 +148,14 @@ def run_drift_stream(
             else None
         )
         delta = batch_df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
-        merged = merge_counts(existing, delta, batch_id, key_col)
+        merged = merge_counts(existing, delta, batch_id, key_col,
+                              run_id=_checkpoint_query_id(ckpt))
         if merged is not None:
             publish_swap(merged, state_path)
 
     query = (
         stream.writeStream.foreachBatch(fold_batch)
-        .option("checkpointLocation", state_path.rstrip("/") + "_ckpt")
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
@@ -123,6 +172,7 @@ def run_drift_stream(
                 key_field,
                 T.StructField("n", T.LongType()),
                 T.StructField("max_batch", T.LongType()),
+                T.StructField("run_id", T.StringType()),
             ]),
         )
     return spark.read.parquet(state_path)

@@ -92,3 +92,22 @@ def test_greedy_non_overlap_convention(spark):
     }
     assert enc["aaa"] == ("aa", "a")
     assert enc["aaaa"] == ("aa", "aa")
+
+
+def test_backslash_symbols_survive_sql_literal_embedding(spark):
+    """ADVICE r14: merge symbols containing a backslash (codepoint 92,
+    inside the printable fixture range) must round-trip through the
+    SQL string literals in both the per-merge training fold and the
+    array-literal encode fold."""
+    df = spark.createDataFrame([(r"\\a",), (r"\\a",), (r"\b",)], "word string")
+    # encode fold: merge ('\', '\') applies to the double-backslash word
+    enc = {
+        r.word: tuple(r.tokens)
+        for r in encode_words(df, [("\\", "\\")]).collect()
+    }
+    assert enc["\\\\a"] == ("\\\\", "a")
+    assert enc["\\b"] == ("\\", "b")
+    # training fold: corpus where the best pair contains a backslash
+    docs = spark.createDataFrame([(r"\a \a",)], "text string")
+    merges = train_bpe(docs, n_merges=1)
+    assert merges == [("\\", "a")]

@@ -93,3 +93,23 @@ def test_merge_ranks_are_contiguous_and_counts_decrease_weakly_valid(spark):
     # multi-char tokens actually formed (the table is non-trivial)
     enc = bpe_encode_census(spark, SF_DIR)
     assert enc.filter(F.length("token") >= 2).count() > 0
+
+
+def test_encode_oracle_survives_early_stop():
+    """ADVICE r14: a corpus with fewer than N_MERGES learnable merges
+    must NOT empty the oracle's later word tables — each merge round
+    with an empty best-pair is a no-op (LEFT JOIN), matching the Spark
+    trainer's break.  Corpus: 'ab' x2 learns exactly one merge (a,b);
+    the census must be {'ab': 2}, not zero rows."""
+    import duckdb
+
+    from star_schema_etl_airflow_spark.plans.bpe_queries import (
+        BPE_ENCODE_ORACLE,
+        BPE_TRAIN_ORACLE,
+    )
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT 'ab ab' AS text")
+    census = dict(con.execute(BPE_ENCODE_ORACLE).fetchall())
+    assert census == {"ab": 2}
+    merges = con.execute(BPE_TRAIN_ORACLE).fetchall()
+    assert [(r[1], r[2], r[3]) for r in merges] == [("a", "b", 2)]

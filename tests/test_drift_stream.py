@@ -99,6 +99,34 @@ def test_lost_checkpoint_against_surviving_state_raises(spark):
         merge_counts(s1, b0, batch_id=0)
 
 
+def test_rebuilt_checkpoint_at_same_hwm_raises_on_run_id(spark):
+    """ADVICE r14: a rebuilt checkpoint restarting at batch 0 against a
+    surviving state whose high-water mark is ALSO 0 is indistinguishable
+    from re-delivery by batch id alone — the persisted stream run id
+    disambiguates: same run skips, different run raises."""
+    import pytest
+
+    b0 = spark.createDataFrame([("en", 5)], "lang string, n long")
+    s1 = merge_counts(None, b0, batch_id=0, run_id="run-A")
+    # genuine re-delivery (same run id, same batch) → skip
+    assert merge_counts(s1, b0, batch_id=0, run_id="run-A") is None
+    # rebuilt checkpoint (fresh run id, batch restarts at hwm 0) → raise
+    with pytest.raises(ValueError, match="rebuilt"):
+        merge_counts(s1, b0, batch_id=0, run_id="run-B")
+
+
+def test_pre_upgrade_state_without_run_id_keeps_legacy_skip(spark):
+    """State tables written before the run_id column existed must keep
+    folding: unknown stored run degrades to batch-id-only discipline."""
+    legacy = spark.createDataFrame(
+        [("en", 5, 0)], "lang string, n long, max_batch long")
+    b0 = spark.createDataFrame([("en", 5)], "lang string, n long")
+    assert merge_counts(legacy, b0, batch_id=0, run_id="run-B") is None
+    s2 = merge_counts(legacy, b0, batch_id=1, run_id="run-B")
+    got = {(r.lang, r.n, r.run_id) for r in s2.collect()}
+    assert got == {("en", 10, "run-B")}
+
+
 def test_empty_landing_dir_yields_empty_state(spark, tmp_path):
     """Zero micro-batches published: the drain must return an empty
     counts relation with the state schema, not throw on a missing
@@ -110,7 +138,7 @@ def test_empty_landing_dir_yields_empty_state(spark, tmp_path):
     )
     assert state.count() == 0
     assert [f.name for f in state.schema.fields] == [
-        "lang", "n", "max_batch"
+        "lang", "n", "max_batch", "run_id"
     ]
 
 
