@@ -190,6 +190,17 @@ def main() -> None:
         "embed_ivfpq_opq",
         "dedup_clusters_bigstar",
     )
+    # One-time artifact figures (r14 verdict task 3): the trained coarse
+    # quantizer is frozen per (session, sf) — plans/ivfpq.py
+    # frozen_artifact — so IVFADC extras measure index+search against a
+    # frozen quantizer, not train+index+search conflated.  Build it HERE,
+    # timed separately, so the cost is on record as the one-time figure
+    # it is in a production index lifecycle.
+    from star_schema_etl_airflow_spark.plans.ivfpq import _trained_cells
+    t0 = time.perf_counter()
+    _trained_cells(spark, SF_DIR).count()
+    one_time = {"ivfpq_train": round(time.perf_counter() - t0, 3)}
+
     all_specs = {s.name: s for s in registry.specs()}
     extras: dict[str, float] = {}
     for name in EXTRAS:
@@ -216,6 +227,9 @@ def main() -> None:
         "isolated_protocol": isolated_protocol,
         # non-gating: cache-isolated figures outside headline_total
         "extras": extras,
+        # one-time artifact builds (train cost), excluded from every
+        # per-query figure by the frozen-artifact cache
+        "one_time": one_time,
     }
     print(json.dumps(record))
     # --write BENCH_QUIET_r{N}.json: commit a quiet-host companion

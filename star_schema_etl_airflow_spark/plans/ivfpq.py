@@ -403,10 +403,25 @@ FROM (
 ) WHERE rank <= {TOP_K}
 """
 
-register(QuerySpec("embed_ivfpq_topk", embed_ivfpq_topk, IVFPQ_ORACLE,
-                   tags=("llm", "ann")))
+def mat_ctes(sql: str) -> str:
+    """Mark every CTE of an assembled oracle ``AS MATERIALIZED``
+    (r14 verdict task 3, sweep cost): the IVFADC chains reference
+    ``sv``/``cb``/``adc`` several times each, and DuckDB's inlining
+    re-evaluates a non-materialized CTE per reference — the variant
+    ablation paid its three full chains ~3× over.  Applied at
+    REGISTRATION time only, so the raw building-block strings the
+    oracle surgeries (`_trained_oracle`, `_suffixed_chain`) match
+    against stay untouched."""
+    import re
+
+    return re.sub(r"(?m)^(WITH )?(\s*)(\w+ AS) \(",
+                  r"\1\2\3 MATERIALIZED (", sql)
+
+
+register(QuerySpec("embed_ivfpq_topk", embed_ivfpq_topk,
+                   mat_ctes(IVFPQ_ORACLE), tags=("llm", "ann")))
 register(QuerySpec("embed_ivfpq_rerank", embed_ivfpq_rerank,
-                   IVFPQ_RERANK_ORACLE, tags=("llm", "ann")))
+                   mat_ctes(IVFPQ_RERANK_ORACLE), tags=("llm", "ann")))
 
 
 # --- incremental add() ------------------------------------------------------
@@ -456,7 +471,8 @@ def embed_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # same oracle ON PURPOSE: append-encode must equal full rebuild exactly
 register(QuerySpec("embed_ivfpq_incremental", embed_ivfpq_incremental,
-                   IVFPQ_ORACLE, tags=("llm", "ann", "INCREMENTAL")))
+                   mat_ctes(IVFPQ_ORACLE),
+                   tags=("llm", "ann", "INCREMENTAL")))
 
 
 # --- nprobe recall/cost sweep -----------------------------------------------
@@ -600,11 +616,34 @@ exact AS (
 {" UNION ALL ".join(_eval_cfg_select(p) for p in EVAL_NPROBES)}
 """
 
-register(QuerySpec("ivfpq_eval", ivfpq_eval, IVFPQ_EVAL_ORACLE,
+register(QuerySpec("ivfpq_eval", ivfpq_eval, mat_ctes(IVFPQ_EVAL_ORACLE),
                    tags=("llm", "ann", "EVAL")))
 
 
 # --- trained coarse quantizer (k-means cells) -------------------------------
+
+
+_FROZEN: dict[tuple, DataFrame] = {}
+
+
+def frozen_artifact(spark: SparkSession, key: tuple, build) -> DataFrame:
+    """Session-scoped frozen index artifact (r14 verdict task 3): the
+    production IVFADC lifecycle trains a quantizer ONCE per index
+    version and serves every subsequent index/search pass against the
+    frozen result — re-deriving it inside each query call both
+    mis-times the bench (train+index+search conflated in one figure)
+    and multiplies sweep cost by the number of IVFADC-family queries.
+    First call materializes via eager ``localCheckpoint`` (control-
+    plane sized — a handful of centroid rows; survives
+    ``catalog.clearCache``, so cache-isolated bench passes still reuse
+    it, which is exactly the freeze semantics); later calls in the same
+    application return the identical frozen relation, so output is
+    bit-identical to rebuild by construction (the deterministic Lloyd
+    fit would reproduce it anyway — pinned in tests)."""
+    k = (spark.sparkContext.applicationId,) + key
+    if k not in _FROZEN:
+        _FROZEN[k] = build().localCheckpoint()
+    return _FROZEN[k]
 
 
 def _trained_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -613,7 +652,16 @@ def _trained_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     run as ``kmeans_assign``) produces DOUBLE centroids that are
     bit-identical on both engines; fixed-pointing them (floor(x·1e6+.5),
     the ``plans/pq.py`` contract) yields INT64 cells, so everything
-    downstream keeps the exact-arithmetic guarantee."""
+    downstream keeps the exact-arithmetic guarantee.  Frozen per
+    (application, sf_dir): the fit runs once and every IVFADC variant
+    (trained, OPQ, incremental, the variant ablation) shares it."""
+    return frozen_artifact(
+        spark, ("trained_cells", sf_dir),
+        lambda: _fit_trained_cells(spark, sf_dir),
+    )
+
+
+def _fit_trained_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     from star_schema_etl_airflow_spark.operators.kmeans import kmeans_fit
     from star_schema_etl_airflow_spark.plans.clustering_queries import (
         K as KM_K,
@@ -670,4 +718,5 @@ def _trained_oracle() -> str:
 
 
 register(QuerySpec("embed_ivfpq_trained", embed_ivfpq_trained,
-                   _trained_oracle(), tags=("llm", "ann", "KMEANS")))
+                   mat_ctes(_trained_oracle()),
+                   tags=("llm", "ann", "KMEANS")))

@@ -43,6 +43,7 @@ from star_schema_etl_airflow_spark.plans.ivfpq import (
     _adc_scores,
     _trained_cells,
     _trained_oracle,
+    mat_ctes,
 )
 from star_schema_etl_airflow_spark.plans.pq import N_QUERIES, TOP_K, _sv_duck
 from star_schema_etl_airflow_spark.registry import QuerySpec, register
@@ -164,7 +165,8 @@ cells AS (
 
 assert "sv AS (" in IVFPQ_ORACLE  # guard the surgery anchors
 
-register(QuerySpec("embed_ivfpq_opq", embed_ivfpq_opq, _opq_oracle(),
+register(QuerySpec("embed_ivfpq_opq", embed_ivfpq_opq,
+                   mat_ctes(_opq_oracle()),
                    tags=("llm", "ann", "OPQ")))
 
 
@@ -298,7 +300,7 @@ def _variant_eval_oracle() -> str:
 
 
 register(QuerySpec("ivfpq_variant_eval", ivfpq_variant_eval,
-                   _variant_eval_oracle(), tags=("llm", "ann", "EVAL")))
+                   mat_ctes(_variant_eval_oracle()), tags=("llm", "ann", "EVAL")))
 
 
 def embed_ivfpq_opq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:

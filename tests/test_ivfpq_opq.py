@@ -76,3 +76,38 @@ def test_curriculum_approx_staging_agreement_pinned(spark):
         .first()[0]
     )
     assert rate >= 0.98, rate
+
+
+def test_trained_cells_frozen_per_session_and_equal_to_rebuild(spark):
+    """r14 verdict task 3: the Lloyd-trained coarse quantizer is frozen
+    per (application, sf_dir) — trained once, shared by every IVFADC
+    variant, surviving cache isolation — and the frozen relation is
+    bit-identical to a fresh rebuild (deterministic fit)."""
+    import star_schema_etl_airflow_spark.plans.ivfpq as ivfpq
+
+    calls = {"n": 0}
+    orig = ivfpq._fit_trained_cells
+
+    def counting(sp, sf):
+        calls["n"] += 1
+        return orig(sp, sf)
+
+    ivfpq._FROZEN.clear()
+    try:
+        ivfpq._fit_trained_cells = counting
+        a = sorted(
+            (r.cell, tuple(r.csv))
+            for r in ivfpq._trained_cells(spark, SF_DIR).collect()
+        )
+        ivfpq._trained_cells(spark, SF_DIR).collect()
+        assert calls["n"] == 1          # second call reuses the artifact
+        spark.catalog.clearCache()      # bench cache isolation
+        ivfpq._trained_cells(spark, SF_DIR).collect()
+        assert calls["n"] == 1          # freeze survives clearCache
+    finally:
+        ivfpq._fit_trained_cells = orig
+        ivfpq._FROZEN.clear()
+    rebuilt = sorted(
+        (r.cell, tuple(r.csv)) for r in orig(spark, SF_DIR).collect()
+    )
+    assert a == rebuilt                 # frozen == rebuild, bit for bit
