@@ -296,9 +296,29 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus.join(assign_clusters(corpus, codebook, dim=_EMB_DIM), "vec_id")
         .withColumn("__norm", F.expr(norm))
     )
+    pairs = _sem_pairs(assigned)
+    dropped = (
+        pairs.select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dropped", F.lit(True))
+    )
+    return (
+        assigned.join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            (~F.coalesce("is_dropped", F.lit(False))).alias("is_kept"),
+        )
+    )
+
+
+def _sem_pairs(assigned: DataFrame) -> DataFrame:
+    """Within-cluster near-dup pairs ``(vec_a < vec_b)`` at cosine ≥
+    threshold — the candidate relation SemDeDup scopes to clusters
+    (shared by :func:`semdedup` and its recall eval)."""
     a, b = assigned.alias("a"), assigned.alias("b")
     dot = unrolled_dot("a.embedding", "b.embedding", _EMB_DIM)
-    dropped = (
+    return (
         a.join(
             b,
             (F.col("a.cluster") == F.col("b.cluster"))
@@ -309,16 +329,9 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                    f"{SEM_COS_DECIMALS})")
             >= SEM_COS_THRESHOLD
         )
-        .select(F.col("b.vec_id").alias("vec_id"))
-        .distinct()
-        .withColumn("is_dropped", F.lit(True))
-    )
-    return (
-        assigned.join(dropped, "vec_id", "left")
         .select(
-            "vec_id",
-            "cluster",
-            (~F.coalesce("is_dropped", F.lit(False))).alias("is_kept"),
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
         )
     )
 
@@ -363,6 +376,117 @@ dropped AS (
 )
 SELECT j.vec_id, j.cluster, d.vec_id IS NULL AS is_kept
 FROM j LEFT JOIN dropped d ON j.vec_id = d.vec_id
+"""
+
+
+def semdedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup recall as a query (the ``dedup_eval`` pattern on the
+    SEMANTIC family): cluster-scoped pairs vs the repo's established
+    embedding-cosine truth (``dedup_embedding_cosine`` — LSH-bucketed
+    pairwise cosine at the SAME threshold over the SAME dup-augmented
+    corpus, ``plans/llm_similarity.py``).
+
+    ``recall_semantic`` prices SemDeDup's trade explicitly: a truth
+    pair is missed exactly when k-means separates its two members
+    (cross-cluster near-dups are invisible by design — the k× pair-
+    volume reduction is bought with those misses); ``n_extra`` counts
+    pairs only cluster scoping finds (same cell, different LSH
+    bucket).  Every tally is a 1-row aggregate crossJoined at the end
+    (control-plane sized) — the corpus is scanned once per side."""
+    from star_schema_etl_airflow_spark.operators.kmeans import kmeans_fit
+    from star_schema_etl_airflow_spark.plans.clustering_queries import K, N_ITER
+    from star_schema_etl_airflow_spark.plans.llm_similarity import (
+        dedup_embedding_cosine,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    _, codebook = kmeans_fit(emb, K, N_ITER, dim=_EMB_DIM)
+    dup = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + SEM_DUP_OFFSET).alias("vec_id"),
+        F.expr(_PERTURB_S).alias("embedding"),
+    )
+    corpus = emb.unionByName(dup)
+    norm = f"sqrt({unrolled_dot('embedding', 'embedding', _EMB_DIM)})"
+    assigned = persist_once(
+        corpus.join(assign_clusters(corpus, codebook, dim=_EMB_DIM), "vec_id")
+        .withColumn("__norm", F.expr(norm))
+    )
+    caught = persist_once(_sem_pairs(assigned))
+    truth = persist_once(
+        dedup_embedding_cosine(spark, sf_dir).select("vec_a", "vec_b")
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_caught = caught.agg(F.count(F.lit(1)).alias("n_caught"))
+    n_hit = (
+        caught.join(truth, ["vec_a", "vec_b"])
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        n_truth.crossJoin(n_caught).crossJoin(n_hit)
+        .select(
+            F.col("n_truth").cast("long").alias("n_truth"),
+            F.col("n_caught").cast("long").alias("n_caught"),
+            F.col("n_hit").cast("long").alias("n_hit"),
+            (F.col("n_caught") - F.col("n_hit")).cast("long")
+            .alias("n_extra"),
+            F.round(
+                F.col("n_hit").cast("double") / F.col("n_truth"), 9
+            ).alias("recall_semantic"),
+        )
+    )
+
+
+def _semdedup_eval_oracle() -> str:
+    from star_schema_etl_airflow_spark.plans.clustering_queries import (
+        KMEANS_CTES,
+    )
+    from star_schema_etl_airflow_spark.plans.llm_similarity import (
+        EMB_COS_THRESHOLD,
+        _bucket_duck,
+    )
+
+    assert EMB_COS_THRESHOLD == SEM_COS_THRESHOLD  # shared τ by design
+    return f"""
+WITH {KMEANS_CTES},
+sem_corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {SEM_DUP_OFFSET}, {_PERTURB_D}
+  FROM embeddings WHERE vec_id % 5 = 0
+),
+{_sem_assign_cte('c2')},
+j AS (
+  SELECT v.vec_id, v.embedding, a.cluster
+  FROM sem_corpus v JOIN sem_assign a USING (vec_id)
+),
+caught AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM j a JOIN j b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE {_sem_cos_duck('a.embedding', 'b.embedding')} >= {SEM_COS_THRESHOLD}
+),
+lsh AS (
+  SELECT vec_id, embedding, {_bucket_duck('embedding')} AS bucket
+  FROM sem_corpus
+),
+truth AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM lsh a JOIN lsh b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE {_sem_cos_duck('a.embedding', 'b.embedding')} >= {SEM_COS_THRESHOLD}
+),
+tallies AS (
+  SELECT
+    (SELECT COUNT(*) FROM truth) AS n_truth,
+    (SELECT COUNT(*) FROM caught) AS n_caught,
+    (SELECT COUNT(*) FROM caught c JOIN truth t
+       ON c.vec_a = t.vec_a AND c.vec_b = t.vec_b) AS n_hit
+)
+SELECT CAST(n_truth AS BIGINT) AS n_truth,
+       CAST(n_caught AS BIGINT) AS n_caught,
+       CAST(n_hit AS BIGINT) AS n_hit,
+       CAST(n_caught - n_hit AS BIGINT) AS n_extra,
+       ROUND(CAST(n_hit AS DOUBLE) / n_truth, 9) AS recall_semantic
+FROM tallies
 """
 
 
@@ -519,5 +643,14 @@ register(QuerySpec("dedup_incremental", dedup_incremental,
                    DEDUP_INCREMENTAL_ORACLE, tags=("LLM-DEDUP",)))
 register(QuerySpec("dedup_incremental_minhash", dedup_incremental_minhash,
                    _inc_minhash_oracle(), tags=("LLM-DEDUP",)))
-register(QuerySpec("semdedup", semdedup, _semdedup_oracle(),
+def _mat(sql: str) -> str:
+    from star_schema_etl_airflow_spark.plans.ivfpq import mat_ctes
+
+    return mat_ctes(sql)
+
+
+register(QuerySpec("semdedup", semdedup, _mat(_semdedup_oracle()),
                    tags=("LLM-DEDUP", "KMEANS")))
+register(QuerySpec("semdedup_eval", semdedup_eval,
+                   _mat(_semdedup_eval_oracle()),
+                   tags=("LLM-DEDUP", "KMEANS", "EVAL")))
