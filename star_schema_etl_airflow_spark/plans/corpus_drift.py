@@ -280,3 +280,60 @@ GROUP BY t_at, t_delta
 
 register(QuerySpec("corpus_drift_ks", corpus_drift_ks,
                    CORPUS_DRIFT_KS_ORACLE, tags=("llm", "MONITORING")))
+
+
+# --- KS gate: monitor → critical value → action (r14 verdict task 6) -------
+
+# Two-sample KS critical value D_crit = c(α) · sqrt((n+m)/(n·m)) with
+# c(α) = sqrt(-ln(α/2)/2); α = 0.01 → c ≈ 1.6276236.  Sample-size-aware
+# (a fixed D threshold would be trivially exceeded at small n and never
+# at corpus scale) and rational-plus-one-sqrt, so it is reproducible in
+# any engine.  The standing even/odd fixture split is QUIET under it at
+# all three SFs (ks_d 0.08/0.116/0.019 vs crit 0.146/0.146/0.046).
+KS_ALPHA_C = 1.6276236
+
+
+def drift_gate_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KS monitor's gate verdict as a differential query — the
+    length-drift analog of the PSI gate (``plans/drift_gate.py``):
+    two-sample KS on ``n_chars`` between the standing even/odd split,
+    compared against the α=0.01 critical value, with the action the
+    pipeline stage would take ('refresh_profile' / 'noop').  The
+    side-effecting composition (publish-on-drift inside the audited
+    runner) is ``add_ks_gated_refresh``; this query pins the VERDICT
+    arithmetic cross-engine."""
+    ks = corpus_drift_ks(spark, sf_dir)
+    crit = (
+        F.lit(KS_ALPHA_C)
+        * F.sqrt(
+            (F.col("n_at") + F.col("n_delta")).cast("double")
+            / (F.col("n_at") * F.col("n_delta")).cast("double")
+        )
+    )
+    return ks.select(
+        "n_at", "n_delta", "ks_d", "at_value",
+        F.round(crit, KS_DECIMALS).alias("ks_crit"),
+        (F.col("ks_d") > F.round(crit, KS_DECIMALS)).alias("drifted"),
+        F.when(F.col("ks_d") > F.round(crit, KS_DECIMALS),
+               F.lit("refresh_profile"))
+        .otherwise(F.lit("noop")).alias("action"),
+    )
+
+
+DRIFT_GATE_KS_ORACLE = f"""
+WITH ks AS ({CORPUS_DRIFT_KS_ORACLE}),
+v AS (
+  SELECT *, ROUND({KS_ALPHA_C} * sqrt(
+    CAST(n_at + n_delta AS DOUBLE) / CAST(n_at * n_delta AS DOUBLE)
+  ), {KS_DECIMALS}) AS ks_crit
+  FROM ks
+)
+SELECT n_at, n_delta, ks_d, at_value, ks_crit,
+       ks_d > ks_crit AS drifted,
+       CASE WHEN ks_d > ks_crit THEN 'refresh_profile'
+            ELSE 'noop' END AS action
+FROM v
+"""
+
+register(QuerySpec("drift_gate_ks", drift_gate_ks, DRIFT_GATE_KS_ORACLE,
+                   tags=("llm", "MONITORING")))

@@ -92,3 +92,74 @@ def add_drift_gated_refresh(
         refresh_stage, refresh, deps=(monitor_stage,), layer="monitoring"
     )
     return pipeline
+
+
+def add_ks_gated_refresh(
+    pipeline: Pipeline,
+    counts_fn: Callable[..., DataFrame],
+    refresh_fn: Callable[..., DataFrame],
+    profile_path: str,
+    monitor_path: str | None = None,
+    alpha_c: float | None = None,
+    monitor_stage: str = "ks_monitor",
+    refresh_stage: str = "profile_refresh",
+    deps: tuple[str, ...] = (),
+) -> Pipeline:
+    """The KS analog of :func:`add_drift_gated_refresh` (r14 verdict
+    task 6): a numeric-property drift monitor gating a re-profiling
+    action.  ``counts_fn(spark, run_date) -> (n_chars, c_at, c_delta)``
+    supplies the value-grain counts (at-rest vs this run's ingest);
+    when the two-sample KS statistic exceeds its sample-size-aware
+    critical value (α=0.01 by default — ``corpus_drift.KS_ALPHA_C``),
+    ``refresh_fn``'s output swap-publishes to ``profile_path``; a quiet
+    run audits both stages and publishes NOTHING (same no-churn
+    discipline as the PSI gate).  The verdict arithmetic is the
+    oracle-checked ``drift_gate_ks`` query's, verbatim."""
+    from star_schema_etl_airflow_spark.plans.corpus_drift import (
+        KS_ALPHA_C,
+        KS_DECIMALS,
+        ks_statistic,
+    )
+
+    c = KS_ALPHA_C if alpha_c is None else alpha_c
+
+    def monitor(spark, run_date, results):
+        ks = ks_statistic(counts_fn(spark, run_date))
+        if monitor_path:
+            from star_schema_etl_airflow_spark.sources.io import write_append
+
+            write_append(
+                ks.withColumn("run_date", F.lit(run_date)), monitor_path
+            )
+        row = ks.select(
+            "ks_d", "n_at", "n_delta",
+            F.round(
+                F.lit(c) * F.sqrt(
+                    (F.col("n_at") + F.col("n_delta")).cast("double")
+                    / (F.col("n_at") * F.col("n_delta")).cast("double")
+                ),
+                KS_DECIMALS,
+            ).alias("ks_crit"),
+        ).first()
+        if row is None:   # empty counts: nothing ingested, nothing drifts
+            return {"ks_d": 0.0, "ks_crit": None, "drifted": False}
+        return {
+            "ks_d": float(row["ks_d"]),
+            "ks_crit": float(row["ks_crit"]),
+            "drifted": float(row["ks_d"]) > float(row["ks_crit"]),
+        }
+
+    def refresh(spark, run_date, results):
+        verdict = results[monitor_stage]
+        if not verdict["drifted"]:
+            return {"action": "noop", "ks_d": verdict["ks_d"]}
+        from star_schema_etl_airflow_spark.sources.io import publish_swap
+
+        publish_swap(refresh_fn(spark, run_date), profile_path)
+        return {"action": "refreshed", "ks_d": verdict["ks_d"]}
+
+    pipeline.add_stage(monitor_stage, monitor, deps=deps, layer="monitoring")
+    pipeline.add_stage(
+        refresh_stage, refresh, deps=(monitor_stage,), layer="monitoring"
+    )
+    return pipeline

@@ -154,3 +154,83 @@ def test_softdedup_preserves_expected_mass_per_cluster(spark):
         r.weight_nano == round(SOFT_SCALE / r.cluster_size) for r in rows
     )
     assert n_clusters == len(masses)
+
+
+# --- KS gate: monitor → critical value → action (r14 verdict task 6) -------
+
+
+def _ks_counts(spark, rows):
+    return spark.createDataFrame(rows, "n_chars long, c_at long, c_delta long")
+
+
+def _build_ks(spark, tmp_path, rows, tag):
+    from star_schema_etl_airflow_spark.plans.drift_gate import (
+        add_ks_gated_refresh,
+    )
+    from star_schema_etl_airflow_spark.plans.fixture_queries import (
+        profile_documents,
+    )
+
+    profile = str(tmp_path / f"profile_{tag}")
+    monitor = str(tmp_path / f"ksmon_{tag}")
+    audit = str(tmp_path / f"ksaudit_{tag}")
+    p = add_ks_gated_refresh(
+        Pipeline(),
+        counts_fn=lambda s, d: _ks_counts(s, rows),
+        refresh_fn=lambda s, d: profile_documents(s, SF_DIR),
+        profile_path=profile,
+        monitor_path=monitor,
+    )
+    results, audit_df = run_audited(p, spark, "2024-06-02", audit_path=audit)
+    return results, audit_df, profile, monitor
+
+
+def test_injected_length_drift_fires_exactly_one_refresh(spark, tmp_path):
+    # at-rest lengths near 100, ingested lengths near 600: the empirical
+    # CDFs never overlap, D = 1.0 >> the critical value
+    rows = [(100 + i, 10, 0) for i in range(5)] + \
+           [(600 + i, 0, 10) for i in range(5)]
+    results, audit_df, profile, monitor = _build_ks(
+        spark, tmp_path, rows, "drift")
+    assert results["ks_monitor"]["drifted"]
+    assert results["ks_monitor"]["ks_d"] == 1.0
+    assert results["profile_refresh"]["action"] == "refreshed"
+    assert os.path.isdir(profile)
+    assert spark.read.parquet(profile).count() > 0
+    rows_a = {
+        (r.stage, r.status, r.attempts)
+        for r in audit_df.select("stage", "status", "attempts").collect()
+    }
+    assert rows_a == {("ks_monitor", "ok", 1), ("profile_refresh", "ok", 1)}
+    m = spark.read.parquet(monitor)
+    assert m.filter(F.col("run_date") == "2024-06-02").count() == 1
+
+
+def test_quiet_lengths_audit_both_stages_publish_nothing(spark, tmp_path):
+    # identical length distribution on both sides: D = 0
+    rows = [(100 + i, 10, 20) for i in range(10)]
+    results, audit_df, profile, _m = _build_ks(
+        spark, tmp_path, rows, "quiet")
+    assert not results["ks_monitor"]["drifted"]
+    assert results["ks_monitor"]["ks_d"] == 0.0
+    assert results["profile_refresh"]["action"] == "noop"
+    assert not os.path.exists(profile)   # zero publishes, zero churn
+    rows_a = {
+        (r.stage, r.status)
+        for r in audit_df.select("stage", "status").collect()
+    }
+    assert rows_a == {("ks_monitor", "ok"), ("profile_refresh", "ok")}
+
+
+def test_drift_gate_ks_quiet_on_the_standing_fixture_split(spark):
+    """The registered verdict query: the even/odd fixture halves are
+    the SAME corpus, so the gate must read quiet (ks_d below the
+    α=0.01 critical value) — the e2e no-false-positive pin."""
+    from star_schema_etl_airflow_spark.plans.corpus_drift import (
+        drift_gate_ks,
+    )
+
+    row = drift_gate_ks(spark, SF_DIR).collect()[0]
+    assert not row.drifted
+    assert row.action == "noop"
+    assert 0.0 <= row.ks_d < row.ks_crit
