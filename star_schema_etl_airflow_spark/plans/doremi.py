@@ -312,6 +312,22 @@ def rho_loss_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one corpus tokenize feeds both models (the ngram_lm
     single-scan identities); the rank is a TOP_N window — Catalyst's
     partial WindowGroupLimit bounds the exchange."""
+    scored = rho_scored(spark, sf_dir)
+    w = Window.orderBy(F.col("rho_micro").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= RHO_TOP_N)
+        .select("doc_id", "l_uni_micro", "l_bi_micro", "rho_micro",
+                F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def rho_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document reducible-loss scores ``(doc_id, l_uni_micro,
+    l_bi_micro, rho_micro)`` WITHOUT the top-N cut — shared by
+    :func:`rho_loss_select` and the v7 curation composition
+    (``plans/llm_pipeline7.py``), which ranks within language under
+    its own composed priority."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text"
     ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
@@ -371,16 +387,9 @@ def rho_loss_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.expr("nll div nbg").alias("l_bi_micro"))
     )
 
-    scored = uni.join(bi, "doc_id").select(
+    return uni.join(bi, "doc_id").select(
         "doc_id", "l_uni_micro", "l_bi_micro",
         (F.col("l_uni_micro") - F.col("l_bi_micro")).alias("rho_micro"),
-    )
-    w = Window.orderBy(F.col("rho_micro").desc(), F.col("doc_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= RHO_TOP_N)
-        .select("doc_id", "l_uni_micro", "l_bi_micro", "rho_micro",
-                F.col("rank").cast("int").alias("rank"))
     )
 
 

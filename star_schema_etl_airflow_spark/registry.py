@@ -98,6 +98,7 @@ def _ensure_loaded() -> None:
         llm_pipeline4,
         llm_pipeline5,
         llm_pipeline6,
+        llm_pipeline7,
         llm_quantize,
         llm_sampling,
         llm_similarity,

@@ -148,3 +148,26 @@ def test_rho_loss_selects_learnable_docs(spark):
     assert all(
         r.rho_micro == r.l_uni_micro - r.l_bi_micro for r in rows
     )
+
+
+def test_round_lineage_is_flat_not_quadratic(spark, monkeypatch):
+    """r14 verdict task 7 lineage pin: each rounds-loop branch anchors
+    at the previous round's EAGER localCheckpoint (two LogicalRDD
+    anchors per round), so adding rounds grows the optimized plan by a
+    constant amount per round.  The pre-fix lazy variant re-derived
+    rounds 1..t-1 inside every union branch — plan size (and runtime:
+    24 s -> 3.9 s at sf0.001) quadratic in T."""
+    import star_schema_etl_airflow_spark.plans.doremi as dm
+
+    stats = {}
+    for t in (2, 6):
+        monkeypatch.setattr(dm, "T_ROUNDS", t)
+        df = dm.doremi_mixture_weights(spark, SF_DIR)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        stats[t] = (len(plan), plan.count("LogicalRDD"))
+    (len2, rdd2), (len6, rdd6) = stats[2], stats[6]
+    assert rdd2 == 4 and rdd6 == 12      # 2 checkpoint anchors per round
+    # flat: +4 rounds adds ~4 constant-size branches; the quadratic
+    # shape re-printed the whole prior chain per branch (plan size
+    # would more than double)
+    assert len6 - len2 < 0.25 * len2, (len2, len6)
