@@ -1,0 +1,195 @@
+"""Registered unigram-LM tokenizer queries (r14 verdict task 5):
+``unigram_train`` (the Viterbi-EM vocabulary with micro log-probs)
+and ``unigram_encode_census`` (the corpus token census under the
+trained tokenizer) — the EM siblings of ``bpe_train_merges`` /
+``bpe_encode_census``, with the oracle unrolling the EM rounds as
+CTEs.
+
+Oracle mechanics: the Viterbi DP is unrolled RELATIONALLY — one CTE
+per word position (positions capped at ``MAXW`` with a loud
+``error()`` guard), each an argmin join against the 1..MAX_PIECE_LEN
+prior positions, then a backpointer walk of ``MAXW`` more CTEs.  No
+lambdas anywhere: a ``list_reduce`` formulation with nested
+``list_filter``/``list_transform`` capturing the outer accumulator
+EVALUATES INCORRECTLY in DuckDB 1.0 depending on the input vector
+layout (same expression: right over a freshly materialized table,
+wrong through a join-fed CTE, and not reliably fixed by
+``AS MATERIALIZED`` — observed as a non-minimal candidate chosen at
+one position of one word).  The relational unrolling is immune and
+every CTE is ``AS MATERIALIZED`` (chains are referenced repeatedly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from star_schema_etl_airflow_spark.operators.unigram import (
+    LP_SCALE,
+    MAX_PIECE_LEN,
+    MAXW,
+    SEED_MULTI,
+    T_EM,
+    segment_words,
+    train_unigram,
+)
+from star_schema_etl_airflow_spark.registry import QuerySpec, register
+from star_schema_etl_airflow_spark.sources.fixtures import load_table
+
+
+def unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(piece, n, lp_micro): the final vocabulary after seeding +
+    ``T_EM`` Viterbi-EM rounds on the documents corpus."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    vocab, _words = train_unigram(docs)
+    return vocab.select(
+        "piece", F.col("n").cast("long").alias("n"), "lp_micro"
+    )
+
+
+def unigram_encode_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(token, n_tokens): corpus census under the trained tokenizer —
+    one more Viterbi pass under the FINAL scores (the encode path),
+    which differs from the last EM round's counts (those were taken
+    under the previous round's scores)."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    vocab, words = train_unigram(docs)
+    seg = segment_words(words, vocab)
+    return (
+        seg.select(F.explode("tokens").alias("token"), "freq")
+        .groupBy("token")
+        .agg(F.sum("freq").cast("long").alias("n_tokens"))
+    )
+
+
+# --- DuckDB oracle ----------------------------------------------------------
+
+
+def _scored_cte(name: str, counts: str, pieces: str) -> str:
+    """(piece, n, lp_micro) over the fixed piece set with smoothed
+    micro log-probs — totals from the SAME fixed set."""
+    return f"""{name}_n AS MATERIALIZED (
+  SELECT p.piece, COALESCE(c.n, 0) AS n
+  FROM {pieces} p LEFT JOIN {counts} c ON p.piece = c.piece
+),
+{name} AS MATERIALIZED (
+  SELECT piece, n,
+         CAST(round(ln(CAST(n + 1 AS DOUBLE)
+                       / CAST(t.tot + t.vv AS DOUBLE))
+                    * {LP_SCALE}.0) AS BIGINT) AS lp_micro
+  FROM {name}_n
+  CROSS JOIN (SELECT SUM(n) AS tot, COUNT(*) AS vv FROM {name}_n) t
+)"""
+
+
+def _round_ctes(t: int, vocab_prev: str) -> str:
+    """One Viterbi round against ``vocab_prev``: span costs, the
+    unrolled forward DP (argmin per position, ties cost-asc then
+    start-asc so the longer piece wins), the backpointer walk, the
+    weighted piece counts, and the re-scored vocab ``v{t}``."""
+    parts = [f"""spr{t} AS MATERIALIZED (
+  SELECT s.word, s.st, s.en, -v.lp_micro AS cost
+  FROM spx s JOIN {vocab_prev} v ON v.piece = s.piece
+)""", f"""d{t}_0 AS MATERIALIZED (
+  SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS cost, 0 AS back FROM w0
+)"""]
+    for i in range(1, MAXW + 1):
+        priors = " UNION ALL ".join(
+            f"SELECT word, pos, cost FROM d{t}_{j}"
+            for j in range(max(0, i - MAX_PIECE_LEN), i)
+        )
+        parts.append(f"""d{t}_{i} AS MATERIALIZED (
+  SELECT word, {i} AS pos, cost, back FROM (
+    SELECT s.word, p.cost + s.cost AS cost, CAST(s.st AS INTEGER) AS back,
+           ROW_NUMBER() OVER (
+             PARTITION BY s.word
+             ORDER BY p.cost + s.cost ASC, s.st ASC) AS rn
+    FROM spr{t} s
+    JOIN ({priors}) p ON p.word = s.word AND p.pos = s.st - 1
+    WHERE s.en = {i}
+  ) WHERE rn = 1
+)""")
+        parts.append(f"""wk{t}_{i} AS MATERIALIZED (
+  SELECT w.word, substr(w.word, d.back, w.j - d.back + 1) AS piece,
+         d.back - 1 AS j
+  FROM wk{t}_{i - 1} w
+  JOIN dfin{t} d ON d.word = w.word AND d.pos = w.j
+  WHERE w.j > 0
+)""")
+    # the walk CTEs reference dfin{t}, defined between DP and walk —
+    # reorder: DP positions first, then dfin, then the walk
+    dp = parts[:2] + [p for p in parts[2:] if p.startswith(f"d{t}_")]
+    walk = [p for p in parts[2:] if p.startswith(f"wk{t}_")]
+    dfin = f"""dfin{t} AS MATERIALIZED (
+  {" UNION ALL ".join(f"SELECT * FROM d{t}_{i}" for i in range(MAXW + 1))}
+)"""
+    wk0 = f"""wk{t}_0 AS MATERIALIZED (
+  SELECT word, CAST(len(word) AS INTEGER) AS j FROM w0
+)"""
+    pieces_union = " UNION ALL ".join(
+        f"SELECT word, piece FROM wk{t}_{k}" for k in range(1, MAXW + 1)
+    )
+    tail = f"""cnt{t} AS MATERIALIZED (
+  SELECT p.piece, SUM(w.freq) AS n
+  FROM ({pieces_union}) p JOIN w0 w ON p.word = w.word
+  GROUP BY p.piece
+),
+{_scored_cte(f'v{t}', f'cnt{t}', 'v0_n')}"""
+    return ",\n".join(dp + [dfin, wk0] + walk + [tail])
+
+
+_TRAIN_CTES = f"""w0 AS MATERIALIZED (
+  SELECT word, COUNT(*)::BIGINT AS freq FROM (
+    SELECT unnest(regexp_split_to_array(text, '\\s+')) AS word
+    FROM documents
+  ) WHERE word <> ''
+    AND CASE WHEN len(word) > {MAXW}
+             THEN error('unigram oracle: word longer than MAXW')
+             ELSE TRUE END
+  GROUP BY word
+),
+sp1 AS MATERIALIZED (
+  SELECT word, unnest(range(1, len(word) + 1)) AS st FROM w0
+),
+spx AS MATERIALIZED (
+  SELECT word, st, en, substr(word, st, en - st + 1) AS piece FROM (
+    SELECT word, st,
+           unnest(range(st, least(len(word) + 1, st + {MAX_PIECE_LEN})))
+             AS en
+    FROM sp1
+  )
+),
+occ AS MATERIALIZED (
+  SELECT s.piece, SUM(w.freq) AS n
+  FROM spx s JOIN w0 w ON s.word = w.word
+  GROUP BY s.piece
+),
+seedp AS MATERIALIZED (
+  SELECT piece, n FROM occ WHERE len(piece) = 1
+  UNION ALL
+  SELECT piece, n FROM (
+    SELECT piece, n, ROW_NUMBER() OVER (ORDER BY n DESC, piece ASC) AS r
+    FROM occ WHERE len(piece) >= 2
+  ) WHERE r <= {SEED_MULTI}
+),
+{_scored_cte('v0', 'seedp', 'seedp')},
+{",".join(_round_ctes(t, f"v{t - 1}") for t in range(1, T_EM + 1))}"""
+
+UNIGRAM_TRAIN_ORACLE = f"""
+WITH {_TRAIN_CTES}
+SELECT piece, CAST(n AS BIGINT) AS n, lp_micro FROM v{T_EM}
+"""
+
+# encode = one more segmentation round under v{T_EM}; reuse the round
+# machinery at t = T_EM + 1 and aggregate the census
+_ENC_T = T_EM + 1
+UNIGRAM_ENCODE_ORACLE = f"""
+WITH {_TRAIN_CTES},
+{_round_ctes(_ENC_T, f"v{T_EM}")}
+SELECT piece AS token, CAST(n AS BIGINT) AS n_tokens FROM cnt{_ENC_T}
+"""
+
+register(QuerySpec("unigram_train", unigram_train, UNIGRAM_TRAIN_ORACLE,
+                   tags=("llm", "TOKENIZER")))
+register(QuerySpec("unigram_encode_census", unigram_encode_census,
+                   UNIGRAM_ENCODE_ORACLE, tags=("llm", "TOKENIZER")))

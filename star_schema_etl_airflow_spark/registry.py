@@ -99,6 +99,7 @@ def _ensure_loaded() -> None:
         llm_pipeline5,
         llm_pipeline6,
         llm_pipeline7,
+        unigram_queries,
         llm_quantize,
         llm_sampling,
         llm_similarity,

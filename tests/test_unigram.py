@@ -1,0 +1,155 @@
+"""Distributed unigram-LM (Viterbi-EM) tokenizer vs an independent
+pure-Python reference: exact vocabulary/log-prob equality on the
+fixture corpus, encode/train consistency, and the DP tie-break
+convention (longer piece wins a cost tie)."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pytest
+
+from star_schema_etl_airflow_spark.operators.unigram import (
+    LP_SCALE,
+    MAX_PIECE_LEN,
+    MAXW,
+    SEED_MULTI,
+    T_EM,
+    segment_words,
+    train_unigram,
+    word_frequencies,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# --- pure-Python reference (independent implementation) --------------------
+
+def _round_half_away(x: float) -> int:
+    return int(math.floor(x + 0.5)) if x >= 0 else -int(math.floor(-x + 0.5))
+
+
+def _ref_words(texts):
+    c: Counter = Counter()
+    for t in texts:
+        for w in t.split():
+            if w:
+                c[w] += 1
+    return dict(c)
+
+
+def _ref_scored(counts: dict) -> dict:
+    tot, v = sum(counts.values()), len(counts)
+    return {
+        p: _round_half_away(math.log((n + 1) / (tot + v)) * LP_SCALE)
+        for p, n in counts.items()
+    }
+
+
+def _ref_seed(words: dict) -> dict:
+    occ: Counter = Counter()
+    for w, f in words.items():
+        for st in range(len(w)):
+            for en in range(st + 1, min(len(w), st + MAX_PIECE_LEN) + 1):
+                occ[w[st:en]] += f
+    singles = {p: n for p, n in occ.items() if len(p) == 1}
+    multi = sorted(
+        ((p, n) for p, n in occ.items() if len(p) >= 2),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:SEED_MULTI]
+    return {**singles, **dict(multi)}
+
+
+def _ref_viterbi(word: str, lp: dict) -> list[str]:
+    n = len(word)
+    best = [(0, 0)] + [(None, 0)] * n   # (cost, back-start 1-based)
+    for i in range(1, n + 1):
+        cands = []
+        for st in range(max(1, i - MAX_PIECE_LEN + 1), i + 1):
+            piece = word[st - 1:i]
+            if piece in lp and best[st - 1][0] is not None:
+                cands.append((best[st - 1][0] - lp[piece], st))
+        best[i] = min(cands)   # (cost asc, st asc) — longer piece wins
+    pieces, j = [], n
+    while j > 0:
+        st = best[j][1]
+        pieces.append(word[st - 1:j])
+        j = st - 1
+    return list(reversed(pieces))
+
+
+def _ref_train(texts):
+    words = _ref_words(texts)
+    counts = _ref_seed(words)
+    pieces = set(counts)
+    lp = _ref_scored(counts)
+    for _ in range(T_EM):
+        c: Counter = Counter()
+        for w, f in words.items():
+            for piece in _ref_viterbi(w, lp):
+                c[piece] += f
+        counts = {p: c.get(p, 0) for p in pieces}
+        lp = _ref_scored(counts)
+    return counts, lp, words
+
+
+def test_train_matches_reference_on_fixture(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    texts = [r.text for r in docs.select("text").collect()]
+    counts, lp, _ = _ref_train(texts)
+    vocab, _words = train_unigram(docs)
+    got = {r.piece: (r.n, r.lp_micro) for r in vocab.collect()}
+    assert got == {p: (counts[p], lp[p]) for p in counts}
+    # non-trivial: multi-char pieces were learned and used
+    assert any(len(p) >= 2 and n > 0 for p, (n, _l) in got.items())
+
+
+def test_encode_matches_reference_viterbi(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    _counts, lp, words = _ref_train(texts := [
+        r.text for r in docs.select("text").collect()
+    ])
+    vocab, wdf = train_unigram(docs)
+    got = {
+        r.word: list(r.tokens)
+        for r in segment_words(wdf, vocab).collect()
+    }
+    for w in words:
+        assert got[w] == _ref_viterbi(w, lp), w
+        assert "".join(got[w]) == w          # lossless segmentation
+    assert set(got) == set(words)
+
+
+def test_tie_breaks_prefer_the_longer_piece(spark):
+    """Equal-cost DP candidates resolve to the SMALLER start = the
+    longer piece, matching the reference and the oracle's
+    (cost asc, st asc) ROW_NUMBER."""
+    import pyspark.sql.functions as F
+
+    words = spark.createDataFrame([("abab", 1)], "word string, freq long")
+    # hand-built vocab where 'ab' and 'a'+'b' cost the same per char
+    vocab = spark.createDataFrame(
+        [("a", -10), ("b", -10), ("ab", -20)],
+        "piece string, lp_micro long",
+    )
+    toks = segment_words(words, vocab).collect()[0].tokens
+    assert list(toks) == ["ab", "ab"]
+
+
+def test_trainer_rejects_words_beyond_the_oracle_dp_cap(spark):
+    docs = spark.createDataFrame([("x" * (MAXW + 1),)], "text string")
+    with pytest.raises(ValueError, match="MAXW"):
+        train_unigram(docs)
+
+
+def test_fixture_words_fit_the_dp_cap(spark):
+    """The committed oracle unrolls MAXW positions; the fixtures (and
+    the disjoint-vocabulary scaled corpora, +3-char prefixes) must fit
+    with headroom."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    import pyspark.sql.functions as F
+
+    mx = word_frequencies(docs).agg(
+        F.max(F.length("word"))).first()[0]
+    assert mx + 4 <= MAXW
