@@ -118,6 +118,12 @@ EXTRA = [
     "corpus_drift_ks",
     "softdedup_weights",
     "embed_ivfpq_opq_incremental",
+    # round-15 structural shapes
+    "semdedup_eval",
+    "drift_gate_ks",
+    "curation_pipeline_v7",
+    "unigram_train",
+    "unigram_encode_census",
 ]
 
 
