@@ -129,5 +129,10 @@ FROM ranked WHERE lang_rank <= alloc_docs
 """
 
 
+# MATERIALIZED CTEs (r15): the v4 chain references its stage CTEs
+# repeatedly and DuckDB inlining re-evaluated them per reference —
+# 17.3s -> 0.51s at sf0.01, identical rows
+from star_schema_etl_airflow_spark.plans.ivfpq import mat_ctes as _mat  # noqa: E402
+
 register(QuerySpec("curation_pipeline_v4", curation_pipeline_v4,
-                   _v4_oracle(), tags=("LLM-PIPELINE",)))
+                   _mat(_v4_oracle()), tags=("LLM-PIPELINE",)))

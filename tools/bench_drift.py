@@ -120,6 +120,13 @@ GATED_EXTRAS = {
     "embed_ivfpq_rerank",
     "hard_negatives",
     "curriculum_order",
+    # r14 extra promoted in r15: two committed quiet records exist
+    # (BENCH_QUIET_r14 1.777, r14b 1.976).  embed_ivfpq_opq stays
+    # NON-gating: r15's frozen-artifact change re-scoped its figure to
+    # index+search (train recorded separately as one_time.ivfpq_train),
+    # so the r14 train-inclusive records are not a comparable baseline
+    # — it re-baselines this round (BENCH_HISTORY r15).
+    "dedup_clusters_bigstar",
 }
 
 # round number -> committed quiet-host re-measure superseding the
