@@ -193,3 +193,93 @@ register(QuerySpec("unigram_train", unigram_train, UNIGRAM_TRAIN_ORACLE,
                    tags=("llm", "TOKENIZER")))
 register(QuerySpec("unigram_encode_census", unigram_encode_census,
                    UNIGRAM_ENCODE_ORACLE, tags=("llm", "TOKENIZER")))
+
+
+# --- tokenizer comparison eval ----------------------------------------------
+
+
+def tokenizer_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(tokenizer, n_tokens_total, n_distinct_tokens, chars_per_token):
+    BPE vs unigram-LM on the same corpus — the eval-as-query row for
+    the tokenizer family (the dedup_eval/ivfpq_eval convention).
+    ``chars_per_token`` is the compression metric a deployment picks a
+    tokenizer by: total word chars (identical numerator for both
+    tokenizers, no whitespace) over emitted tokens."""
+    from star_schema_etl_airflow_spark.operators.unigram import (
+        word_frequencies,
+    )
+    from star_schema_etl_airflow_spark.plans.bpe_queries import (
+        bpe_encode_census,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    chars = F.broadcast(
+        word_frequencies(docs)
+        .agg(F.sum(F.expr("freq * length(word)")).alias("chars"))
+    )
+
+    def stats(census: DataFrame, token_col: str, name: str) -> DataFrame:
+        return (
+            census.agg(
+                F.sum("n_tokens").alias("n_tokens_total"),
+                F.count(F.lit(1)).alias("n_distinct_tokens"),
+            )
+            .crossJoin(chars)
+            .select(
+                F.lit(name).alias("tokenizer"),
+                F.col("n_tokens_total").cast("long")
+                .alias("n_tokens_total"),
+                F.col("n_distinct_tokens").cast("long")
+                .alias("n_distinct_tokens"),
+                F.round(
+                    F.col("chars").cast("double") / F.col("n_tokens_total"),
+                    9,
+                ).alias("chars_per_token"),
+            )
+        )
+
+    return stats(bpe_encode_census(spark, sf_dir), "token", "bpe") \
+        .unionByName(stats(unigram_encode_census(spark, sf_dir),
+                           "token", "unigram"))
+
+
+def _tokenizer_eval_oracle() -> str:
+    from star_schema_etl_airflow_spark.plans.bpe_queries import (
+        BPE_ENCODE_ORACLE,
+    )
+
+    # each census rides as a parenthesized subquery, so the two chains'
+    # CTE namespaces (both define w0) never meet
+    return f"""
+WITH chars AS (
+  SELECT SUM(freq * len(word)) AS chars FROM (
+    SELECT word, COUNT(*)::BIGINT AS freq FROM (
+      SELECT unnest(regexp_split_to_array(text, '\\s+')) AS word
+      FROM documents
+    ) WHERE word <> '' GROUP BY word
+  )
+),
+bpe_census AS (
+  SELECT * FROM ({BPE_ENCODE_ORACLE})
+),
+uni_census AS (
+  SELECT * FROM ({UNIGRAM_ENCODE_ORACLE})
+)
+SELECT 'bpe' AS tokenizer,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_total,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens,
+       ROUND(CAST(c.chars AS DOUBLE) / SUM(n_tokens), 9)
+         AS chars_per_token
+FROM bpe_census CROSS JOIN chars c GROUP BY c.chars
+UNION ALL
+SELECT 'unigram',
+       CAST(SUM(n_tokens) AS BIGINT),
+       CAST(COUNT(*) AS BIGINT),
+       ROUND(CAST(c.chars AS DOUBLE) / SUM(n_tokens), 9)
+FROM uni_census CROSS JOIN chars c GROUP BY c.chars
+"""
+
+
+register(QuerySpec("tokenizer_eval", tokenizer_eval,
+                   _tokenizer_eval_oracle(),
+                   tags=("llm", "TOKENIZER", "EVAL")))

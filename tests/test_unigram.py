@@ -153,3 +153,19 @@ def test_fixture_words_fit_the_dp_cap(spark):
     mx = word_frequencies(docs).agg(
         F.max(F.length("word"))).first()[0]
     assert mx + 4 <= MAXW
+
+
+def test_tokenizer_eval_compares_the_two_trainers(spark):
+    from star_schema_etl_airflow_spark.plans.unigram_queries import (
+        tokenizer_eval,
+    )
+
+    rows = {r.tokenizer: r for r in tokenizer_eval(spark, SF_DIR).collect()}
+    assert set(rows) == {"bpe", "unigram"}
+    for r in rows.values():
+        assert r.n_tokens_total > 0 and r.n_distinct_tokens > 0
+        assert r.chars_per_token > 1.0   # both learned multi-char units
+    # same corpus: chars = tokens x chars_per_token agrees across rows
+    c_bpe = rows["bpe"].n_tokens_total * rows["bpe"].chars_per_token
+    c_uni = rows["unigram"].n_tokens_total * rows["unigram"].chars_per_token
+    assert abs(c_bpe - c_uni) / c_bpe < 1e-6
