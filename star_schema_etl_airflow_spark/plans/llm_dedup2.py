@@ -336,20 +336,144 @@ def _sem_pairs(assigned: DataFrame) -> DataFrame:
     )
 
 
-def _sem_assign_cte(cent_table: str) -> str:
+def semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup matches of a new ingest batch AGAINST the
+    at-rest corpus — the SemDeDup member of the incremental family
+    (``dedup_incremental`` exact hashes, ``dedup_incremental_minhash``
+    shingle bands, ``embed_ivfpq_incremental`` codes; now embeddings).
+
+    A recurring crawl cannot re-cluster-and-self-join the corpus per
+    delta: the at-rest side participates through its FROZEN artifacts —
+    the k-means codebook (trained once on the base embeddings, the
+    production SemDeDup posture) and its standing cell assignment —
+    while only the delta is assigned and compared fresh.  Cluster
+    scoping applies to the probe exactly as to the full run: a delta
+    vector is compared ONLY against at-rest members of its cell, so
+    probe output ≡ the full recompute's (delta × at-rest) pair subset
+    by construction (same codebook ⇒ same cells; pinned in
+    ``tests/test_round4.py``).
+
+    Synthetic delta (the ``dedup_incremental`` conventions): re-ingested
+    near-copies (every 7th base vector, +0.03125 on the second
+    component — exact in float32, cosine ≈ 0.999 to its source) that
+    the probe must match, and genuinely-new vectors (every 11th,
+    dimension-reversed — a fresh direction in the near-orthogonal
+    fixture) that must match nothing.
+
+    Output: (delta_id, corpus_id, cluster, cosine) per verified match."""
+    from star_schema_etl_airflow_spark.operators.kmeans import kmeans_fit
+    from star_schema_etl_airflow_spark.plans.clustering_queries import K, N_ITER
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    _, codebook = kmeans_fit(emb, K, N_ITER, dim=_EMB_DIM)
+    at_rest = emb.unionByName(
+        emb.filter(F.col("vec_id") % 5 == 0).select(
+            (F.col("vec_id") + SEM_DUP_OFFSET).alias("vec_id"),
+            F.expr(_PERTURB_S).alias("embedding"),
+        )
+    )
+    delta = (
+        emb.filter(F.col("vec_id") % 7 == 0).select(
+            (F.col("vec_id") + SEM_RECRAWL_OFFSET).alias("vec_id"),
+            F.expr(_PERTURB2_S).alias("embedding"),
+        )
+        .unionByName(
+            emb.filter(F.col("vec_id") % 11 == 0).select(
+                (F.col("vec_id") + SEM_FRESH_OFFSET).alias("vec_id"),
+                F.expr("reverse(embedding)").alias("embedding"),
+            )
+        )
+    )
+    norm = f"sqrt({unrolled_dot('embedding', 'embedding', _EMB_DIM)})"
+
+    def members(df: DataFrame) -> DataFrame:
+        return (
+            df.join(assign_clusters(df, codebook, dim=_EMB_DIM), "vec_id")
+            .withColumn("__norm", F.expr(norm))
+        )
+
+    a = members(delta).alias("a")          # probe side: delta only
+    b = persist_once(members(at_rest)).alias("b")
+    dot = unrolled_dot("a.embedding", "b.embedding", _EMB_DIM)
+    cos = f"round(({dot}) / (a.__norm * b.__norm), {SEM_COS_DECIMALS})"
+    return (
+        a.join(b, F.col("a.cluster") == F.col("b.cluster"))
+        .filter(F.expr(cos) >= SEM_COS_THRESHOLD)
+        .select(
+            F.col("a.vec_id").alias("delta_id"),
+            F.col("b.vec_id").alias("corpus_id"),
+            F.col("a.cluster").alias("cluster"),
+            F.expr(cos).alias("cosine"),
+        )
+    )
+
+
+SEM_RECRAWL_OFFSET = 7_000_000
+SEM_FRESH_OFFSET = 8_000_000
+
+# second exact-in-float32 perturbation (the recrawl edit): +0.03125 on
+# the SECOND component — distinct from the at-rest dup's first-component
+# edit so recrawl≠at-rest-dup rows stay distinguishable
+_PERTURB2_S = ("concat(slice(embedding, 1, 1), "
+               "array(cast(embedding[1] + cast(0.03125 as float) as float)), "
+               "slice(embedding, 3, size(embedding) - 2))")
+_PERTURB2_D = ("embedding[1:1] || "
+               "[CAST(embedding[2] + CAST(0.03125 AS FLOAT) AS FLOAT)] "
+               "|| embedding[3:len(embedding)]")
+
+
+def _sem_assign_cte(cent_table: str, name: str = "sem_assign",
+                    src: str = "sem_corpus") -> str:
     diff = (f"(CAST(v.embedding[i] AS DOUBLE) - "
             f"CAST({cent_table}.embedding[i] AS DOUBLE))")
     dist = (f"list_sum(list_transform(range(1, {_EMB_DIM} + 1), "
             f"i -> {diff} * {diff}))")
-    return f"""sem_assign AS (
+    return f"""{name} AS (
   SELECT vec_id, cluster FROM (
     SELECT v.vec_id, {cent_table}.cluster,
            ROW_NUMBER() OVER (
              PARTITION BY v.vec_id
              ORDER BY {dist}, {cent_table}.cluster) AS rn
-    FROM sem_corpus v CROSS JOIN {cent_table}
+    FROM {src} v CROSS JOIN {cent_table}
   ) WHERE rn = 1
 )"""
+
+
+def _semdedup_incremental_oracle() -> str:
+    from star_schema_etl_airflow_spark.plans.clustering_queries import (
+        KMEANS_CTES,
+    )
+
+    return f"""
+WITH {KMEANS_CTES},
+si_at AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {SEM_DUP_OFFSET}, {_PERTURB_D}
+  FROM embeddings WHERE vec_id % 5 = 0
+),
+si_delta AS (
+  SELECT vec_id + {SEM_RECRAWL_OFFSET} AS vec_id, {_PERTURB2_D} AS embedding
+  FROM embeddings WHERE vec_id % 7 = 0
+  UNION ALL
+  SELECT vec_id + {SEM_FRESH_OFFSET}, list_reverse(embedding)
+  FROM embeddings WHERE vec_id % 11 = 0
+),
+{_sem_assign_cte('c2', 'si_aa', 'si_at')},
+{_sem_assign_cte('c2', 'si_ad', 'si_delta')},
+si_ja AS (
+  SELECT v.vec_id, v.embedding, a.cluster
+  FROM si_at v JOIN si_aa a USING (vec_id)
+),
+si_jd AS (
+  SELECT v.vec_id, v.embedding, a.cluster
+  FROM si_delta v JOIN si_ad a USING (vec_id)
+)
+SELECT d.vec_id AS delta_id, r.vec_id AS corpus_id, d.cluster,
+       {_sem_cos_duck('d.embedding', 'r.embedding')} AS cosine
+FROM si_jd d JOIN si_ja r ON d.cluster = r.cluster
+WHERE {_sem_cos_duck('d.embedding', 'r.embedding')} >= {SEM_COS_THRESHOLD}
+"""
 
 
 def _semdedup_oracle() -> str:
@@ -654,3 +778,6 @@ register(QuerySpec("semdedup", semdedup, _mat(_semdedup_oracle()),
 register(QuerySpec("semdedup_eval", semdedup_eval,
                    _mat(_semdedup_eval_oracle()),
                    tags=("LLM-DEDUP", "KMEANS", "EVAL")))
+register(QuerySpec("semdedup_incremental", semdedup_incremental,
+                   _mat(_semdedup_incremental_oracle()),
+                   tags=("LLM-DEDUP", "KMEANS", "INCREMENTAL")))

@@ -225,3 +225,86 @@ def test_semdedup_eval_prices_the_cluster_scoping_trade(spark):
     assert row.recall_semantic == 1.0          # sf0.001: no split pairs
     # every injected pair is caught: 100 originals % 5 == 0 -> 100 dups
     assert row.n_caught >= row.n_hit >= 92
+
+
+def test_semdedup_incremental_probe_equals_full_recompute_subset(spark):
+    """The delta probe against frozen clusters must find EXACTLY the
+    (delta x at-rest) pairs a full cluster-scoped run over the union
+    would find — same codebook => same cells, so the equality is
+    structural; this pins it end to end.  Plus the delta semantics:
+    every recrawl near-copy matches its source, no fresh vector
+    matches anything."""
+    import pyspark.sql.functions as F
+
+    from star_schema_etl_airflow_spark.operators.kmeans import (
+        assign_clusters,
+        kmeans_fit,
+    )
+    from star_schema_etl_airflow_spark.plans.clustering_queries import (
+        K,
+        N_ITER,
+    )
+    from star_schema_etl_airflow_spark.plans.llm_dedup2 import (
+        _EMB_DIM,
+        _PERTURB2_S,
+        _PERTURB_S,
+        SEM_COS_DECIMALS,
+        SEM_COS_THRESHOLD,
+        SEM_DUP_OFFSET,
+        SEM_FRESH_OFFSET,
+        SEM_RECRAWL_OFFSET,
+        semdedup_incremental,
+    )
+    from star_schema_etl_airflow_spark.functions.vecexpr import unrolled_dot
+
+    got = {
+        (r.delta_id, r.corpus_id)
+        for r in semdedup_incremental(spark, SF_DIR).collect()
+    }
+    # semantics: every recrawl matches its own source...
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    recrawl_src = {
+        r.vec_id for r in emb.filter(F.col("vec_id") % 7 == 0).collect()
+    }
+    for src in recrawl_src:
+        assert (src + SEM_RECRAWL_OFFSET, src) in got
+    # ...and no fresh vector matches anything
+    assert not any(d >= SEM_FRESH_OFFSET for d, _c in got)
+
+    # full recompute over (at-rest UNION delta), same codebook, cross
+    # pairs only — must equal the probe exactly
+    base = emb.select("vec_id", "embedding")
+    _, codebook = kmeans_fit(base, K, N_ITER, dim=_EMB_DIM)
+    at_rest = base.unionByName(
+        base.filter(F.col("vec_id") % 5 == 0).select(
+            (F.col("vec_id") + SEM_DUP_OFFSET).alias("vec_id"),
+            F.expr(_PERTURB_S).alias("embedding"),
+        )
+    )
+    delta = base.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + SEM_RECRAWL_OFFSET).alias("vec_id"),
+        F.expr(_PERTURB2_S).alias("embedding"),
+    ).unionByName(
+        base.filter(F.col("vec_id") % 11 == 0).select(
+            (F.col("vec_id") + SEM_FRESH_OFFSET).alias("vec_id"),
+            F.expr("reverse(embedding)").alias("embedding"),
+        )
+    )
+    union = at_rest.unionByName(delta)
+    norm = f"sqrt({unrolled_dot('embedding', 'embedding', _EMB_DIM)})"
+    m = union.join(
+        assign_clusters(union, codebook, dim=_EMB_DIM), "vec_id"
+    ).withColumn("__norm", F.expr(norm))
+    a, b = m.alias("a"), m.alias("b")
+    dot = unrolled_dot("a.embedding", "b.embedding", _EMB_DIM)
+    cos = f"round(({dot}) / (a.__norm * b.__norm), {SEM_COS_DECIMALS})"
+    delta_ids = {r.vec_id for r in delta.select("vec_id").collect()}
+    full = {
+        (r.x, r.y)
+        for r in a.join(b, F.col("a.cluster") == F.col("b.cluster"))
+        .filter(F.expr(cos) >= SEM_COS_THRESHOLD)
+        .select(F.col("a.vec_id").alias("x"), F.col("b.vec_id").alias("y"))
+        .collect()
+        if r.x in delta_ids and r.y not in delta_ids
+    }
+    assert got == full
