@@ -90,18 +90,11 @@ ACKED: dict[str, str] = {
     # pass now reproduces each of those manual A/B adjudications
     # automatically (pinned by tests/test_bench_drift.py::
     # test_r14_host_drift_acks_pass_without_ack_entries).
-    # r15 adjudication: same-host A/B at 7ddc948 (pre-change) vs HEAD
-    # measures OLD min 2.818 vs NEW min 2.979 (+5.7%, the cost of the
-    # doubled convergence signature — ADVICE r14 hardening); the r14
-    # baselines (1.777/1.976 quiet, 1.599 contended) are out of reach
-    # for EITHER code version on the r15 host — this query is
-    # driver-round-bound (~9 large/small-star rounds of 2-3 jobs), the
-    # shape most sensitive to job-launch latency.  Evidence cannot
-    # auto-clear it this round because r15 has a single record.
-    "dedup_clusters_bigstar": "code delta is +5.7% by same-host A/B at "
-                              "7ddc948 (2.818 vs 2.979); remainder is "
-                              "job-launch latency on a 9-round driver "
-                              "loop (BENCH_HISTORY r15)",
+    # r15: dedup_clusters_bigstar briefly carried an ACK (canonical
+    # record caught a 3.446s latency window on its ~9-round driver
+    # loop; same-host A/B at 7ddc948 bounded the code delta at +5.7%)
+    # — REMOVED once the second committed r15 record measured 1.662
+    # and multi-record evidence auto-cleared it (BENCH_HISTORY r15).
 }
 
 # Extras promoted to GATING (r11 verdict task 3): these have two
