@@ -411,9 +411,20 @@ def mat_ctes(sql: str) -> str:
     ablation paid its three full chains ~3× over.  Applied at
     REGISTRATION time only, so the raw building-block strings the
     oracle surgeries (`_trained_oracle`, `_suffixed_chain`) match
-    against stay untouched."""
+    against stay untouched.
+
+    Guard: refuses SQL containing a WINDOW clause — a line-leading
+    ``w AS (PARTITION ...)`` inside one would be rewritten into a
+    syntax error; none of the wrapped oracles uses WINDOW, and a
+    future one should materialize at assembly time instead."""
     import re
 
+    if re.search(r"(?mi)^\s*WINDOW\b", sql):
+        raise ValueError(
+            "mat_ctes: SQL contains a WINDOW clause — line-anchored "
+            "CTE rewriting would corrupt it; materialize at assembly "
+            "time instead"
+        )
     return re.sub(r"(?m)^(WITH )?(\s*)(\w+ AS) \(",
                   r"\1\2\3 MATERIALIZED (", sql)
 
@@ -640,8 +651,14 @@ def frozen_artifact(spark: SparkSession, key: tuple, build) -> DataFrame:
     application return the identical frozen relation, so output is
     bit-identical to rebuild by construction (the deterministic Lloyd
     fit would reproduce it anyway — pinned in tests)."""
-    k = (spark.sparkContext.applicationId,) + key
+    app = spark.sparkContext.applicationId
+    k = (app,) + key
     if k not in _FROZEN:
+        # evict artifacts of stopped applications: a long-lived Python
+        # process cycling SparkSessions would otherwise pin dead
+        # DataFrames under stale applicationId keys forever
+        for stale in [x for x in _FROZEN if x[0] != app]:
+            del _FROZEN[stale]
         _FROZEN[k] = build().localCheckpoint()
     return _FROZEN[k]
 

@@ -347,5 +347,5 @@ def embed_ivfpq_opq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # same oracle ON PURPOSE: rotated append-encode must equal the rotated
 # full rebuild exactly
 register(QuerySpec("embed_ivfpq_opq_incremental",
-                   embed_ivfpq_opq_incremental, _opq_oracle(),
+                   embed_ivfpq_opq_incremental, mat_ctes(_opq_oracle()),
                    tags=("llm", "ann", "OPQ", "INCREMENTAL")))

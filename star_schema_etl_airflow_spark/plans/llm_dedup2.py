@@ -767,11 +767,7 @@ register(QuerySpec("dedup_incremental", dedup_incremental,
                    DEDUP_INCREMENTAL_ORACLE, tags=("LLM-DEDUP",)))
 register(QuerySpec("dedup_incremental_minhash", dedup_incremental_minhash,
                    _inc_minhash_oracle(), tags=("LLM-DEDUP",)))
-def _mat(sql: str) -> str:
-    from star_schema_etl_airflow_spark.plans.ivfpq import mat_ctes
-
-    return mat_ctes(sql)
-
+from star_schema_etl_airflow_spark.plans.ivfpq import mat_ctes as _mat  # noqa: E402
 
 register(QuerySpec("semdedup", semdedup, _mat(_semdedup_oracle()),
                    tags=("LLM-DEDUP", "KMEANS")))

@@ -214,11 +214,7 @@ WHERE p.lang_pos <= p.quota
 """
 
 
-def _mat(sql: str) -> str:
-    from star_schema_etl_airflow_spark.plans.ivfpq import mat_ctes
-
-    return mat_ctes(sql)
-
+from star_schema_etl_airflow_spark.plans.ivfpq import mat_ctes as _mat  # noqa: E402
 
 register(QuerySpec("curation_pipeline_v7", curation_pipeline_v7,
                    _mat(_v7_oracle()), tags=("llm", "PIPELINE")))

@@ -218,7 +218,7 @@ def tokenizer_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.expr("freq * length(word)")).alias("chars"))
     )
 
-    def stats(census: DataFrame, token_col: str, name: str) -> DataFrame:
+    def stats(census: DataFrame, name: str) -> DataFrame:
         return (
             census.agg(
                 F.sum("n_tokens").alias("n_tokens_total"),
@@ -238,9 +238,9 @@ def tokenizer_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    return stats(bpe_encode_census(spark, sf_dir), "token", "bpe") \
+    return stats(bpe_encode_census(spark, sf_dir), "bpe") \
         .unionByName(stats(unigram_encode_census(spark, sf_dir),
-                           "token", "unigram"))
+                           "unigram"))
 
 
 def _tokenizer_eval_oracle() -> str:

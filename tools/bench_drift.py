@@ -431,6 +431,9 @@ def history_table() -> str:
         rows.append((n, os.path.basename(p), parsed.get("sf"),
                      parsed["value"], hs, parsed["value"] / f, minsum,
                      len(round_records(n))))
+    if not rows:
+        return (HIST_BEGIN + "\n\n(no parsable bench records on disk)"
+                + "\n\n" + HIST_END)
     lines = [
         HIST_BEGIN,
         "",

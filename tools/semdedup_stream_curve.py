@@ -72,8 +72,12 @@ def main() -> None:
     os.makedirs(landing)
     for b in range(4):
         stage = f"{WORK}/stage_{b}"
-        delta.filter(F.col("vec_id") % 4 == b).coalesce(1) \
-            .write.mode("overwrite").parquet(stage)
+        # split on (vec_id div 4) % 4 — the delta ids are all ≡ 0 mod 4
+        # by construction (base %4 filter + a 4-divisible offset), so a
+        # plain %4 split would land EVERYTHING in batch 0 and the
+        # "4-batch drain" would time one real fold (review finding r15)
+        delta.filter(F.expr(f"(vec_id div 4) % 4 = {b}")) \
+            .coalesce(1).write.mode("overwrite").parquet(stage)
         part = glob.glob(f"{stage}/part-*.parquet")[0]
         os.rename(part, f"{landing}/batch_{b}.parquet")
 
