@@ -46,12 +46,36 @@ MAX_PIECE_LEN = 4
 SEED_MULTI = 40       # multi-char candidates kept at seeding
 T_EM = 2              # Viterbi-EM rounds
 LP_SCALE = 1_000_000  # micro log-prob fixed point
-MAXW = 16             # max word length the ORACLE's unrolled DP covers
+MAXW = 16             # chunk width: words are pre-split into MAXW-char
+                      # chunks (also the oracle's unrolled-DP cap)
 
 __all__ = [
     "MAX_PIECE_LEN", "MAXW", "SEED_MULTI", "T_EM", "LP_SCALE",
     "seed_vocab", "train_unigram", "segment_words", "word_frequencies",
+    "chunk_words",
 ]
+
+# split-at-MAXW: pre-split any word longer than MAXW into MAXW-char
+# chunks (SentencePiece's answer to unbounded tokens is pre-splitting /
+# byte fallback; a hard abort would let one long URL / DNA string / CJK
+# run kill a corpus-scale train job).  Chunking is the identity on
+# words of length <= MAXW, and chunk boundaries are deterministic, so
+# the oracle applies the SAME pre-split and parity holds.
+_CHUNK_S = f"""
+transform(sequence(1, length(word), {MAXW}),
+          st -> substring(word, st, {MAXW}))
+"""
+
+
+def chunk_words(words: DataFrame) -> DataFrame:
+    """(word, freq) -> (word, freq) with every word longer than
+    ``MAXW`` split into MAXW-char chunks (chunks of different source
+    words merge their frequencies)."""
+    return (
+        words.select(F.explode(F.expr(_CHUNK_S)).alias("word"), "freq")
+        .groupBy("word")
+        .agg(F.sum("freq").alias("freq"))
+    )
 
 # all candidate spans (st, en 1-based inclusive) of a word, pieces up
 # to MAX_PIECE_LEN chars
@@ -138,14 +162,15 @@ def seed_vocab(words: DataFrame) -> DataFrame:
         .agg(F.sum("freq").alias("n"))
     )
     singles = occ.filter(F.length("piece") == 1)
-    from pyspark.sql import Window
-
-    wtop = Window.orderBy(F.col("n").desc(), F.col("piece").asc())
+    # top-K via orderBy().limit(): plans as TakeOrderedAndProject
+    # (per-partition top-SEED_MULTI + driver merge) — NOT a global
+    # single-partition Window, which would serialize the charset^4-sized
+    # distinct-piece relation at corpus scale.  Output is identical
+    # because (n desc, piece asc) is a total order.
     multi = (
         occ.filter(F.length("piece") >= 2)
-        .withColumn("r", F.row_number().over(wtop))
-        .filter(F.col("r") <= SEED_MULTI)
-        .drop("r")
+        .orderBy(F.col("n").desc(), F.col("piece").asc())
+        .limit(SEED_MULTI)
     )
     return _scored(singles.unionByName(multi))
 
@@ -179,16 +204,13 @@ def train_unigram(
     lp_micro) table and ``words`` the (word, freq) relation.  Each
     round's vocab is EAGERLY localCheckpointed (the doremi/kmeans
     rounds-loop lineage discipline)."""
-    words = word_frequencies(docs, text_col=text_col).localCheckpoint()
-    # symmetric loud guard with the oracle's unrolled-DP cap: the Spark
-    # fold handles any length, but a silent one-sided success would
-    # just move the failure to the differential check
-    too_long = words.filter(F.length("word") > MAXW).limit(1).collect()
-    if too_long:
-        raise ValueError(
-            f"unigram trainer: word longer than MAXW={MAXW}: "
-            f"{too_long[0]['word']!r}"
-        )
+    # split-at-MAXW keeps the trainer total (no word can abort the
+    # job) while staying within the oracle's unrolled-DP cap; the
+    # oracle's w0 CTE applies the identical pre-split, so the
+    # differential check covers the policy rather than dodging it.
+    words = chunk_words(
+        word_frequencies(docs, text_col=text_col)
+    ).localCheckpoint()
     vocab = seed_vocab(words).localCheckpoint()
     pieces = vocab.select("piece")
     for _t in range(T_EM):

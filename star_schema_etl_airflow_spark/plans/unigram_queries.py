@@ -139,14 +139,22 @@ def _round_ctes(t: int, vocab_prev: str) -> str:
 
 
 _TRAIN_CTES = f"""w0 AS MATERIALIZED (
-  SELECT word, COUNT(*)::BIGINT AS freq FROM (
-    SELECT unnest(regexp_split_to_array(text, '\\s+')) AS word
-    FROM documents
-  ) WHERE word <> ''
-    AND CASE WHEN len(word) > {MAXW}
-             THEN error('unigram oracle: word longer than MAXW')
-             ELSE TRUE END
-  GROUP BY word
+  -- split-at-MAXW pre-split (mirrors operators/unigram.chunk_words):
+  -- identity on words <= MAXW chars, deterministic chunking above,
+  -- so the unrolled DP's position cap is always sufficient
+  SELECT word, CAST(SUM(freq) AS BIGINT) AS freq FROM (
+    SELECT substr(word, CAST(st AS INTEGER), {MAXW}) AS word, freq
+    FROM (
+      SELECT word, freq,
+             unnest(range(1, len(word) + 1, {MAXW})) AS st
+      FROM (
+        SELECT word, COUNT(*)::BIGINT AS freq FROM (
+          SELECT unnest(regexp_split_to_array(text, '\\s+')) AS word
+          FROM documents
+        ) WHERE word <> '' GROUP BY word
+      )
+    )
+  ) GROUP BY word
 ),
 sp1 AS MATERIALIZED (
   SELECT word, unnest(range(1, len(word) + 1)) AS st FROM w0

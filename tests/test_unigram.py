@@ -34,8 +34,10 @@ def _ref_words(texts):
     c: Counter = Counter()
     for t in texts:
         for w in t.split():
-            if w:
-                c[w] += 1
+            # split-at-MAXW pre-split (identity on fixture words)
+            for st in range(0, len(w), MAXW):
+                if w[st:st + MAXW]:
+                    c[w[st:st + MAXW]] += 1
     return dict(c)
 
 
@@ -137,10 +139,36 @@ def test_tie_breaks_prefer_the_longer_piece(spark):
     assert list(toks) == ["ab", "ab"]
 
 
-def test_trainer_rejects_words_beyond_the_oracle_dp_cap(spark):
-    docs = spark.createDataFrame([("x" * (MAXW + 1),)], "text string")
-    with pytest.raises(ValueError, match="MAXW"):
-        train_unigram(docs)
+def test_long_words_train_via_the_chunk_policy(spark):
+    """A 40-char token no longer aborts the trainer: it is pre-split
+    into MAXW-char chunks (split-at-MAXW policy), trains successfully,
+    and matches both the chunking pure-Python reference and the DuckDB
+    oracle (whose w0 CTE applies the identical pre-split)."""
+    texts = [
+        "the " + "q" * 40 + " token appears inside ordinary text",
+        "ordinary words keep the trainer honest the the",
+    ]
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    counts, lp, words = _ref_train(texts)
+    assert "q" * MAXW in words and "q" * 8 in words   # 40 = 16+16+8
+    vocab, wdf = train_unigram(docs)
+    got = {r.piece: (r.n, r.lp_micro) for r in vocab.collect()}
+    assert got == {p: (counts[p], lp[p]) for p in counts}
+    # differential: the committed oracle on the same documents table
+    import duckdb
+    import pandas as pd
+
+    from star_schema_etl_airflow_spark.plans.unigram_queries import (
+        UNIGRAM_TRAIN_ORACLE,
+    )
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame({"text": texts}))
+    ora = {
+        p: (int(n), int(l))
+        for p, n, l in con.execute(UNIGRAM_TRAIN_ORACLE).fetchall()
+    }
+    assert got == ora
 
 
 def test_fixture_words_fit_the_dp_cap(spark):
