@@ -46,6 +46,21 @@ def _host_calibration() -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _git_head() -> str | None:
+    """Commit hash the bench measured (None outside a git checkout —
+    the record is still valid, just unstamped)."""
+    import subprocess
+
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, text=True, timeout=10, check=True,
+        ).stdout.strip() or None
+    except Exception:
+        return None
+
+
 def main() -> None:
     from star_schema_etl_airflow_spark import registry
     from star_schema_etl_airflow_spark.session import get_spark
@@ -222,6 +237,11 @@ def main() -> None:
         # minutes, which dominates round-to-round bench deltas —
         # tools/bench_drift.py normalizes by the mean of these.
         "host_pyloop_sec": cal,
+        # the commit this record MEASURED — records are committed at
+        # different points within a round, so the drift gate's
+        # multi-record adjudication prints each min's provenance and
+        # this stamp keeps "same code" auditable rather than assumed
+        "commit": _git_head(),
         # audit trail for the r10 protocol change: queries re-measured
         # under cache isolation keep their in-rotation figure here
         "isolated_protocol": isolated_protocol,

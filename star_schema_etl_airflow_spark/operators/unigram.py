@@ -49,10 +49,14 @@ LP_SCALE = 1_000_000  # micro log-prob fixed point
 MAXW = 16             # chunk width: words are pre-split into MAXW-char
                       # chunks (also the oracle's unrolled-DP cap)
 
+PRUNE_ETA = 0.2        # fraction of multi-char pieces dropped per round
+PRUNE_TARGET_MULTI = 20  # multi-char vocabulary size pruning stops at
+
 __all__ = [
     "MAX_PIECE_LEN", "MAXW", "SEED_MULTI", "T_EM", "LP_SCALE",
+    "PRUNE_ETA", "PRUNE_TARGET_MULTI",
     "seed_vocab", "train_unigram", "segment_words", "word_frequencies",
-    "chunk_words",
+    "chunk_words", "prune_schedule", "train_unigram_pruned",
 ]
 
 # split-at-MAXW: pre-split any word longer than MAXW into MAXW-char
@@ -225,4 +229,108 @@ def train_unigram(
             .select("piece", F.coalesce("n", F.lit(0)).alias("n"))
         )
         vocab = _scored(refreshed).localCheckpoint()
+    return vocab, words
+
+
+# --- likelihood-loss vocabulary pruning (Kudo'18 §3.2) ----------------------
+
+
+def prune_schedule(
+    m0: int = SEED_MULTI,
+    eta: float = PRUNE_ETA,
+    target: int = PRUNE_TARGET_MULTI,
+) -> list[int]:
+    """Deterministic keep-count schedule: drop ``floor(eta·m)`` (min 1)
+    multi-char pieces per round until ``target`` remain — Kudo'18's
+    "remove the bottom η% ... repeat until |V| reaches the desired
+    size".  With the defaults: 40 → 32 → 26 → 21 → 20."""
+    ks, m = [], m0
+    while m > target:
+        m = max(target, m - max(1, int(m * eta)))
+        ks.append(m)
+    return ks
+
+
+def _piece_alt_costs(vocab: DataFrame) -> DataFrame:
+    """(piece, alt_c): for every multi-char piece, the Viterbi cost of
+    segmenting the PIECE ITSELF with the identity span excluded — i.e.
+    by the rest of the vocabulary.  This is the alternative-path cost
+    Kudo'18's loss approximates removal with: if piece x is dropped,
+    each of its n_x uses re-segments as x's own best sub-segmentation
+    (always possible — every single char stays in the vocabulary).
+    Pieces are at most MAX_PIECE_LEN chars, so the DP fold is
+    constant-size; the whole relation is vocabulary-grain."""
+    pw = vocab.filter(F.length("piece") >= 2).select(
+        F.col("piece").alias("word")
+    )
+    spans = (
+        pw.select("word", F.explode(F.expr(_SPANS_S)).alias("s"))
+        .select("word", "s.st", "s.en", "s.piece")
+        .filter(~((F.col("st") == 1) & (F.col("en") == F.length("word"))))
+        .join(F.broadcast(vocab.select("piece", "lp_micro")), "piece")
+        .select("word", "st", "en", (-F.col("lp_micro")).alias("cost"))
+    )
+    per = spans.groupBy("word").agg(
+        F.collect_list(F.struct("st", "en", "cost")).alias("spans")
+    )
+    return (
+        per.withColumn("dp", F.expr(_DP_S))
+        .select(
+            F.col("word").alias("piece"),
+            F.expr("element_at(dp, length(word) + 1).c").alias("alt_c"),
+        )
+    )
+
+
+def prune_round(vocab: DataFrame, words: DataFrame,
+                keep_multi: int) -> DataFrame:
+    """One Kudo'18 prune iteration: rank multi-char pieces by
+    likelihood loss ``n·(alt_cost + lp)`` (how much the corpus
+    log-likelihood drops if the piece is removed and its uses
+    re-segment along their best alternative path), keep the top
+    ``keep_multi`` (ties piece-asc; all single chars always survive
+    for coverage), re-smooth over the reduced set, then run one EM
+    round (segment → recount → rescore) so counts reflect the new
+    vocabulary.  Top-K is orderBy().limit() — vocabulary-grain and
+    TakeOrdered-planned, never a global Window."""
+    singles = vocab.filter(F.length("piece") == 1).select("piece", "n")
+    multi = vocab.filter(F.length("piece") >= 2)
+    loss = (
+        multi.join(_piece_alt_costs(vocab), "piece")
+        .select(
+            "piece", "n",
+            (F.col("n") * (F.col("alt_c") + F.col("lp_micro")))
+            .cast("long").alias("loss"),
+        )
+    )
+    kept = (
+        loss.orderBy(F.col("loss").desc(), F.col("piece").asc())
+        .limit(keep_multi)
+        .select("piece", "n")
+    )
+    pruned = _scored(singles.unionByName(kept))
+    seg = segment_words(words, pruned)
+    counts = (
+        seg.select(F.explode("tokens").alias("piece"), "freq")
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("n"))
+    )
+    refreshed = (
+        pruned.select("piece").join(counts, "piece", "left")
+        .select("piece", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+    return _scored(refreshed)
+
+
+def train_unigram_pruned(
+    docs: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """Full Kudo'18 §3.2 trainer: seeding + ``T_EM`` EM rounds
+    (:func:`train_unigram`), then likelihood-loss pruning rounds down
+    the :func:`prune_schedule` until ``PRUNE_TARGET_MULTI`` multi-char
+    pieces remain, each prune followed by an EM round.  Per-round
+    eager localCheckpoint (the rounds-loop lineage discipline)."""
+    vocab, words = train_unigram(docs, text_col=text_col)
+    for keep in prune_schedule():
+        vocab = prune_round(vocab, words, keep).localCheckpoint()
     return vocab, words

@@ -69,14 +69,26 @@ c{i} AS (
 
 # CTE chain shared with the trained-IVF oracle (plans/llm_similarity.py):
 # init → (assign → exploded dims → decimal-exact means → centroids) × 2.
-KMEANS_CTES = f"""init AS (
-  SELECT vec_id AS cluster, embedding
-  FROM embeddings ORDER BY vec_id LIMIT {K}
+def kmeans_ctes(limit_expr: str | int = K) -> str:
+    """The Lloyd chain with a parameterizable init size: ``limit_expr``
+    may be an int (the fixed ``K``) or a SQL scalar expression — the
+    SemDeDup oracles pass a corpus-size-derived count so cluster count
+    scales with the corpus (K ∝ n), matching the Spark side's
+    ``sem_k``.  ``rn <= expr`` over the vec_id total order is exactly
+    ``ORDER BY vec_id LIMIT k`` (vec_id is unique)."""
+    return f"""init AS (
+  SELECT vec_id AS cluster, embedding FROM (
+    SELECT vec_id, embedding, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+    FROM embeddings
+  ) WHERE rn <= ({limit_expr})
 ),
 {_assign_cte('a1', 'init')},
 {_update_ctes(1, 'a1')},
 {_assign_cte('a2', 'c1')},
 {_update_ctes(2, 'a2')}"""
+
+
+KMEANS_CTES = kmeans_ctes()
 
 KMEANS_ASSIGN_ORACLE = f"""
 WITH {KMEANS_CTES}

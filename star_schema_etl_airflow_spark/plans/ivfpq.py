@@ -413,13 +413,16 @@ def mat_ctes(sql: str) -> str:
     oracle surgeries (`_trained_oracle`, `_suffixed_chain`) match
     against stay untouched.
 
-    Guard: refuses SQL containing a WINDOW clause — a line-leading
-    ``w AS (PARTITION ...)`` inside one would be rewritten into a
-    syntax error; none of the wrapped oracles uses WINDOW, and a
-    future one should materialize at assembly time instead."""
+    Guard: refuses SQL containing a WINDOW token ANYWHERE (not just
+    line-leading — a clause split across lines as ``... WINDOW\\n
+    w AS (...)`` would otherwise escape a line-anchored guard and be
+    rewritten into invalid SQL): a line-leading ``w AS (PARTITION
+    ...)`` inside one would be rewritten into a syntax error; none of
+    the wrapped oracles uses WINDOW, and a future one should
+    materialize at assembly time instead."""
     import re
 
-    if re.search(r"(?mi)^\s*WINDOW\b", sql):
+    if re.search(r"(?i)\bWINDOW\b", sql):
         raise ValueError(
             "mat_ctes: SQL contains a WINDOW clause — line-anchored "
             "CTE rewriting would corrupt it; materialize at assembly "
@@ -637,6 +640,32 @@ register(QuerySpec("ivfpq_eval", ivfpq_eval, mat_ctes(IVFPQ_EVAL_ORACLE),
 _FROZEN: dict[tuple, DataFrame] = {}
 
 
+def _fixture_fingerprint(sf_dir: str) -> tuple:
+    """Cheap (mtime_ns, size) fingerprint of the embeddings fixture
+    under ``sf_dir`` so a regenerated fixture invalidates frozen
+    artifacts within one Spark application — without it, IVFADC
+    queries would silently serve centroids trained on the OLD data
+    while the DuckDB oracle reads the new files (a differential
+    failure with a misleading cause)."""
+    import os
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        if os.path.isdir(path):
+            parts = sorted(
+                os.path.join(path, f) for f in os.listdir(path)
+            )
+            return tuple(
+                (os.path.basename(p), os.stat(p).st_mtime_ns,
+                 os.stat(p).st_size)
+                for p in parts
+            )
+        st = os.stat(path)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:   # symlinked / virtual fixture dirs: no staleness
+        return ("unstatable",)
+
+
 def frozen_artifact(spark: SparkSession, key: tuple, build) -> DataFrame:
     """Session-scoped frozen index artifact (r14 verdict task 3): the
     production IVFADC lifecycle trains a quantizer ONCE per index
@@ -673,7 +702,7 @@ def _trained_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     (application, sf_dir): the fit runs once and every IVFADC variant
     (trained, OPQ, incremental, the variant ablation) shares it."""
     return frozen_artifact(
-        spark, ("trained_cells", sf_dir),
+        spark, ("trained_cells", sf_dir, _fixture_fingerprint(sf_dir)),
         lambda: _fit_trained_cells(spark, sf_dir),
     )
 

@@ -236,6 +236,25 @@ GROUP BY 1
 SEM_COS_THRESHOLD = 0.98
 SEM_DUP_OFFSET = 1_000_000
 SEM_COS_DECIMALS = 9
+
+# K ∝ n operating point (r15 verdict task 8): tools/semdedup_curve.py
+# measured candidate-pair volume exponent +1.00 in corpus size with
+# K ∝ n vs +2.00 with K fixed, and flat max-cell occupancy — so the
+# cluster count is DERIVED from corpus size (target mean cell
+# occupancy SEM_CELL_TARGET, the curve's measured-flat cell size), not
+# a fixture constant.  Floor of 8 keeps tiny corpora meaningful.
+SEM_CELL_TARGET = 64
+
+
+def sem_k(n: int) -> int:
+    """Corpus-size-derived SemDeDup cluster count: ceil(n / target
+    occupancy), min 8 — K ∝ n, the curve-proven scale-safe default."""
+    return max(8, -(-n // SEM_CELL_TARGET))
+
+
+# the identical derivation in SQL, over the oracle's embeddings view
+SEM_K_SQL = (f"GREATEST(8, ((SELECT COUNT(*) FROM embeddings) + "
+             f"{SEM_CELL_TARGET - 1}) // {SEM_CELL_TARGET})")
 _EMB_DIM = 64
 
 # same float32-exact perturbation as dedup_embedding_cosine
@@ -276,10 +295,10 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     are missed by design, and in exchange pair volume falls k× and each
     cluster dedups independently (the embarrassingly-parallel unit)."""
     from star_schema_etl_airflow_spark.operators.kmeans import kmeans_fit
-    from star_schema_etl_airflow_spark.plans.clustering_queries import K, N_ITER
+    from star_schema_etl_airflow_spark.plans.clustering_queries import N_ITER
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    _, codebook = kmeans_fit(emb, K, N_ITER, dim=_EMB_DIM)
+    _, codebook = kmeans_fit(emb, sem_k(emb.count()), N_ITER, dim=_EMB_DIM)
     dup = emb.filter(F.col("vec_id") % 5 == 0).select(
         (F.col("vec_id") + SEM_DUP_OFFSET).alias("vec_id"),
         F.expr(_PERTURB_S).alias("embedding"),
@@ -362,10 +381,10 @@ def semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: (delta_id, corpus_id, cluster, cosine) per verified match."""
     from star_schema_etl_airflow_spark.operators.kmeans import kmeans_fit
-    from star_schema_etl_airflow_spark.plans.clustering_queries import K, N_ITER
+    from star_schema_etl_airflow_spark.plans.clustering_queries import N_ITER
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    _, codebook = kmeans_fit(emb, K, N_ITER, dim=_EMB_DIM)
+    _, codebook = kmeans_fit(emb, sem_k(emb.count()), N_ITER, dim=_EMB_DIM)
     at_rest = emb.unionByName(
         emb.filter(F.col("vec_id") % 5 == 0).select(
             (F.col("vec_id") + SEM_DUP_OFFSET).alias("vec_id"),
@@ -441,11 +460,11 @@ def _sem_assign_cte(cent_table: str, name: str = "sem_assign",
 
 def _semdedup_incremental_oracle() -> str:
     from star_schema_etl_airflow_spark.plans.clustering_queries import (
-        KMEANS_CTES,
+        kmeans_ctes,
     )
 
     return f"""
-WITH {KMEANS_CTES},
+WITH {kmeans_ctes(SEM_K_SQL)},
 si_at AS (
   SELECT vec_id, embedding FROM embeddings
   UNION ALL
@@ -477,10 +496,12 @@ WHERE {_sem_cos_duck('d.embedding', 'r.embedding')} >= {SEM_COS_THRESHOLD}
 
 
 def _semdedup_oracle() -> str:
-    from star_schema_etl_airflow_spark.plans.clustering_queries import KMEANS_CTES
+    from star_schema_etl_airflow_spark.plans.clustering_queries import (
+        kmeans_ctes,
+    )
 
     return f"""
-WITH {KMEANS_CTES},
+WITH {kmeans_ctes(SEM_K_SQL)},
 sem_corpus AS (
   SELECT vec_id, embedding FROM embeddings
   UNION ALL
@@ -518,13 +539,13 @@ def semdedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket).  Every tally is a 1-row aggregate crossJoined at the end
     (control-plane sized) — the corpus is scanned once per side."""
     from star_schema_etl_airflow_spark.operators.kmeans import kmeans_fit
-    from star_schema_etl_airflow_spark.plans.clustering_queries import K, N_ITER
+    from star_schema_etl_airflow_spark.plans.clustering_queries import N_ITER
     from star_schema_etl_airflow_spark.plans.llm_similarity import (
         dedup_embedding_cosine,
     )
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    _, codebook = kmeans_fit(emb, K, N_ITER, dim=_EMB_DIM)
+    _, codebook = kmeans_fit(emb, sem_k(emb.count()), N_ITER, dim=_EMB_DIM)
     dup = emb.filter(F.col("vec_id") % 5 == 0).select(
         (F.col("vec_id") + SEM_DUP_OFFSET).alias("vec_id"),
         F.expr(_PERTURB_S).alias("embedding"),
@@ -562,7 +583,7 @@ def semdedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _semdedup_eval_oracle() -> str:
     from star_schema_etl_airflow_spark.plans.clustering_queries import (
-        KMEANS_CTES,
+        kmeans_ctes,
     )
     from star_schema_etl_airflow_spark.plans.llm_similarity import (
         EMB_COS_THRESHOLD,
@@ -571,7 +592,7 @@ def _semdedup_eval_oracle() -> str:
 
     assert EMB_COS_THRESHOLD == SEM_COS_THRESHOLD  # shared τ by design
     return f"""
-WITH {KMEANS_CTES},
+WITH {kmeans_ctes(SEM_K_SQL)},
 sem_corpus AS (
   SELECT vec_id, embedding FROM embeddings
   UNION ALL

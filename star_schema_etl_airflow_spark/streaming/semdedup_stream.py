@@ -79,12 +79,29 @@ def probe_batch(batch: DataFrame, codebook: DataFrame,
 
 def merge_matches(existing: DataFrame | None,
                   delta_matches: DataFrame) -> DataFrame:
-    """state ∪ delta, distinct — idempotent because the probe is
-    per-vector pure under frozen artifacts (re-delivered vectors
-    produce byte-identical match rows)."""
+    """state ∪ delta — idempotent because the probe is per-vector pure
+    under frozen artifacts (re-delivered vectors produce byte-identical
+    match rows).
+
+    Only the DELTA is deduplicated (distinct + left-anti against the
+    standing keys): ``existing`` is distinct by this function's own
+    invariant, and (delta_id, corpus_id) determines (cluster, cosine)
+    deterministically, so the anti-join equals the old full
+    ``union.distinct()`` without shuffling the whole accumulated state
+    every micro-batch — under a long availableNow drain the per-batch
+    shuffle is delta-sized, not state-sized.  The swap publish still
+    REWRITES the state files (atomicity of the ledger); at deployment
+    scale the ledger would be partitioned (e.g. by cluster band) so the
+    rewrite appends new partitions instead — the O(batches × state)
+    write amplification is a limitation of the fixture-scale publish,
+    not of the fold."""
+    fresh = delta_matches.distinct()
     if existing is None:
-        return delta_matches.distinct()
-    return existing.unionByName(delta_matches).distinct()
+        return fresh
+    return existing.unionByName(
+        fresh.join(existing.select("delta_id", "corpus_id"),
+                   ["delta_id", "corpus_id"], "left_anti")
+    )
 
 
 def run_semdedup_stream(

@@ -87,7 +87,8 @@ def test_evidence_does_not_mask_a_real_regression(monkeypatch):
            "queries": {"q": 8.0}}
     monkeypatch.setattr(
         bench_drift, "round_evidence",
-        lambda n: {"q": (4.0, 0.6)} if n == 98 else {"q": (7.9, 0.6)})
+        lambda n: ({"q": (4.0, 0.6, "rec98")} if n == 98
+                   else {"q": (7.9, 0.6, "rec99")}))
     assert bench_drift.drift(base, new, "b", "n", 98, 99) >= 1
 
 

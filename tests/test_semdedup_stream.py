@@ -15,7 +15,7 @@ from star_schema_etl_airflow_spark.operators.kmeans import (
     assign_clusters,
     kmeans_fit,
 )
-from star_schema_etl_airflow_spark.plans.clustering_queries import K, N_ITER
+from star_schema_etl_airflow_spark.plans.clustering_queries import N_ITER
 from star_schema_etl_airflow_spark.plans.llm_dedup2 import (
     _EMB_DIM,
     _PERTURB2_S,
@@ -23,6 +23,7 @@ from star_schema_etl_airflow_spark.plans.llm_dedup2 import (
     SEM_DUP_OFFSET,
     SEM_FRESH_OFFSET,
     SEM_RECRAWL_OFFSET,
+    sem_k,
     semdedup_incremental,
 )
 from star_schema_etl_airflow_spark.streaming.semdedup_stream import (
@@ -44,7 +45,7 @@ def _frozen(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
         "vec_id", "embedding"
     )
-    _, codebook = kmeans_fit(emb, K, N_ITER, dim=_EMB_DIM)
+    _, codebook = kmeans_fit(emb, sem_k(emb.count()), N_ITER, dim=_EMB_DIM)
     codebook = codebook.localCheckpoint()
     at = emb.unionByName(
         emb.filter(F.col("vec_id") % 5 == 0).select(

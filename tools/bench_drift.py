@@ -126,12 +126,14 @@ GATED_EXTRAS = {
     "hard_negatives",
     "curriculum_order",
     # r14 extra promoted in r15: two committed quiet records exist
-    # (BENCH_QUIET_r14 1.777, r14b 1.976).  embed_ivfpq_opq stays
-    # NON-gating: r15's frozen-artifact change re-scoped its figure to
-    # index+search (train recorded separately as one_time.ivfpq_train),
-    # so the r14 train-inclusive records are not a comparable baseline
-    # — it re-baselines this round (BENCH_HISTORY r15).
+    # (BENCH_QUIET_r14 1.777, r14b 1.976).
     "dedup_clusters_bigstar",
+    # promoted in r16 (r15 verdict task 7): two committed quiet records
+    # exist AT THE FROZEN-ARTIFACT SCOPE (BENCH_QUIET_r15 3.342,
+    # r15b 3.487 — index+search only, train recorded separately as
+    # one_time.ivfpq_train), so the r15 −50% re-scope win is ratcheted
+    # under the two-record rule (BENCH_HISTORY r16).
+    "embed_ivfpq_opq",
 }
 
 # round number -> committed quiet-host re-measure superseding the
@@ -194,7 +196,15 @@ def host_speed(parsed: dict) -> float | None:
     cal = parsed.get("host_pyloop_sec")
     if not cal:
         return None
-    s = sorted(cal)
+    return _median(cal)
+
+
+def _median(xs) -> float:
+    """Shared even/odd median (average of the two middle samples when
+    even) — host_speed and the total-evidence host factor must use the
+    SAME estimator or the normalization is biased toward whichever
+    middle element one of them happens to pick."""
+    s = sorted(xs)
     n = len(s)
     return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
@@ -211,22 +221,28 @@ def round_records(n: int) -> list[str]:
     )
 
 
-def round_evidence(n: int) -> dict[str, tuple[float, float | None]]:
+def round_evidence(n: int) -> dict[str, tuple]:
     """Per-query best honest figure for round *n*: the MIN over every
     committed record of the round (headline + extras), paired with the
-    host median of the record that produced it."""
-    best: dict[str, tuple[float, float | None]] = {}
+    host median and the name (+ measured commit, when the record is
+    stamped) of the record that produced it — the provenance keeps the
+    auto-adjudication auditable, since records committed early in a
+    round may predate later same-round code changes."""
+    best: dict[str, tuple] = {}
     for p in round_records(n):
         try:
             parsed = load(p)
         except SystemExit:
             continue
         hs = host_speed(parsed)
+        src = os.path.basename(p)
+        if parsed.get("commit"):
+            src += f"@{parsed['commit'][:9]}"
         figures = dict(parsed.get("queries") or {})
         figures.update(parsed.get("extras") or {})
         for q, t in figures.items():
             if q not in best or t < best[q][0]:
-                best[q] = (t, hs)
+                best[q] = (t, hs, src)
     return best
 
 
@@ -237,7 +253,7 @@ def _evidence_pass(q: str, eb: dict, en: dict) -> str | None:
     two records that produced the minima."""
     if q not in eb or q not in en:
         return None
-    (b, bh), (t, nh) = eb[q], en[q]
+    (b, bh, bsrc), (t, nh, nsrc) = eb[q], en[q]
     f = (nh / bh) if bh and nh else 1.0
     breach = all(
         (x - b) / b > THRESHOLD and (x - b) > ABS_FLOOR_SEC
@@ -248,7 +264,7 @@ def _evidence_pass(q: str, eb: dict, en: dict) -> str | None:
     return (f"ok   {q}: multi-record evidence min {b:.3f} -> "
             f"{t:.3f} raw / {t / f:.3f} norm "
             f"({(t / f - b) / b:+.0%}) — canonical-pair breach "
-            "attributed to host (same-code committed records)")
+            f"attributed to host (minima from {bsrc} -> {nsrc})")
 
 
 def drift(base: dict, new: dict, base_name: str, new_name: str,
@@ -347,9 +363,9 @@ def drift(base: dict, new: dict, base_name: str, new_name: str,
         # record pairs
         ebt = sum(eb[q][0] for q in shared)
         ent = sum(en[q][0] for q in shared)
-        fs = sorted(en[q][1] / eb[q][1] for q in shared
-                    if eb[q][1] and en[q][1])
-        fe = fs[len(fs) // 2] if fs else 1.0
+        fs = [en[q][1] / eb[q][1] for q in shared
+              if eb[q][1] and en[q][1]]
+        fe = _median(fs) if fs else 1.0
         if (ent - ebt) / ebt <= 0.15 or (ent / fe - ebt) / ebt <= 0.15:
             print(f"ok   total multi-record evidence: min-sum {ebt:.3f} -> "
                   f"{ent:.3f} raw / {ent / fe:.3f} norm — canonical-pair "
