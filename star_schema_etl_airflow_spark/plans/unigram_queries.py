@@ -82,11 +82,13 @@ def _scored_cte(name: str, counts: str, pieces: str) -> str:
 )"""
 
 
-def _round_ctes(t: int, vocab_prev: str) -> str:
+def _round_ctes(t: int, vocab_prev: str, pieces: str = "v0_n") -> str:
     """One Viterbi round against ``vocab_prev``: span costs, the
     unrolled forward DP (argmin per position, ties cost-asc then
     start-asc so the longer piece wins), the backpointer walk, the
-    weighted piece counts, and the re-scored vocab ``v{t}``."""
+    weighted piece counts, and the re-scored vocab ``v{t}`` over the
+    ``pieces`` table (the full seed set by default; the prune chain
+    passes its reduced set)."""
     parts = [f"""spr{t} AS MATERIALIZED (
   SELECT s.word, s.st, s.en, -v.lp_micro AS cost
   FROM spx s JOIN {vocab_prev} v ON v.piece = s.piece
@@ -134,7 +136,7 @@ def _round_ctes(t: int, vocab_prev: str) -> str:
   FROM ({pieces_union}) p JOIN w0 w ON p.word = w.word
   GROUP BY p.piece
 ),
-{_scored_cte(f'v{t}', f'cnt{t}', 'v0_n')}"""
+{_scored_cte(f'v{t}', f'cnt{t}', pieces)}"""
     return ",\n".join(dp + [dfin, wk0] + walk + [tail])
 
 
@@ -201,6 +203,113 @@ register(QuerySpec("unigram_train", unigram_train, UNIGRAM_TRAIN_ORACLE,
                    tags=("llm", "TOKENIZER")))
 register(QuerySpec("unigram_encode_census", unigram_encode_census,
                    UNIGRAM_ENCODE_ORACLE, tags=("llm", "TOKENIZER")))
+
+
+# --- likelihood-loss vocabulary pruning (Kudo'18 §3.2) ----------------------
+
+
+def unigram_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(piece, n, lp_micro): the vocabulary after the FULL Kudo'18
+    trainer — seeding, ``T_EM`` EM rounds, then likelihood-loss
+    pruning down the :func:`prune_schedule` (drop the bottom-η%
+    multi-char pieces by loss per round, EM re-count between rounds,
+    singles always kept for coverage) to ``PRUNE_TARGET_MULTI``
+    multi-char pieces."""
+    from star_schema_etl_airflow_spark.operators.unigram import (
+        train_unigram_pruned,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    vocab, _words = train_unigram_pruned(docs)
+    return vocab.select(
+        "piece", F.col("n").cast("long").alias("n"), "lp_micro"
+    )
+
+
+def _prune_iter_ctes(k: int, prev: str, keep: int) -> str:
+    """One prune iteration against vocabulary ``prev``: the
+    alternative-path DP over the multi-char pieces themselves
+    (identity span excluded — at most MAX_PIECE_LEN unrolled
+    positions), the loss ranking, the kept set + re-smoothing
+    (``pv{k}``), then one EM round over the reduced piece table
+    (``v{T_EM + k}``) — mirroring ``operators/unigram.prune_round``."""
+    parts = [f"""pw{k} AS MATERIALIZED (
+  SELECT piece AS word FROM {prev} WHERE len(piece) >= 2
+)""", f"""pspc{k} AS MATERIALIZED (
+  SELECT p.word, p.st, p.en, -v.lp_micro AS cost FROM (
+    SELECT word, st, en, substr(word, st, en - st + 1) AS sub FROM (
+      SELECT word, st,
+             unnest(range(st, least(len(word) + 1, st + {MAX_PIECE_LEN})))
+               AS en
+      FROM (SELECT word, unnest(range(1, len(word) + 1)) AS st FROM pw{k})
+    ) WHERE NOT (st = 1 AND en = len(word))
+  ) p JOIN {prev} v ON v.piece = p.sub
+)""", f"""pd{k}_0 AS MATERIALIZED (
+  SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS cost FROM pw{k}
+)"""]
+    for i in range(1, MAX_PIECE_LEN + 1):
+        priors = " UNION ALL ".join(
+            f"SELECT word, pos, cost FROM pd{k}_{j}"
+            for j in range(max(0, i - MAX_PIECE_LEN), i)
+        )
+        parts.append(f"""pd{k}_{i} AS MATERIALIZED (
+  SELECT word, {i} AS pos, cost FROM (
+    SELECT s.word, p.cost + s.cost AS cost,
+           ROW_NUMBER() OVER (
+             PARTITION BY s.word
+             ORDER BY p.cost + s.cost ASC, s.st ASC) AS rn
+    FROM pspc{k} s
+    JOIN ({priors}) p ON p.word = s.word AND p.pos = s.st - 1
+    WHERE s.en = {i}
+  ) WHERE rn = 1
+)""")
+    alts = " UNION ALL ".join(
+        f"SELECT word, pos, cost FROM pd{k}_{i}"
+        for i in range(1, MAX_PIECE_LEN + 1)
+    )
+    parts.append(f"""loss{k} AS MATERIALIZED (
+  SELECT v.piece, v.n,
+         CAST(v.n * (a.cost + v.lp_micro) AS BIGINT) AS loss
+  FROM {prev} v
+  JOIN ({alts}) a ON a.word = v.piece AND a.pos = len(v.piece)
+)""")
+    parts.append(f"""pp{k} AS MATERIALIZED (
+  SELECT piece, n FROM {prev} WHERE len(piece) = 1
+  UNION ALL
+  SELECT piece, n FROM (
+    SELECT piece, n,
+           ROW_NUMBER() OVER (ORDER BY loss DESC, piece ASC) AS r
+    FROM loss{k}
+  ) WHERE r <= {keep}
+)""")
+    parts.append(_scored_cte(f"pv{k}", f"pp{k}", f"pp{k}"))
+    parts.append(_round_ctes(T_EM + k, f"pv{k}", pieces=f"pv{k}_n"))
+    return ",\n".join(parts)
+
+
+def _unigram_prune_oracle() -> str:
+    from star_schema_etl_airflow_spark.operators.unigram import (
+        prune_schedule,
+    )
+
+    sched = prune_schedule()
+    iters = ",\n".join(
+        _prune_iter_ctes(
+            k + 1,
+            f"v{T_EM}" if k == 0 else f"v{T_EM + k}",
+            keep,
+        )
+        for k, keep in enumerate(sched)
+    )
+    return f"""
+WITH {_TRAIN_CTES},
+{iters}
+SELECT piece, CAST(n AS BIGINT) AS n, lp_micro FROM v{T_EM + len(sched)}
+"""
+
+
+register(QuerySpec("unigram_prune", unigram_prune, _unigram_prune_oracle(),
+                   tags=("llm", "TOKENIZER")))
 
 
 # --- tokenizer comparison eval ----------------------------------------------

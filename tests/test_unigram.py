@@ -197,3 +197,100 @@ def test_tokenizer_eval_compares_the_two_trainers(spark):
     c_bpe = rows["bpe"].n_tokens_total * rows["bpe"].chars_per_token
     c_uni = rows["unigram"].n_tokens_total * rows["unigram"].chars_per_token
     assert abs(c_bpe - c_uni) / c_bpe < 1e-6
+
+
+# --- likelihood-loss pruning (Kudo'18 §3.2) --------------------------------
+
+def _ref_alt_costs(lp: dict) -> dict:
+    """Viterbi cost of segmenting each multi-char piece by the rest of
+    the vocabulary (identity span excluded)."""
+    out = {}
+    for piece in [p for p in lp if len(p) >= 2]:
+        n = len(piece)
+        best = [0] + [None] * n
+        for i in range(1, n + 1):
+            cands = []
+            for st in range(max(1, i - MAX_PIECE_LEN + 1), i + 1):
+                sub = piece[st - 1:i]
+                if (st, i) == (1, n):
+                    continue            # identity span excluded
+                if sub in lp and best[st - 1] is not None:
+                    cands.append(best[st - 1] - lp[sub])
+            best[i] = min(cands) if cands else None
+        out[piece] = best[n]
+    return out
+
+
+def _ref_train_pruned(texts):
+    from star_schema_etl_airflow_spark.operators.unigram import (
+        prune_schedule,
+    )
+
+    counts, lp, words = _ref_train(texts)
+    for keep in prune_schedule():
+        alt = _ref_alt_costs(lp)
+        loss = {
+            p: counts[p] * (alt[p] + lp[p])
+            for p in counts if len(p) >= 2
+        }
+        kept = sorted(loss, key=lambda p: (-loss[p], p))[:keep]
+        pieces = {p for p in counts if len(p) == 1} | set(kept)
+        lp = _ref_scored({p: counts[p] for p in pieces})
+        c: Counter = Counter()
+        for w, f in words.items():
+            for piece in _ref_viterbi(w, lp):
+                c[piece] += f
+        counts = {p: c.get(p, 0) for p in pieces}
+        lp = _ref_scored(counts)
+    return counts, lp, words
+
+
+def test_pruned_train_matches_reference_on_fixture(spark):
+    from star_schema_etl_airflow_spark.operators.unigram import (
+        PRUNE_TARGET_MULTI,
+        train_unigram_pruned,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    texts = [r.text for r in docs.select("text").collect()]
+    counts, lp, _ = _ref_train_pruned(texts)
+    vocab, _words = train_unigram_pruned(docs)
+    got = {r.piece: (r.n, r.lp_micro) for r in vocab.collect()}
+    assert got == {p: (counts[p], lp[p]) for p in counts}
+    n_multi = sum(1 for p in got if len(p) >= 2)
+    assert n_multi == PRUNE_TARGET_MULTI
+    # coverage invariant: every single char survived pruning
+    assert {p for p in counts if len(p) == 1} <= set(got)
+
+
+def test_prune_schedule_is_the_documented_trajectory():
+    from star_schema_etl_airflow_spark.operators.unigram import (
+        prune_schedule,
+    )
+
+    assert prune_schedule() == [32, 26, 21, 20]
+    assert prune_schedule(10, 0.5, 3) == [5, 3]
+
+
+def test_prune_drops_the_lowest_loss_pieces_first(spark):
+    """A piece that the EM rounds stopped using (n = 0) has zero
+    likelihood loss and must be pruned before any piece still in use."""
+    from star_schema_etl_airflow_spark.operators.unigram import (
+        prune_round, train_unigram,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    vocab, words = train_unigram(docs)
+    unused = {
+        r.piece for r in vocab.collect() if len(r.piece) >= 2 and r.n == 0
+    }
+    if not unused:
+        import pytest as _pytest
+        _pytest.skip("fixture vocab has no unused multi pieces")
+    kept = {
+        r.piece
+        for r in prune_round(vocab, words, 32).collect()
+        if len(r.piece) >= 2
+    }
+    assert len(unused) > len(unused & kept) or len(unused) <= 40 - 32
+    assert not (unused & kept) or len(unused) > 8
