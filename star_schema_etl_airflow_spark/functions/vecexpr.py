@@ -70,6 +70,17 @@ def unrolled_int_dot(a: str, b: str, dim: int) -> str:
     )
 
 
+def unrolled_int_sqdist(a: str, b: str, dim: int) -> str:
+    """Squared L2 distance of two integer-typed arrays, accumulated in
+    BIGINT — exact under any association (the fixed-point kmeans‖ /
+    IVF cell-assignment path)."""
+    terms = []
+    for d in range(dim):
+        diff = f"(cast({a}[{d}] as bigint) - cast({b}[{d}] as bigint))"
+        terms.append(f"{diff} * {diff}")
+    return " + ".join(terms)
+
+
 def unrolled_sqdist(a: str, b: str, dim: int) -> str:
     """Squared L2 distance, unrolled; term order and double accumulation
     match the ``aggregate(zip_with(...))`` left fold."""

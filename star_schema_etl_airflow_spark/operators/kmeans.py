@@ -167,3 +167,197 @@ def kmeans_fit(
     from star_schema_etl_airflow_spark.functions.caching import persist_once
 
     return assigned.select("vec_id", "cluster"), persist_once(centroids)
+
+
+# --- k-means‖ scalable init (Bahmani et al., VLDB 2012) ---------------------
+#
+# Deterministic, oracle-checkable variant over INT64 FIXED-POINT vectors
+# (the ``plans/pq.py`` sv contract: sv[i] = floor(x·1e6 + 0.5)):
+# - the Bernoulli oversampling draw is a seedable integer hash
+#   u(vec_id, round) ∈ [0, 2^31), compared against the paper's
+#   probability  l · d²(x, C) / φ_X(C)  — d² is an exact BIGINT sum and
+#   φ an exact DECIMAL(38,0) sum, so the accept predicate evaluates the
+#   identical doubles in any engine / partitioning;
+# - per round, d²-to-C is a broadcast argmin (C is candidate-sized,
+#   never corpus-sized) and the shuffle carries one row per vector;
+# - the weighted re-cluster runs over the CANDIDATE set only
+#   (≈ 1 + rounds·l rows — control-plane sized), with exact
+#   DECIMAL(38,0) weighted sums for the means.
+
+KMPAR_HASH_A = 2654435761        # Knuth multiplicative constant
+KMPAR_HASH_B = 40503
+KMPAR_HASH_M = 2_147_483_648     # 2^31
+
+
+def _u31(id_col: str, r: int) -> str:
+    """Deterministic per-(vector, round) draw in [0, 2^31) — the
+    seedable stand-in for the paper's uniform variate, identical
+    BIGINT arithmetic in Spark SQL and DuckDB."""
+    return (f"(({id_col} + 1) * {KMPAR_HASH_A} + {r} * {KMPAR_HASH_B}) "
+            f"% {KMPAR_HASH_M}")
+
+
+def _int_sqdist(a: str, b: str, dim: int) -> str:
+    from star_schema_etl_airflow_spark.functions.vecexpr import (
+        unrolled_int_sqdist,
+    )
+
+    return unrolled_int_sqdist(a, b, dim)
+
+
+def _mix_sqdist(a_int: str, b_dbl: str, dim: int) -> str:
+    from star_schema_etl_airflow_spark.functions.vecexpr import (
+        unrolled_sqdist,
+    )
+
+    return unrolled_sqdist(a_int, b_dbl, dim)
+
+
+def scalable_init(
+    svecs: DataFrame,
+    k: int,
+    l: int,
+    rounds: int,
+    dim: int,
+    relloyd: int = 2,
+) -> DataFrame:
+    """k-means‖ init: ``rounds`` oversampling passes (each point joins
+    the candidate set with probability min(1, l·d²/φ), drawn by the
+    deterministic hash), then candidate weighting (corpus-size argmin)
+    and ``relloyd`` weighted Lloyd iterations over the candidate set
+    (init: the ``k`` lowest candidate ids).  Returns ``(cluster, c)``
+    centers with ``c`` a DOUBLE array in the sv fixed-point scale.
+
+    ``svecs`` must carry ``(vec_id, sv)`` with ``sv`` an INT64 array
+    (fixed-point) — what keeps every distance / φ / mean exact and the
+    whole init differentially checkable."""
+    cand = (
+        svecs.orderBy("vec_id").limit(1)
+        .select(F.col("vec_id").alias("cid"), "sv")
+        .localCheckpoint()
+    )
+    d_cc = _int_sqdist("v.sv", "c.sv", dim)
+    for r in range(1, rounds + 1):
+        d2 = (
+            svecs.alias("v")
+            .crossJoin(F.broadcast(cand.alias("c")))
+            .select("v.vec_id", F.expr(d_cc).alias("d"))
+            .groupBy("vec_id")
+            .agg(F.min("d").alias("d2"))
+        )
+        phi = d2.agg(
+            F.sum(F.col("d2").cast("decimal(38,0)"))
+            .cast("double").alias("phi")
+        )
+        accept = (
+            f"cast({_u31('vec_id', r)} as double) < "
+            f"(cast({l} as double) * cast(d2 as double) / phi) "
+            f"* {KMPAR_HASH_M}.0d"
+        )
+        sampled = (
+            svecs.join(d2, "vec_id")
+            .crossJoin(F.broadcast(phi))
+            .filter((F.col("d2") > 0) & F.expr(accept))
+            .select(F.col("vec_id").alias("cid"), "sv")
+        )
+        cand = cand.unionByName(sampled).localCheckpoint()
+    # weight candidates by the size of their Voronoi cell (ties: lowest
+    # candidate id).  Every candidate is itself a corpus point, so each
+    # weight is >= 1.
+    wts = (
+        svecs.alias("v")
+        .crossJoin(F.broadcast(cand.alias("c")))
+        .select("v.vec_id", F.col("c.cid").alias("cid"),
+                F.expr(d_cc).alias("d"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d", "cid")).alias("b"))
+        .groupBy(F.col("b.cid").alias("cid"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    candw = (
+        cand.join(wts, "cid", "left")
+        .select("cid", "sv", F.coalesce("w", F.lit(0)).alias("w"))
+        .localCheckpoint()
+    )
+    centers = (
+        candw.orderBy("cid").limit(k)
+        .select(
+            F.col("cid").alias("cluster"),
+            F.expr("transform(sv, x -> cast(x as double))").alias("c"),
+        )
+        .localCheckpoint()
+    )
+    d_cd = _mix_sqdist("a.sv", "b.c", dim)
+    for _j in range(relloyd):
+        assigned = (
+            candw.alias("a")
+            .crossJoin(F.broadcast(centers.alias("b")))
+            .select("a.cid", "a.sv", "a.w", F.col("b.cluster").alias("cl"),
+                    F.expr(d_cd).alias("d"))
+            .groupBy("cid")
+            .agg(
+                F.min(F.struct("d", "cl")).alias("best"),
+                F.first("sv").alias("sv"),
+                F.first("w").alias("w"),
+            )
+            .select(F.col("best.cl").alias("cluster"), "sv", "w")
+        )
+        ex = assigned.select(
+            "cluster", "w", F.posexplode("sv").alias("dim", "val")
+        )
+        means = ex.groupBy("cluster", "dim").agg(
+            (
+                F.sum(F.col("val").cast("decimal(38,0)") * F.col("w"))
+                .cast("double")
+                / F.sum("w")
+            ).alias("m")
+        )
+        centers = means.groupBy("cluster").agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, m))), "
+                "s -> s.m)"
+            ).alias("c")
+        ).localCheckpoint()
+    return centers
+
+
+def lloyd_refine_sv(
+    svecs: DataFrame, centers: DataFrame, n_iter: int, dim: int
+) -> tuple[DataFrame, DataFrame]:
+    """Lloyd iterations in the sv fixed-point space from explicit
+    initial ``(cluster, c)`` DOUBLE centers (the k-means‖ handoff):
+    broadcast argmin assignment, exact DECIMAL(38,0) mean updates.
+    Returns ``(assignment, centers)``."""
+    d_cd = _mix_sqdist("a.sv", "b.c", dim)
+    assigned = None
+    for i in range(n_iter):
+        assigned = (
+            svecs.alias("a")
+            .crossJoin(F.broadcast(centers.alias("b")))
+            .select("a.vec_id", "a.sv", F.col("b.cluster").alias("cl"),
+                    F.expr(d_cd).alias("d"))
+            .groupBy("vec_id")
+            .agg(
+                F.min(F.struct("d", "cl")).alias("best"),
+                F.first("sv").alias("sv"),
+            )
+            .select("vec_id", "sv", F.col("best.cl").alias("cluster"))
+            .localCheckpoint()
+        )
+        ex = assigned.select(
+            "cluster", F.posexplode("sv").alias("dim", "val")
+        )
+        means = ex.groupBy("cluster", "dim").agg(
+            (
+                F.sum(F.col("val").cast("decimal(38,0)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+        cents = means.groupBy("cluster").agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, m))), "
+                "s -> s.m)"
+            ).alias("c")
+        )
+        centers = cents if i == n_iter - 1 else cents.localCheckpoint()
+    return assigned.select("vec_id", "cluster"), centers

@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 
 from star_schema_etl_airflow_spark.plans.ivfpq import (
     IVFPQ_ORACLE,
+    NCELLS,
     _adc_scores,
     _trained_cells,
     _trained_oracle,
@@ -170,7 +171,50 @@ register(QuerySpec("embed_ivfpq_opq", embed_ivfpq_opq,
                    tags=("llm", "ann", "OPQ")))
 
 
-# --- variant eval: band vs trained vs OPQ ------------------------------------
+# --- variant eval: band vs trained vs kmeans‖-trained vs OPQ -----------------
+
+
+def _scalable_trained_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarse cells from k-means‖ init + Lloyd refinement
+    (``plans/kmeans_scalable.py``), frozen per (application, sf_dir)
+    like every other IVFADC artifact — the r15-verdict ablation row
+    measuring what the scalable init buys over the lowest-vec_id
+    init's 0.16–0.31 recall band."""
+    from star_schema_etl_airflow_spark.plans.ivfpq import (
+        _fixture_fingerprint,
+        frozen_artifact,
+    )
+    from star_schema_etl_airflow_spark.plans.kmeans_scalable import (
+        fit_scalable_cells,
+    )
+
+    return frozen_artifact(
+        spark,
+        ("scalable_cells", sf_dir, _fixture_fingerprint(sf_dir)),
+        lambda: fit_scalable_cells(spark, sf_dir),
+    )
+
+
+def _scalable_oracle() -> str:
+    """The IVFADC oracle with cells from the k-means‖ chain — the same
+    two-point surgery as ``_trained_oracle`` (cells CTE swap + chain
+    splice)."""
+    from star_schema_etl_airflow_spark.plans.kmeans_scalable import (
+        SCALABLE_CELLS_CTE,
+        kmpar_ctes,
+        kmpar_refine_ctes,
+    )
+
+    band_cells = f"""cells AS (
+  SELECT vec_id AS cell, sv AS csv FROM sv
+  WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES} + {NCELLS}
+),"""
+    assert band_cells in IVFPQ_ORACLE
+    body = IVFPQ_ORACLE.replace(band_cells, SCALABLE_CELLS_CTE)
+    return body.replace(
+        "\nWITH sv AS (",
+        f"\nWITH {kmpar_ctes()},\n{kmpar_refine_ctes()},\nsv AS (",
+    )
 
 
 def ivfpq_variant_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -209,6 +253,7 @@ def ivfpq_variant_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     variants = [
         ("band", {}),
         ("trained", {"cells_of": _trained_cells}),
+        ("trained_scal", {"cells_of": _scalable_trained_cells}),
         ("opq", {"cells_of": _rotated_trained_cells,
                  "rotate": _rot_spark("sv")}),
     ]
@@ -278,6 +323,7 @@ def _variant_eval_oracle() -> str:
     chains = ",\n".join([
         _suffixed_chain(IVFPQ_ORACLE, "_b"),
         _suffixed_chain(_trained_oracle(), "_t"),
+        _suffixed_chain(_scalable_oracle(), "_s"),
         _suffixed_chain(_opq_oracle(), "_o"),
     ])
     exact = f"""exact AS (
@@ -294,6 +340,7 @@ def _variant_eval_oracle() -> str:
     selects = " UNION ALL ".join([
         _variant_select("band", "_b"),
         _variant_select("trained", "_t"),
+        _variant_select("trained_scal", "_s"),
         _variant_select("opq", "_o"),
     ])
     return f"WITH {chains},\n{exact}\n{selects}"

@@ -88,6 +88,7 @@ def _ensure_loaded() -> None:
         ivfpq_opq,
         ivm_queries,
         jl_projection,
+        kmeans_scalable,
         kmv_overlap,
         llm_decontam,
         llm_dedup,
