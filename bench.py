@@ -204,6 +204,10 @@ def main() -> None:
         # rounds the 3-SF correctness record already gauges.
         "embed_ivfpq_opq",
         "dedup_clusters_bigstar",
+        # r16 — non-gating until two quiet records; the OPH signature's
+        # claimed speedup over the K-rehash headline entry
+        # (dedup_minhash_lsh) is read off these two figures directly.
+        "dedup_minhash_oph",
     )
     # One-time artifact figures (r14 verdict task 3): the trained coarse
     # quantizer is frozen per (session, sf) — plans/ivfpq.py

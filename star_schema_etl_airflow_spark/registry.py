@@ -101,6 +101,7 @@ def _ensure_loaded() -> None:
         llm_pipeline6,
         llm_pipeline7,
         unigram_queries,
+        video_dedup,
         llm_quantize,
         llm_sampling,
         llm_similarity,
@@ -108,6 +109,7 @@ def _ensure_loaded() -> None:
         multimodal_queries,
         ngram_lm,
         operators_basic,
+        oph,
         pq,
         pudf_queries,
         ql_retrieval,
