@@ -360,3 +360,111 @@ FROM counts
 
 register(QuerySpec("dedup_minhash_oph_eval", dedup_minhash_oph_eval,
                    _oph_eval_oracle(), tags=("LLM-DEDUP", "EVAL")))
+
+
+# --- Arrow-lane signature twin ----------------------------------------------
+
+
+def oph_signature_arrow(docs: DataFrame) -> DataFrame:
+    """The OPH signature with the hash-min stage in the vectorized
+    Arrow lane: the md5 shingle pass stays JVM-side (built-in, shared
+    with every MinHash variant), then ONE ``mapInPandas`` kernel
+    computes all K bins in a single ``np.minimum.at`` scatter and
+    densifies with K vectorized rotation passes — the form
+    ``tools/oph_curve.py`` measured ~K× faster than per-bin passes,
+    and the one the paper's "one permutation" actually means.
+    Output is BIT-IDENTICAL to :func:`oph_signature_of` (same integer
+    arithmetic), so both implementations register against the SAME
+    DuckDB oracle."""
+    from pyspark.sql import types as T
+
+    sets = docs.select(
+        F.col("doc_id"),
+        F.expr(
+            f"array_distinct({shingle_hashes_spark(_SH_S)})"
+        ).alias("hashes"),
+    )
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        sentinel = np.iinfo(np.int64).max
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                yield pd.DataFrame(
+                    columns=["doc_id", "hashes"]
+                    + [f"mh{j}" for j in range(K_BINS)]
+                )
+                continue
+            arrs = [np.asarray(h, dtype=np.int64) for h in pdf["hashes"]]
+            lens = np.array([len(a) for a in arrs])
+            flat = (np.concatenate([a for a in arrs if len(a)])
+                    if lens.sum() else np.empty(0, np.int64))
+            doc_idx = np.repeat(np.arange(n), lens)
+            p = (OPH_A * flat + OPH_B) % UHASH_P
+            m = np.full(n * K_BINS, sentinel, dtype=np.int64)
+            np.minimum.at(m, doc_idx * K_BINS + p % K_BINS, p // K_BINS)
+            bins = m.reshape(n, K_BINS)
+            res = bins.copy()
+            need = bins == sentinel
+            for t in range(1, K_BINS):
+                src = np.roll(bins, -t, axis=1)     # column (j+t) % K
+                ok = need & (src != sentinel)
+                res[ok] = src[ok] + t * OPH_C
+                need &= ~ok
+            out = {"doc_id": pdf["doc_id"].values, "hashes": pdf["hashes"]}
+            for j in range(K_BINS):
+                col = pd.array(res[:, j], dtype="Int64")
+                col[need[:, j]] = pd.NA        # shingle-less documents
+                out[f"mh{j}"] = col
+            yield pd.DataFrame(out)
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()),
+         T.StructField("hashes", T.ArrayType(T.LongType()))]
+        + [T.StructField(f"mh{j}", T.LongType())
+           for j in range(K_BINS)]
+    )
+    return sets.mapInPandas(kernel, schema=schema)
+
+
+def dedup_minhash_oph_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_minhash_oph`` with the Arrow-lane signature — registered
+    against the IDENTICAL oracle, so the differential harness proves
+    the two signature implementations (interpreted HOF vs vectorized
+    numpy) bit-equal end to end."""
+    from star_schema_etl_airflow_spark.functions.caching import (
+        persist_once,
+    )
+
+    sig = persist_once(oph_signature_arrow(build_corpus(spark, sf_dir)))
+    buckets = band_buckets(sig)
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh = sig.select("doc_id", "hashes")
+    return (
+        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sh.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a", "doc_b",
+            F.expr(jaccard_spark("sa.hashes", "sb.hashes"))
+            .alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+register(QuerySpec("dedup_minhash_oph_arrow", dedup_minhash_oph_arrow,
+                   DEDUP_MINHASH_OPH_ORACLE, tags=("LLM-DEDUP",)))

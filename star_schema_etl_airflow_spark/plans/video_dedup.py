@@ -336,3 +336,245 @@ WHERE ROUND(CAST(c.n_shared AS DOUBLE)
 
 register(QuerySpec("video_dedup_sequence", video_dedup_sequence,
                    VIDEO_DEDUP_ORACLE, tags=("LLM-dedup", "multimodal")))
+
+
+# --- incremental (delta-vs-corpus) probe ------------------------------------
+
+# The recurring-crawl shape (the dedup_incremental / semdedup_incremental
+# conventions): a delta batch of newly-ingested videos is probed against
+# the AT-REST corpus's standing shingle index — the corpus side is one
+# standing relation (at deployment: a stored inverted index, bucketed by
+# shingle), never re-paired against itself, and only the delta is hashed
+# fresh.  Synthetic delta, closed-form on both engines:
+#  - re-ingested copies of every 6th at-rest video (id + 6M) with a NEW
+#    brightness shift and a flipped one-frame temporal offset (ordinal
+#    + 1) — the probe must match them to their sources;
+#  - genuinely-new videos for every 10th (id + 7M): a salted motif
+#    stream no at-rest video shares — must match nothing.
+
+VDELTA_RECRAWL_OFFSET = 6_000_000
+VDELTA_FRESH_OFFSET = 7_000_000
+VDELTA_RECRAWL_MOD = 6
+VDELTA_FRESH_MOD = 10
+FRESH_SALT = 999_983
+
+
+def _delta_frame_hash_kernel(base_mod: int):
+    def kernel(batches):
+        import pandas as pd
+
+        from star_schema_etl_airflow_spark.plans.image_dedup import (
+            dhash_bands_from_png,
+        )
+        from star_schema_etl_airflow_spark.sources.multimodal import (
+            _png_encode,
+        )
+
+        def png(motif, shift):
+            px = bytearray()
+            for y in range(IMG_H):
+                gy = y // CELL
+                for x in range(IMG_W):
+                    gx = x // CELL
+                    px.append(_cell_base(motif, gx, gy) + shift)
+            return _png_encode(bytes(px), IMG_W, IMG_H, color_type=0)
+
+        for pdf in batches:
+            rows = []
+            for src in pdf["doc_id"]:
+                src = int(src)
+                if src % VSEQ_DOC_MOD != 0:
+                    continue
+                n = VSEQ_MIN_FRAMES + src % VSEQ_VAR
+                cop = _copy_ordinal(src, base_mod)
+                if src % VDELTA_RECRAWL_MOD == 0:
+                    off = (cop + 1) % 2           # flipped offset
+                    shift = (cop + 1) % SHIFT_MOD  # new brightness
+                    for f in range(n):
+                        motif = ((src % base_mod) * 1000003
+                                 + (f + off) * 10007) % MOTIF_P
+                        bands = dhash_bands_from_png(png(motif, shift))
+                        rows.append((
+                            src + VDELTA_RECRAWL_OFFSET, f,
+                            "_".join(str(b) for b in bands),
+                        ))
+                if src % VDELTA_FRESH_MOD == 0:
+                    off = cop % 2
+                    shift = cop % SHIFT_MOD
+                    for f in range(n):
+                        motif = ((src % base_mod) * 1000003
+                                 + (f + off) * 10007
+                                 + FRESH_SALT) % MOTIF_P
+                        bands = dhash_bands_from_png(png(motif, shift))
+                        rows.append((
+                            src + VDELTA_FRESH_OFFSET, f,
+                            "_".join(str(b) for b in bands),
+                        ))
+            yield pd.DataFrame(rows, columns=["doc_id", "f", "h"])
+
+    return kernel
+
+
+def _shingles_of(frames: DataFrame) -> DataFrame:
+    a, b = frames.alias("fa"), frames.alias("fb")
+    return (
+        a.join(
+            b,
+            (F.col("fa.doc_id") == F.col("fb.doc_id"))
+            & (F.col("fb.f") == F.col("fa.f") + 1),
+        )
+        .select(
+            F.col("fa.doc_id").alias("doc_id"),
+            F.expr("md5(concat(fa.h, '|', fb.h))").alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def video_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(delta_id, corpus_id, n_shared, sim): delta videos probed
+    against the at-rest shingle index — delta × at-rest pairs ONLY
+    (no at-rest self-pairing, no corpus re-pairing), the standing-
+    index join a recurring crawl runs."""
+    from pyspark.sql import types as T
+
+    from star_schema_etl_airflow_spark.functions.caching import (
+        persist_once,
+    )
+    from star_schema_etl_airflow_spark.plans.multimodal_queries import (
+        _spread,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    base_mod = vseq_bases(docs.count())
+    at_rest = persist_once(
+        _shingles_of(video_frame_hashes(docs, base_mod))
+    )
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("f", T.IntegerType()),
+        T.StructField("h", T.StringType()),
+    ])
+    delta_frames = _spread(docs.select("doc_id")).mapInPandas(
+        _delta_frame_hash_kernel(base_mod), schema=schema
+    )
+    delta = persist_once(_shingles_of(delta_frames))
+    na = at_rest.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nc"))
+    nd = delta.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nd"))
+    d, c = delta.alias("d"), at_rest.alias("c")
+    cand = (
+        d.join(c, F.col("d.shingle") == F.col("c.shingle"))
+        .groupBy(
+            F.col("d.doc_id").alias("delta_id"),
+            F.col("c.doc_id").alias("corpus_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        cand
+        .join(nd.select(F.col("doc_id").alias("delta_id"), "nd"),
+              "delta_id")
+        .join(na.select(F.col("doc_id").alias("corpus_id"), "nc"),
+              "corpus_id")
+        .select(
+            "delta_id", "corpus_id",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("nd") + F.col("nc") - F.col("n_shared"))
+                .cast("double"),
+                SIM_DECIMALS,
+            ).alias("sim"),
+        )
+        .filter(F.col("sim") >= VSEQ_SIM)
+    )
+
+
+VIDEO_INCR_ORACLE = f"""
+WITH bm AS (SELECT {_BASE_MOD_SQL} AS m),
+vids AS (
+  SELECT doc_id,
+         {VSEQ_MIN_FRAMES} + doc_id % {VSEQ_VAR} AS n,
+         doc_id % bm.m AS base,
+         (doc_id // ({VSEQ_DOC_MOD} * bm.m)) AS cop
+  FROM documents, bm
+  WHERE doc_id % {VSEQ_DOC_MOD} = 0
+),
+allf AS (
+  SELECT doc_id, f.f,
+         (base * 1000003 + (f.f + cop % 2) * 10007) % {MOTIF_P} AS motif
+  FROM vids, LATERAL unnest(range(0, n)) AS f(f)
+  UNION ALL
+  SELECT doc_id + {VDELTA_RECRAWL_OFFSET}, f.f,
+         (base * 1000003 + (f.f + (cop + 1) % 2) * 10007) % {MOTIF_P}
+  FROM vids, LATERAL unnest(range(0, n)) AS f(f)
+  WHERE doc_id % {VDELTA_RECRAWL_MOD} = 0
+  UNION ALL
+  SELECT doc_id + {VDELTA_FRESH_OFFSET}, f.f,
+         (base * 1000003 + (f.f + cop % 2) * 10007 + {FRESH_SALT})
+           % {MOTIF_P}
+  FROM vids, LATERAL unnest(range(0, n)) AS f(f)
+  WHERE doc_id % {VDELTA_FRESH_MOD} = 0
+),
+vmix AS (
+  SELECT doc_id, f, gy, gx,
+         ((xor(h1, h1 >> 15) * {MIX_B}) % {MIX_M}) AS h2
+  FROM (
+    SELECT doc_id, f, gy.g AS gy, gx.g AS gx,
+           ((motif + gx.g * 131 + gy.g * 137) * {MIX_A}) % {MIX_M} AS h1
+    FROM allf,
+         generate_series(0, {GRID_W - 1}) gx(g),
+         generate_series(0, {GRID_H - 1}) gy(g)
+  )
+),
+vcells AS (
+  SELECT doc_id, f, gy, gx,
+         {CELL * CELL} * (xor(h2, h2 >> 12) % {PAT_MOD}) AS cell
+  FROM vmix
+),
+vbits AS (
+  SELECT a.doc_id, a.f, (a.gy * {GRID_W - 1} + a.gx) AS bitpos,
+         CASE WHEN a.cell > b.cell THEN 1 ELSE 0 END AS bit
+  FROM vcells a
+  JOIN vcells b ON a.doc_id = b.doc_id AND a.f = b.f
+               AND a.gy = b.gy AND b.gx = a.gx + 1
+  WHERE a.gx < {GRID_W - 1}
+),
+vhash AS (
+  SELECT doc_id, f,
+         {_BAND_COLS}
+  FROM vbits GROUP BY doc_id, f
+),
+vh AS (
+  SELECT doc_id, f,
+         b0::VARCHAR || '_' || b1::VARCHAR || '_' || b2::VARCHAR
+           || '_' || b3::VARCHAR AS h
+  FROM vhash
+),
+vsh AS (
+  SELECT DISTINCT a.doc_id, md5(a.h || '|' || b.h) AS shingle
+  FROM vh a JOIN vh b ON a.doc_id = b.doc_id AND b.f = a.f + 1
+),
+atr AS (SELECT * FROM vsh WHERE doc_id < {VDELTA_RECRAWL_OFFSET}),
+dlt AS (SELECT * FROM vsh WHERE doc_id >= {VDELTA_RECRAWL_OFFSET}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM vsh GROUP BY doc_id),
+vcand AS (
+  SELECT d.doc_id AS delta_id, c.doc_id AS corpus_id,
+         COUNT(*) AS n_shared
+  FROM dlt d JOIN atr c ON d.shingle = c.shingle
+  GROUP BY 1, 2
+)
+SELECT v.delta_id, v.corpus_id, CAST(v.n_shared AS BIGINT) AS n_shared,
+       ROUND(CAST(v.n_shared AS DOUBLE)
+             / CAST(sd.n_sh + sc.n_sh - v.n_shared AS DOUBLE),
+             {SIM_DECIMALS}) AS sim
+FROM vcand v
+JOIN sizes sd ON sd.doc_id = v.delta_id
+JOIN sizes sc ON sc.doc_id = v.corpus_id
+WHERE ROUND(CAST(v.n_shared AS DOUBLE)
+            / CAST(sd.n_sh + sc.n_sh - v.n_shared AS DOUBLE),
+            {SIM_DECIMALS}) >= {VSEQ_SIM}
+"""
+
+register(QuerySpec("video_dedup_incremental", video_dedup_incremental,
+                   VIDEO_INCR_ORACLE, tags=("LLM-dedup", "multimodal")))

@@ -96,3 +96,44 @@ def test_oph_recall_parity_with_krehash(spark):
     assert r.recall_exact == 1.0
     assert r.n_relevant_near > 0 and r.n_tp_near >= 0
     assert r.cand_precision > 0.5
+
+
+def test_arrow_signature_equals_hof_signature(spark):
+    """The vectorized (numpy/Arrow) signature must be bit-identical to
+    the interpreted HOF form — same integer arithmetic, two
+    independent implementations, one oracle."""
+    from star_schema_etl_airflow_spark.plans.llm_dedup import build_corpus
+    from star_schema_etl_airflow_spark.plans.oph import (
+        oph_signature_arrow,
+        oph_signature_of,
+    )
+
+    corpus = build_corpus(spark, SF_DIR)
+    cols = [f"mh{j}" for j in range(K_BINS)]
+    a = {r.doc_id: tuple(r[c] for c in cols)
+         for r in oph_signature_of(corpus).collect()}
+    b = {r.doc_id: tuple(r[c] for c in cols)
+         for r in oph_signature_arrow(corpus).collect()}
+    assert a == b
+
+
+def test_arrow_signature_matches_hof_on_degenerate_docs(spark):
+    """Short docs collapse to one whole-doc shingle; an empty doc has
+    an empty shingle set — the Arrow kernel must agree with the HOF
+    form on both (the all-empty-bins densification path)."""
+    from star_schema_etl_airflow_spark.plans.oph import (
+        oph_signature_arrow,
+        oph_signature_of,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "only two"), (2, "three word doc here"), (3, "")],
+        "doc_id long, text string",
+    )
+    cols = [f"mh{j}" for j in range(K_BINS)]
+    a = {r.doc_id: tuple(r[c] for c in cols)
+         for r in oph_signature_of(docs).collect()}
+    b = {r.doc_id: tuple(r[c] for c in cols)
+         for r in oph_signature_arrow(docs).collect()}
+    assert a == b
+    assert all(v is not None for v in a[2])

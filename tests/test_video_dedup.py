@@ -114,3 +114,31 @@ def test_registered_query_nonempty_and_thresholded(spark):
     assert len(rows) > 0
     assert all(r.sim >= VSEQ_SIM for r in rows)
     assert all(r.vid_a < r.vid_b for r in rows)
+
+
+def test_incremental_recrawls_match_sources_fresh_match_nothing(spark):
+    from star_schema_etl_airflow_spark.plans.video_dedup import (
+        VDELTA_FRESH_OFFSET,
+        VDELTA_RECRAWL_OFFSET,
+        video_dedup_incremental,
+    )
+
+    rows = video_dedup_incremental(spark, SF_DIR).collect()
+    assert rows
+    matches: dict = {}
+    for r in rows:
+        matches.setdefault(r.delta_id, []).append((r.corpus_id, r.sim))
+    # no fresh video matched anything
+    assert not any(d >= VDELTA_FRESH_OFFSET for d in matches)
+    # every re-ingested copy matched its own source (offset flipped,
+    # brightness changed — the probe must still align it)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_docs = docs.count()
+    recrawl_srcs = [
+        r["doc_id"] for r in docs.select("doc_id").collect()
+        if r["doc_id"] % 6 == 0 and r["doc_id"] % 2 == 0
+    ]
+    for src in recrawl_srcs:
+        d = src + VDELTA_RECRAWL_OFFSET
+        assert d in matches, src
+        assert any(c == src for c, _s in matches[d]), src
