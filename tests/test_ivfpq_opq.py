@@ -36,7 +36,7 @@ def test_opq_beats_trained_and_trained_beats_band(spark):
     and opq — rotation changes code geometry, never the probed
     candidate set."""
     rows = {r.variant: r for r in ivfpq_variant_eval(spark, SF_DIR).collect()}
-    assert set(rows) == {"band", "trained", "opq"}
+    assert set(rows) == {"band", "trained", "trained_scal", "opq"}
     assert rows["trained"].recall_codes > rows["band"].recall_codes
     assert rows["opq"].recall_codes > rows["trained"].recall_codes
     assert rows["opq"].n_scored == rows["trained"].n_scored
