@@ -312,6 +312,51 @@ register(QuerySpec("unigram_prune", unigram_prune, _unigram_prune_oracle(),
                    tags=("llm", "TOKENIZER")))
 
 
+def unigram_pruned_encode_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(token, n_tokens): corpus census under the PRUNED vocabulary —
+    the encode pass of the full Kudo trainer, feeding the pruned row
+    of ``tokenizer_eval``."""
+    from star_schema_etl_airflow_spark.operators.unigram import (
+        train_unigram_pruned,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    vocab, words = train_unigram_pruned(docs)
+    seg = segment_words(words, vocab)
+    return (
+        seg.select(F.explode("tokens").alias("token"), "freq")
+        .groupBy("token")
+        .agg(F.sum("freq").cast("long").alias("n_tokens"))
+    )
+
+
+def _pruned_encode_oracle() -> str:
+    from star_schema_etl_airflow_spark.operators.unigram import (
+        prune_schedule,
+    )
+
+    sched = prune_schedule()
+    iters = ",\n".join(
+        _prune_iter_ctes(
+            k + 1,
+            f"v{T_EM}" if k == 0 else f"v{T_EM + k}",
+            keep,
+        )
+        for k, keep in enumerate(sched)
+    )
+    t_enc = T_EM + len(sched) + 1
+    enc = _round_ctes(t_enc, f"v{T_EM + len(sched)}",
+                      pieces=f"pv{len(sched)}_n")
+    return f"""
+WITH {_TRAIN_CTES},
+{iters},
+{enc}
+SELECT piece AS token, CAST(n AS BIGINT) AS n_tokens FROM cnt{t_enc}
+"""
+
+
 # --- tokenizer comparison eval ----------------------------------------------
 
 
@@ -355,9 +400,13 @@ def tokenizer_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    return stats(bpe_encode_census(spark, sf_dir), "bpe") \
+    return (
+        stats(bpe_encode_census(spark, sf_dir), "bpe")
         .unionByName(stats(unigram_encode_census(spark, sf_dir),
                            "unigram"))
+        .unionByName(stats(unigram_pruned_encode_census(spark, sf_dir),
+                           "unigram_pruned"))
+    )
 
 
 def _tokenizer_eval_oracle() -> str:
@@ -381,6 +430,9 @@ bpe_census AS (
 ),
 uni_census AS (
   SELECT * FROM ({UNIGRAM_ENCODE_ORACLE})
+),
+unip_census AS (
+  SELECT * FROM ({_pruned_encode_oracle()})
 )
 SELECT 'bpe' AS tokenizer,
        CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_total,
@@ -394,6 +446,12 @@ SELECT 'unigram',
        CAST(COUNT(*) AS BIGINT),
        ROUND(CAST(c.chars AS DOUBLE) / SUM(n_tokens), 9)
 FROM uni_census CROSS JOIN chars c GROUP BY c.chars
+UNION ALL
+SELECT 'unigram_pruned',
+       CAST(SUM(n_tokens) AS BIGINT),
+       CAST(COUNT(*) AS BIGINT),
+       ROUND(CAST(c.chars AS DOUBLE) / SUM(n_tokens), 9)
+FROM unip_census CROSS JOIN chars c GROUP BY c.chars
 """
 
 

@@ -189,14 +189,20 @@ def test_tokenizer_eval_compares_the_two_trainers(spark):
     )
 
     rows = {r.tokenizer: r for r in tokenizer_eval(spark, SF_DIR).collect()}
-    assert set(rows) == {"bpe", "unigram"}
+    assert set(rows) == {"bpe", "unigram", "unigram_pruned"}
     for r in rows.values():
         assert r.n_tokens_total > 0 and r.n_distinct_tokens > 0
-        assert r.chars_per_token > 1.0   # both learned multi-char units
+        assert r.chars_per_token > 1.0   # all learned multi-char units
     # same corpus: chars = tokens x chars_per_token agrees across rows
     c_bpe = rows["bpe"].n_tokens_total * rows["bpe"].chars_per_token
     c_uni = rows["unigram"].n_tokens_total * rows["unigram"].chars_per_token
     assert abs(c_bpe - c_uni) / c_bpe < 1e-6
+    # pruning halves the multi-char vocab; compression must not
+    # collapse (the prune removed EM-orphaned pieces on this corpus)
+    assert (rows["unigram_pruned"].chars_per_token
+            >= rows["unigram"].chars_per_token * 0.9)
+    assert (rows["unigram_pruned"].n_distinct_tokens
+            <= rows["unigram"].n_distinct_tokens)
 
 
 # --- likelihood-loss pruning (Kudo'18 §3.2) --------------------------------
