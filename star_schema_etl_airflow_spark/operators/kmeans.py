@@ -236,9 +236,17 @@ def scalable_init(
         .select(F.col("vec_id").alias("cid"), "sv")
         .localCheckpoint()
     )
+    from star_schema_etl_airflow_spark.functions.caching import (
+        persist_once,
+    )
+
     d_cc = _int_sqdist("v.sv", "c.sv", dim)
     for r in range(1, rounds + 1):
-        d2 = (
+        # persist: d2 feeds BOTH the φ aggregate and the accept join —
+        # without it the corpus argmin (the round's dominant pass)
+        # plans twice with no ReusedExchange, doubling every round's
+        # corpus scan (r16 self-review finding)
+        d2 = persist_once(
             svecs.alias("v")
             .crossJoin(F.broadcast(cand.alias("c")))
             .select("v.vec_id", F.expr(d_cc).alias("d"))
@@ -262,8 +270,11 @@ def scalable_init(
         )
         cand = cand.unionByName(sampled).localCheckpoint()
     # weight candidates by the size of their Voronoi cell (ties: lowest
-    # candidate id).  Every candidate is itself a corpus point, so each
-    # weight is >= 1.
+    # candidate id).  A candidate CAN receive weight 0 — a duplicate
+    # corpus vector sampled alongside its twin loses the (d, cid)
+    # tie-break for every point including itself — hence the
+    # COALESCE(w, 0) below; zero-weight candidates contribute nothing
+    # to the weighted means but may still seed a re-cluster center.
     wts = (
         svecs.alias("v")
         .crossJoin(F.broadcast(cand.alias("c")))

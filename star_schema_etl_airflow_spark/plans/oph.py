@@ -110,15 +110,17 @@ def oph_signature_of(docs: DataFrame) -> DataFrame:
     )
 
 
-def dedup_minhash_oph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs with the OPH signature: identical
-    banding/bucket-join/verify to ``dedup_minhash_lsh`` — only the
-    signature construction differs (1 permutation pass vs K rehash
-    passes)."""
-    sig = persist_once(oph_signature_of(build_corpus(spark, sf_dir)))
-    buckets = band_buckets(sig)
+def _candidates(sig: DataFrame) -> DataFrame:
+    """Distinct banded candidate pairs of a signature relation.
+    Shingle-less documents (all-NULL signature) are EXCLUDED before
+    banding on BOTH engines: Spark's concat_ws would hash their NULL
+    bands to md5('') and pair every such doc, while the oracle's
+    ``||`` concatenation yields NULL keys that never join — filtering
+    them out makes the two semantics identical (r16 self-review
+    finding; such docs have no shingles to verify against anyway)."""
+    buckets = band_buckets(sig.filter(F.col("mh0").isNotNull()))
     a, b = buckets.alias("a"), buckets.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -129,6 +131,11 @@ def dedup_minhash_oph(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+def _verified_pairs(sig: DataFrame, cand: DataFrame) -> DataFrame:
+    """Exact-Jaccard verify of candidate pairs against the signature
+    relation's shingle-hash sets — shared by all three OPH queries."""
     sh = sig.select("doc_id", "hashes")
     return (
         cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
@@ -140,6 +147,15 @@ def dedup_minhash_oph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
+
+
+def dedup_minhash_oph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs with the OPH signature: identical
+    banding/bucket-join/verify to ``dedup_minhash_lsh`` — only the
+    signature construction differs (1 permutation pass vs K rehash
+    passes)."""
+    sig = persist_once(oph_signature_of(build_corpus(spark, sf_dir)))
+    return _verified_pairs(sig, _candidates(sig))
 
 
 # --- DuckDB oracle ----------------------------------------------------------
@@ -192,7 +208,7 @@ def _duck_oph_bands(name: str = "sigo") -> str:
         )
         parts.append(
             f"SELECT doc_id, {b} AS band_idx, md5({row}) AS band_key "
-            f"FROM {name}"
+            f"FROM {name} WHERE mh0 IS NOT NULL"
         )
     return "\nUNION ALL\n".join(parts)
 
@@ -235,30 +251,9 @@ def dedup_minhash_oph_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     sig = persist_once(oph_signature_of(build_corpus(spark, sf_dir)))
-    buckets = band_buckets(sig)
-    a, b = buckets.alias("a"), buckets.alias("b")
-    cand = persist_once(
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    sh = sig.select("doc_id", "hashes")
+    cand = persist_once(_candidates(sig))
     predicted = persist_once(
-        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sh.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
-        .select(
-            "doc_a", "doc_b",
-            F.expr(jaccard_spark("sa.hashes", "sb.hashes"))
-            .alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b")
+        _verified_pairs(sig, cand).select("doc_a", "doc_b")
     )
 
     def relevant(offset: int) -> DataFrame:
@@ -440,30 +435,7 @@ def dedup_minhash_oph_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     sig = persist_once(oph_signature_arrow(build_corpus(spark, sf_dir)))
-    buckets = band_buckets(sig)
-    a, b = buckets.alias("a"), buckets.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    sh = sig.select("doc_id", "hashes")
-    return (
-        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sh.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
-        .select(
-            "doc_a", "doc_b",
-            F.expr(jaccard_spark("sa.hashes", "sb.hashes"))
-            .alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-    )
+    return _verified_pairs(sig, _candidates(sig))
 
 
 register(QuerySpec("dedup_minhash_oph_arrow", dedup_minhash_oph_arrow,

@@ -6,9 +6,12 @@ trained tokenizer) — the EM siblings of ``bpe_train_merges`` /
 CTEs.
 
 Oracle mechanics: the Viterbi DP is unrolled RELATIONALLY — one CTE
-per word position (positions capped at ``MAXW`` with a loud
-``error()`` guard), each an argmin join against the 1..MAX_PIECE_LEN
-prior positions, then a backpointer walk of ``MAXW`` more CTEs.  No
+per word position (positions bounded by ``MAXW`` because the ``w0``
+CTE pre-splits longer words into MAXW-char chunks, the split-at-MAXW
+policy mirrored from ``operators/unigram.chunk_words`` — the trainer
+is total, not guarded), each an argmin join against the
+1..MAX_PIECE_LEN prior positions, then a backpointer walk of ``MAXW``
+more CTEs.  No
 lambdas anywhere: a ``list_reduce`` formulation with nested
 ``list_filter``/``list_transform`` capturing the outer accumulator
 EVALUATES INCORRECTLY in DuckDB 1.0 depending on the input vector

@@ -118,13 +118,15 @@ def _cell_base(motif: int, gx: int, gy: int) -> int:
     return (h ^ (h >> 12)) % PAT_MOD
 
 
-def _synth_frame_png(doc_id: int, f: int, base_mod: int) -> bytes:
+def _frame_png(motif: int, shift: int) -> bytes:
+    """The 18×16 frame image for a (motif, shift) pair — the single
+    pixel-synthesis path shared by the at-rest kernel and the delta
+    kernel (a formula change must hit both or the recrawl-matches-
+    source property silently breaks at probe time)."""
     from star_schema_etl_airflow_spark.sources.multimodal import (
         _png_encode,
     )
 
-    motif = _frame_motif(doc_id, f, base_mod)
-    shift = _copy_ordinal(doc_id, base_mod) % SHIFT_MOD
     px = bytearray()
     for y in range(IMG_H):
         gy = y // CELL
@@ -132,6 +134,13 @@ def _synth_frame_png(doc_id: int, f: int, base_mod: int) -> bytes:
             gx = x // CELL
             px.append(_cell_base(motif, gx, gy) + shift)
     return _png_encode(bytes(px), IMG_W, IMG_H, color_type=0)
+
+
+def _synth_frame_png(doc_id: int, f: int, base_mod: int) -> bytes:
+    return _frame_png(
+        _frame_motif(doc_id, f, base_mod),
+        _copy_ordinal(doc_id, base_mod) % SHIFT_MOD,
+    )
 
 
 def _frame_hash_kernel(base_mod: int):
@@ -188,20 +197,7 @@ def video_sequence_pairs(docs: DataFrame, base_mod: int) -> DataFrame:
         persist_once,
     )
 
-    frames = video_frame_hashes(docs, base_mod)
-    a, b = frames.alias("fa"), frames.alias("fb")
-    sh = persist_once(
-        a.join(
-            b,
-            (F.col("fa.doc_id") == F.col("fb.doc_id"))
-            & (F.col("fb.f") == F.col("fa.f") + 1),
-        )
-        .select(
-            F.col("fa.doc_id").alias("doc_id"),
-            F.expr("md5(concat(fa.h, '|', fb.h))").alias("shingle"),
-        )
-        .distinct()
-    )
+    sh = persist_once(_shingles_of(video_frame_hashes(docs, base_mod)))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     pa, pb = sh.alias("a"), sh.alias("b")
     cand = (
@@ -366,18 +362,7 @@ def _delta_frame_hash_kernel(base_mod: int):
         from star_schema_etl_airflow_spark.plans.image_dedup import (
             dhash_bands_from_png,
         )
-        from star_schema_etl_airflow_spark.sources.multimodal import (
-            _png_encode,
-        )
-
-        def png(motif, shift):
-            px = bytearray()
-            for y in range(IMG_H):
-                gy = y // CELL
-                for x in range(IMG_W):
-                    gx = x // CELL
-                    px.append(_cell_base(motif, gx, gy) + shift)
-            return _png_encode(bytes(px), IMG_W, IMG_H, color_type=0)
+        png = _frame_png
 
         for pdf in batches:
             rows = []

@@ -42,6 +42,16 @@ from star_schema_etl_airflow_spark.sources.io import (
     publish_swap,
     recover_swap,
 )
+# state ∪ delta with delta-only dedup on the (delta_id, corpus_id)
+# keys: the ledger fold is IDENTICAL to the semantic-dedup stream's
+# (same key columns, same per-item purity argument), so it is shared
+# rather than re-implemented (r16 self-review finding)
+from star_schema_etl_airflow_spark.streaming.semdedup_stream import (
+    merge_matches,
+)
+
+__all__ = ["MATCH_SCHEMA", "merge_matches", "probe_batch",
+           "run_video_stream"]
 
 MATCH_SCHEMA = ("delta_id long, corpus_id long, n_shared long, "
                 "sim double")
@@ -91,21 +101,6 @@ def probe_batch(batch: DataFrame, at_rest_sh: DataFrame,
             ).alias("sim"),
         )
         .filter(F.col("sim") >= VSEQ_SIM)
-    )
-
-
-def merge_matches(existing: DataFrame | None,
-                  delta_matches: DataFrame) -> DataFrame:
-    """state ∪ delta — per-video purity under the frozen index makes
-    re-delivered rows byte-identical; only the delta is deduplicated
-    (anti-join on the standing (delta_id, corpus_id) keys, which
-    determine (n_shared, sim))."""
-    fresh = delta_matches.distinct()
-    if existing is None:
-        return fresh
-    return existing.unionByName(
-        fresh.join(existing.select("delta_id", "corpus_id"),
-                   ["delta_id", "corpus_id"], "left_anti")
     )
 
 
