@@ -137,7 +137,28 @@ def zorder_skip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_shipdate", "l_extendedprice"
     )
-    base = (
+    # r16 optimization (guide §2.3 "decide with small rows" / §8): every
+    # curve key and file assignment is a pure function of the quantized
+    # cell (x8, y8) — a ≤256² relation — while min/max/count/matching
+    # are grain-compatible aggregates.  So the corpus scan computes ONLY
+    # the cheap quantization + per-cell partial stats (map-side combine,
+    # ≤65,536 groups shuffled), and the 32-term Morton interleave, the
+    # 8-step Hilbert walk and the ×3 layout explode run on the CELL
+    # relation.  Before: all three ran per corpus row on a scan stage
+    # whose parallelism is capped by the input's row-group count
+    # (measured 3.65 s task time in ONE 3-task stage at sf0.1); after:
+    # per-row work is datediff + two divisions, and the heavy key math
+    # touches ≤65,536 rows regardless of corpus size — at 100 TB that is
+    # the difference between 10¹² and 6.5·10⁴ Hilbert evaluations.
+    # Aggregate-of-aggregate identities (min∘min, max∘max, sum∘count,
+    # sum∘sum over exact ints) keep the result bit-identical.
+    match = (
+        (F.col("d") >= PRED_D1)
+        & (F.col("d") <= PRED_D2)
+        & (F.col("p") >= PRED_P1)
+        & (F.col("p") <= PRED_P2)
+    ).cast("long")
+    cells = (
         li.select(
             F.expr(_CLAMP_S[0]),
             F.expr(_CLAMP_S[1]),
@@ -147,7 +168,18 @@ def zorder_skip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("d"),
             F.col("l_extendedprice").alias("p"),
         )
-        .withColumn("z16", F.expr(_interleave("x8", "y8", "div")))
+        .groupBy("x8", "y8")
+        .agg(
+            F.min("d").alias("min_d"),
+            F.max("d").alias("max_d"),
+            F.min("p").alias("min_p"),
+            F.max("p").alias("max_p"),
+            F.count("*").alias("rows"),
+            F.sum(match).alias("matching"),
+        )
+    )
+    base = (
+        cells.withColumn("z16", F.expr(_interleave("x8", "y8", "div")))
         .withColumn("hx", F.col("x8"))
         .withColumn("hy", F.col("y8"))
         .withColumn("hd", F.lit(0).cast("bigint"))
@@ -157,9 +189,9 @@ def zorder_skip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"hd": F.expr(d_e), "hx": F.expr(x_e), "hy": F.expr(y_e)}
         )
 
+    stat_cols = ["min_d", "max_d", "min_p", "max_p", "rows", "matching"]
     assigned = base.select(
-        "d",
-        "p",
+        *stat_cols,
         F.explode(
             F.array(
                 F.struct(
@@ -176,21 +208,15 @@ def zorder_skip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ).alias("a"),
-    ).select("d", "p", "a.layout", "a.file_id")
+    ).select(*stat_cols, "a.layout", "a.file_id")
 
-    match = (
-        (F.col("d") >= PRED_D1)
-        & (F.col("d") <= PRED_D2)
-        & (F.col("p") >= PRED_P1)
-        & (F.col("p") <= PRED_P2)
-    ).cast("long")
     files = assigned.groupBy("layout", "file_id").agg(
-        F.min("d").alias("min_d"),
-        F.max("d").alias("max_d"),
-        F.min("p").alias("min_p"),
-        F.max("p").alias("max_p"),
-        F.count("*").alias("rows"),
-        F.sum(match).alias("matching"),
+        F.min("min_d").alias("min_d"),
+        F.max("max_d").alias("max_d"),
+        F.min("min_p").alias("min_p"),
+        F.max("max_p").alias("max_p"),
+        F.sum("rows").alias("rows"),
+        F.sum("matching").alias("matching"),
     )
     scanned = (
         (F.col("max_d") >= PRED_D1)
