@@ -141,19 +141,31 @@ register(QuerySpec("embed_jl_project", embed_jl_project,
                    EMBED_JL_PROJECT_ORACLE, tags=("LLM-ANN",)))
 
 
+def _proj_split(emb: DataFrame):
+    """Queries and candidates projected SEPARATELY, with the vec_id
+    filter applied to the base table (r16, guide §4.1/§4.2): the
+    mapInPandas projection is opaque to Catalyst, so filtering the
+    PROJECTED relation cannot push below the Python boundary and both
+    branches would re-run the full-corpus sign matmul.  Filtering first
+    pushes the predicate into the parquet scan and each row crosses the
+    boundary exactly once.  The projection is row-wise pure, so the
+    split is value-identical."""
+    q = project_embeddings(emb.filter(F.col("vec_id") < N_QUERIES)).select(
+        F.col("vec_id").alias("query_id"),
+        *[F.col(f"p{k}").alias(f"q{k}") for k in range(JL_K)],
+    )
+    c = project_embeddings(emb.filter(F.col("vec_id") >= N_QUERIES)).select(
+        F.col("vec_id").alias("cand_id"),
+        *[F.col(f"p{k}") for k in range(JL_K)],
+    )
+    return q, c
+
+
 def embed_jl_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k nearest candidates per query by squared distance in the
     projected space — all-integer scoring, broadcast queries, partial
     window-limit top-k."""
-    proj = project_embeddings(load_table(spark, sf_dir, "embeddings"))
-    q = proj.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        *[F.col(f"p{k}").alias(f"q{k}") for k in range(JL_K)],
-    )
-    c = proj.filter(F.col("vec_id") >= N_QUERIES).select(
-        F.col("vec_id").alias("cand_id"),
-        *[F.col(f"p{k}") for k in range(JL_K)],
-    )
+    q, c = _proj_split(load_table(spark, sf_dir, "embeddings"))
     dist = sum(
         (F.col(f"q{k}") - F.col(f"p{k}")) * (F.col(f"q{k}") - F.col(f"p{k}"))
         for k in range(JL_K)
@@ -213,15 +225,7 @@ def embed_jl_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    proj = project_embeddings(emb)
-    q = proj.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        *[F.col(f"p{k}").alias(f"q{k}") for k in range(JL_K)],
-    )
-    c = proj.filter(F.col("vec_id") >= N_QUERIES).select(
-        F.col("vec_id").alias("cand_id"),
-        *[F.col(f"p{k}") for k in range(JL_K)],
-    )
+    q, c = _proj_split(emb)
     dist = sum(
         (F.col(f"q{k}") - F.col(f"p{k}")) * (F.col(f"q{k}") - F.col(f"p{k}"))
         for k in range(JL_K)
