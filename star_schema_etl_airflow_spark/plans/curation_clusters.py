@@ -196,18 +196,18 @@ def _wav_from_fp64(h: int) -> bytes:
 
 
 def _img_hash_kernel(batches):
-    """(doc_id, h) → (doc_id, b0..b3) through the FULL media pipeline:
-    construct PNG for h, encode, production-decode, dHash."""
+    """(h) → (h, b0..b3) through the FULL media pipeline: construct PNG
+    for h, encode, production-decode, dHash."""
     import pandas as pd
 
     for pdf in batches:
         rows = []
-        for doc_id, h in zip(pdf["doc_id"], pdf["h"]):
+        for h in pdf["h"]:
             rows.append((
-                int(doc_id),
+                int(h),
                 *dhash_bands_from_png(_png_from_dhash(int(h))),
             ))
-        yield pd.DataFrame(rows, columns=["doc_id", "b0", "b1", "b2", "b3"])
+        yield pd.DataFrame(rows, columns=["h", "b0", "b1", "b2", "b3"])
 
 
 def _aud_hash_kernel(batches):
@@ -223,12 +223,12 @@ def _aud_hash_kernel(batches):
 
     for pdf in batches:
         rows = []
-        for doc_id, h in zip(pdf["doc_id"], pdf["h"]):
+        for h in pdf["h"]:
             rows.append((
-                int(doc_id),
+                int(h),
                 *fp64_bands_from_wav(_wav_from_fp64(int(h))),
             ))
-        yield pd.DataFrame(rows, columns=["doc_id", "b0", "b1", "b2", "b3"])
+        yield pd.DataFrame(rows, columns=["h", "b0", "b1", "b2", "b3"])
 
 
 _IMG_KEY_SPARK = (
@@ -246,19 +246,34 @@ _AUD_KEY_SPARK = (
 
 
 def _hashed_media(keyed: DataFrame, col: str, kernel) -> DataFrame:
+    # r16 optimization (guide §4 — shrink what crosses the Python
+    # boundary): the encode→decode→hash kernel is a pure function of the
+    # asset hash h, and h REPEATS across docs (shared assets by
+    # construction; exact/near re-crawls collapse to the same base) —
+    # so the ~2 ms/row media pipeline runs once per DISTINCT h and the
+    # per-doc mapping comes back via a broadcast hash join (the
+    # image_knn_dhash distinct-hash lesson).  At corpus scale this is
+    # "decode each distinct asset once", the honest production shape.
     from pyspark.sql import types as T
 
-    from star_schema_etl_airflow_spark.plans.multimodal_queries import (
-        _spread,
-    )
-
     schema = T.StructType(
-        [T.StructField("doc_id", T.LongType())]
+        [T.StructField("h", T.LongType())]
         + [T.StructField(f"b{k}", T.LongType()) for k in range(4)]
     )
-    return persist_once(
-        _spread(keyed.select("doc_id", F.col(col).alias("h")))
+    docs_h = keyed.select("doc_id", F.col(col).alias("h"))
+    spark = keyed.sparkSession
+    per_h = (
+        docs_h.select("h").distinct()
+        # the distinct's exchange already spreads rows; pin the partition
+        # count to the core count so the compute-heavy kernel is not
+        # serialized onto the few AQE-coalesced post-shuffle partitions
+        .repartition(spark.sparkContext.defaultParallelism, "h")
         .mapInPandas(kernel, schema=schema)
+    )
+    return persist_once(
+        docs_h.join(F.broadcast(per_h), "h").select(
+            "doc_id", *[f"b{k}" for k in range(4)]
+        )
     )
 
 
