@@ -190,7 +190,10 @@ def big_star_components(
         for it in range(max_iter):
             if stats is not None:
                 stats["rounds"] = it + 1
-            e = _small_star(_large_star(e)).localCheckpoint()
+            # lazy checkpoint, materialized BY the signature action below —
+            # one Spark job per round instead of two (r16; the
+            # connected_components loop above already uses this shape)
+            e = _small_star(_large_star(e)).localCheckpoint(eager=False)
             new_sig = _sig(e)
             if new_sig == sig:
                 break

