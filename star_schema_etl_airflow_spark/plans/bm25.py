@@ -79,7 +79,12 @@ def bm25_query_index(
     # partial instead of re-exploding the corpus (plan-identity cache:
     # bm25_score_with_index builds the same tf and shares the entry)
     tf = persist_once(toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # dl from the persisted tf, not from toks: SUM(tf) per doc is exactly
+    # COUNT(*) of toks per doc (both BIGINT), and deriving it here means
+    # the doc-length pass re-aggregates the cached (doc,term) relation
+    # instead of re-tokenizing the corpus (r16; the RRF plan showed a
+    # second Generate-over-scan chain for every dl consumer)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
@@ -120,7 +125,9 @@ def bm25_score_with_index(docs: DataFrame, qidf: DataFrame) -> DataFrame:
     batch costs a delta-sized scan, never a corpus re-scan."""
     toks = docs.select("doc_id", F.explode(F.expr(_TOKS_S)).alias("term"))
     tf = persist_once(toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # SUM(tf) == COUNT(toks) per doc, from the cached tf (see
+    # bm25_query_index) — no second corpus tokenization per score call
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     contrib = (
         tf.join(F.broadcast(qidf), "term")
         .join(F.broadcast(dl), "doc_id")
