@@ -148,11 +148,16 @@ def kmeans_fit(
     """
     if n_iter < 1:
         raise ValueError(f"kmeans_fit needs n_iter >= 1, got {n_iter}")
+    # every checkpoint is LAZY (eager=False): it still truncates lineage
+    # at first materialization, but the saving job is the consumer's own
+    # (broadcast build / next iteration / the caller's action) instead of
+    # a dedicated eager job per step — n_iter Lloyd steps cost ~2 jobs,
+    # not 2·n_iter+1 (r16; same shape as operators/components.py)
     centroids = (
         vectors.orderBy("vec_id")
         .limit(k)
         .select(F.col("vec_id").alias("cluster"), "embedding")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     assigned = None
     for i in range(n_iter):
@@ -161,9 +166,10 @@ def kmeans_fit(
         # update stays lazy (checkpointing it would eagerly run a
         # 2-shuffle job even for callers that only want the assignment)
         assigned = _assign_with_embedding(
-            vectors, centroids, dim).localCheckpoint()
+            vectors, centroids, dim).localCheckpoint(eager=False)
         cents = _update_from_assigned(assigned)
-        centroids = cents if i == n_iter - 1 else cents.localCheckpoint()
+        centroids = cents if i == n_iter - 1 else cents.localCheckpoint(
+            eager=False)
     from star_schema_etl_airflow_spark.functions.caching import persist_once
 
     return assigned.select("vec_id", "cluster"), persist_once(centroids)
