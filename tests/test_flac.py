@@ -261,3 +261,29 @@ def test_frame_channel_layout_must_match_streaminfo():
     spliced = mono[:42] + stereo[42:]
     with pytest.raises(ValueError, match="STREAMINFO declares 1"):
         flac_decode(spliced)
+
+
+def test_order_selection_diff_chain_matches_residuals():
+    """The encoder's incremental diff chain (r16) must yield exactly
+    ``_residuals(chan, o)`` for every fixed order — the invariant the
+    successive-difference order selection in ``_write_subframe`` rests
+    on (fixed-predictor coefficients are binomial rows)."""
+    import random
+
+    from star_schema_etl_airflow_spark.sources.flac import (
+        _MAX_ORDER,
+        _residuals,
+    )
+
+    rng = random.Random(20260818)
+    for _ in range(50):
+        n = rng.randint(1, 200)
+        chan = [rng.randint(-32768, 32767) for _ in range(n)]
+        diffs = [chan]
+        for _ in range(min(_MAX_ORDER, n - 1)):
+            prev = diffs[-1]
+            diffs.append(
+                [prev[i] - prev[i - 1] for i in range(1, len(prev))]
+            )
+        for o in range(min(_MAX_ORDER, n - 1) + 1):
+            assert diffs[o] == _residuals(chan, o)
