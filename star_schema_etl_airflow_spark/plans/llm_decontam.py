@@ -35,7 +35,10 @@ from star_schema_etl_airflow_spark.operators.sampling import (
     threshold,
 )
 from star_schema_etl_airflow_spark.registry import QuerySpec, register
-from star_schema_etl_airflow_spark.sources.fixtures import load_table
+from star_schema_etl_airflow_spark.sources.fixtures import (
+    load_table,
+    spread_scan,
+)
 from star_schema_etl_airflow_spark.functions.caching import persist_once
 
 _KEY_S = "cast(doc_id as string)"
@@ -52,7 +55,13 @@ _BUCKET_D = f"({md5_long_duck(_KEY_D, EVAL_SEED)} % {BUCKETS})"
 
 
 def _split_docs(spark: SparkSession, sf_dir: str):
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # r16: spread the single-split fixture scan before the bucket split —
+    # the train side's 8-gram shingle explode otherwise runs on the scan's
+    # task count (2 tasks measured); both filter branches consume the one
+    # spread exchange (ReusedExchange).  No-op at production split counts.
+    docs = spread_scan(
+        load_table(spark, sf_dir, "documents"), "doc_id", "doc_id", "text"
+    )
     b = hash_bucket(_KEY_S, EVAL_SEED)
     return docs.filter(b < _T), docs.filter(b >= _T)
 
@@ -63,12 +72,16 @@ def _contaminated_train(ev: DataFrame, tr: DataFrame) -> DataFrame:
     evr = persist_once(ev.withColumn(
         "eval_rn", F.row_number().over(Window.orderBy("doc_id")) - 1
     ))
-    # eval-set cardinality is a tiny scalar (same pattern as
-    # sampling.mix_to_weights); the oracle recomputes it dynamically
-    n_eval = evr.count()
+    # eval-set cardinality rides the plan as a broadcast 1-row aggregate
+    # instead of a blocking .count() round trip per call (r16): the
+    # modulo sees the identical BIGINT, but the count job fuses into the
+    # consuming query instead of serializing ahead of it
+    n_eval = evr.agg(F.count(F.lit(1)).alias("__n_eval"))
     contam = (
         tr.filter(F.col("doc_id") % CONTAM_EVERY == 0)
-        .withColumn("eval_rn", F.col("doc_id") % n_eval)
+        .crossJoin(F.broadcast(n_eval))
+        .withColumn("eval_rn", F.col("doc_id") % F.col("__n_eval"))
+        .drop("__n_eval")
         .join(
             F.broadcast(evr.select("eval_rn", F.col("text").alias("eval_text"))),
             "eval_rn",
