@@ -31,7 +31,10 @@ from star_schema_etl_airflow_spark.functions.vecexpr import (
     unrolled_dot_lits,
 )
 from star_schema_etl_airflow_spark.registry import QuerySpec, register
-from star_schema_etl_airflow_spark.sources.fixtures import load_table
+from star_schema_etl_airflow_spark.sources.fixtures import (
+    load_table,
+    spread_scan,
+)
 
 N_QUERIES = 10   # vec_id < 10 are the query vectors
 TOP_K = 10
@@ -98,9 +101,14 @@ def embed_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    c = emb.filter(F.col("vec_id") >= N_QUERIES).select(
-        F.col("vec_id").alias("cand_id"), "embedding", "label"
-    )
+    # r16: spread the candidate side — the single-split fixture scan ran
+    # the whole 64-dim cosine map on one task; the partial
+    # WindowGroupLimit keeps the post-spread exchange at
+    # O(partitions × queries × k).  No-op at production split counts.
+    c = spread_scan(
+        emb.filter(F.col("vec_id") >= N_QUERIES), "vec_id",
+        "vec_id", "embedding", "label",
+    ).select(F.col("vec_id").alias("cand_id"), "embedding", "label")
     scored = (
         F.broadcast(q).alias("q")
         .crossJoin(c.alias("c"))
