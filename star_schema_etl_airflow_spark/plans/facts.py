@@ -22,7 +22,10 @@ from star_schema_etl_airflow_spark.plans.dims import (
     SCD2_CUSTOMER_DIM_SQL,
     synthetic_scd2_customer_dim,
 )
-from star_schema_etl_airflow_spark.sources.fixtures import load_table
+from star_schema_etl_airflow_spark.sources.fixtures import (
+    load_table,
+    spread_scan,
+)
 
 # Single-version product dimension derived from `part` (products carry no
 # version history in the fixtures; the PIT join still applies, degenerately).
@@ -63,7 +66,13 @@ def fact_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").alias("order_amount"),
         F.col("o_orderstatus").alias("status"),
     )
-    items = load_table(spark, sf_dir, "lineitem").select(
+    # r16: spread the single-split lineitem scan so the join probe +
+    # as-of pipelines run on every core (no-op at production splits)
+    items = spread_scan(
+        load_table(spark, sf_dir, "lineitem"), "l_orderkey",
+        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity",
+        "l_extendedprice",
+    ).select(
         F.col("l_orderkey"),
         F.col("l_linenumber").alias("order_item_id"),
         F.col("l_partkey").alias("product_id"),
