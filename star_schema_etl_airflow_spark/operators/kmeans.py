@@ -240,7 +240,7 @@ def scalable_init(
     cand = (
         svecs.orderBy("vec_id").limit(1)
         .select(F.col("vec_id").alias("cid"), "sv")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     from star_schema_etl_airflow_spark.functions.caching import (
         persist_once,
@@ -274,7 +274,7 @@ def scalable_init(
             .filter((F.col("d2") > 0) & F.expr(accept))
             .select(F.col("vec_id").alias("cid"), "sv")
         )
-        cand = cand.unionByName(sampled).localCheckpoint()
+        cand = cand.unionByName(sampled).localCheckpoint(eager=False)
     # weight candidates by the size of their Voronoi cell (ties: lowest
     # candidate id).  A candidate CAN receive weight 0 — a duplicate
     # corpus vector sampled alongside its twin loses the (d, cid)
@@ -294,7 +294,7 @@ def scalable_init(
     candw = (
         cand.join(wts, "cid", "left")
         .select("cid", "sv", F.coalesce("w", F.lit(0)).alias("w"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     centers = (
         candw.orderBy("cid").limit(k)
@@ -302,7 +302,7 @@ def scalable_init(
             F.col("cid").alias("cluster"),
             F.expr("transform(sv, x -> cast(x as double))").alias("c"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     d_cd = _mix_sqdist("a.sv", "b.c", dim)
     for _j in range(relloyd):
@@ -334,7 +334,7 @@ def scalable_init(
                 "transform(array_sort(collect_list(struct(dim, m))), "
                 "s -> s.m)"
             ).alias("c")
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     return centers
 
 
@@ -359,7 +359,7 @@ def lloyd_refine_sv(
                 F.first("sv").alias("sv"),
             )
             .select("vec_id", "sv", F.col("best.cl").alias("cluster"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         ex = assigned.select(
             "cluster", F.posexplode("sv").alias("dim", "val")
@@ -376,5 +376,5 @@ def lloyd_refine_sv(
                 "s -> s.m)"
             ).alias("c")
         )
-        centers = cents if i == n_iter - 1 else cents.localCheckpoint()
+        centers = cents if i == n_iter - 1 else cents.localCheckpoint(eager=False)
     return assigned.select("vec_id", "cluster"), centers
