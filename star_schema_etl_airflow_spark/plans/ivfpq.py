@@ -54,9 +54,6 @@ from star_schema_etl_airflow_spark.plans.pq import (
     N_QUERIES,
     TOP_K,
 )
-from star_schema_etl_airflow_spark.functions.vecexpr import (
-    unrolled_int_sqdist,
-)
 from star_schema_etl_airflow_spark.registry import QuerySpec, register
 from star_schema_etl_airflow_spark.sources.fixtures import load_table
 
@@ -65,37 +62,23 @@ NPROBE = 2
 _CB_LO = N_QUERIES + NCELLS          # codebook training band
 _CB_HI = N_QUERIES + NCELLS + K_C
 
-# int64 sqdist over full 64-dim scaled vectors (cell assignment / probe).
-# r16 optimization (guide §4.1 "prefer built-ins"/vecexpr.py): the
-# aggregate(zip_with(...)) higher-order fold is CodegenFallback — ~128
-# interpreted lambda evaluations per row; the unrolled flat sum compiles
-# into straight-line JVM arithmetic (measured 3-6× per row repo-wide).
-# Integer sums are exact under any association, so results are
-# bit-identical to the HOF fold.
-_SQ64_S = "(" + unrolled_int_sqdist("{a}", "{b}", 64) + ")"
-# same, over one D_SUB-wide residual subspace
-_SQ8_S = "(" + unrolled_int_sqdist("{a}", "{b}", D_SUB) + ")"
+# int64 sqdist over full 64-dim scaled vectors (cell assignment / probe)
+_SQ64_S = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+    "0L, (acc, v) -> acc + v)"
+)
+# residual slice for subspace m (0-based m, 1-based slice)
+_RSUB_S = (
+    f"zip_with(slice(sv, m * {D_SUB} + 1, {D_SUB}), "
+    f"slice(csv, m * {D_SUB} + 1, {D_SUB}), (x, y) -> x - y)"
+)
 
 
 SHORTLIST = 50   # ADC shortlist depth for the refine (re-rank) stage
 
 
 _D_CELL = _SQ64_S.format(a="sv", b="csv")
-_D_ENC = _SQ8_S.format(a="rsub", b="csub")
-
-# residual subspace explode: one row per (row, m) carrying the D_SUB-wide
-# residual slice.  r16: built as posexplode over an array of
-# constant-index subspace arrays — the former explode(sequence) +
-# slice(sv, m·D_SUB+1, D_SUB) + zip_with form indexed with a RUNTIME m,
-# which forced interpreted slice/lambda evaluation per element; constant
-# indices compile in the codegen stage and the (m, rsub) rows are
-# identical (same values, same order).
-_RSUB_ARR = "array({})".format(", ".join(
-    "array({})".format(", ".join(
-        f"sv[{m * D_SUB + d}] - csv[{m * D_SUB + d}]" for d in range(D_SUB)
-    ))
-    for m in range(M_SUB)
-))
+_D_ENC = _SQ64_S.format(a="rsub", b="csub")
 
 
 def _rsub_of(cand: DataFrame, cells: DataFrame) -> DataFrame:
@@ -119,8 +102,9 @@ def _rsub_of(cand: DataFrame, cells: DataFrame) -> DataFrame:
     )
     return assigned.select(
         "cand_id", "cell",
-        F.posexplode(F.expr(_RSUB_ARR)).alias("m", "rsub"),
-    )
+        F.explode(F.sequence(F.lit(0), F.lit(M_SUB - 1))).alias("m"),
+        "sv", "csv",
+    ).select("cand_id", "cell", "m", F.expr(_RSUB_S).alias("rsub"))
 
 
 def _artifacts(emb: DataFrame, cells: DataFrame | None = None):
@@ -212,8 +196,9 @@ def _adc_scores(spark: SparkSession, sf_dir: str, codes_of=None,
     )
     qsub = probed.select(
         "query_id", "cell",
-        F.posexplode(F.expr(_RSUB_ARR)).alias("m", "rsub"),
-    )
+        F.explode(F.sequence(F.lit(0), F.lit(M_SUB - 1))).alias("m"),
+        "sv", "csv",
+    ).select("query_id", "cell", "m", F.expr(_RSUB_S).alias("rsub"))
     qtab = qsub.join(F.broadcast(cb), "m").select(
         "query_id", "cell", "m", "cid", F.expr(d_enc).alias("qdist")
     )

@@ -67,15 +67,10 @@ _SV_S = (
     "transform(embedding, x -> "
     f"cast(floor(cast(x as double) * {SCALE}.0d + 0.5d) as bigint))"
 )
-# r16 optimization (guide §4.1 / functions/vecexpr.py): unrolled flat
-# sum instead of the CodegenFallback aggregate(zip_with(...)) fold —
-# bit-identical (integer sums are exact under any association), compiles
-# into the codegen stage.  Callers format it over D_SUB-wide slices.
-_SQDIST_S = "(" + " + ".join(
-    f"(cast({{a}}[{d}] as bigint) - cast({{b}}[{d}] as bigint)) * "
-    f"(cast({{a}}[{d}] as bigint) - cast({{b}}[{d}] as bigint))"
-    for d in range(D_SUB)
-) + ")"
+_SQDIST_S = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+    "0L, (acc, v) -> acc + v)"
+)
 
 
 def _sv_duck(col: str) -> str:
