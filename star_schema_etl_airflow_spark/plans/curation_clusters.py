@@ -270,8 +270,14 @@ def _hashed_media(keyed: DataFrame, col: str, kernel) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism, "h")
         .mapInPandas(kernel, schema=schema)
     )
+    # No broadcast hint: per_h is one row per DISTINCT asset hash — an
+    # UNBOUNDED relation at corpus scale, so forcing a broadcast risks
+    # driver/executor OOM (guide §3.1; r16 verdict item 2).  AQE picks
+    # the strategy at runtime from the materialized exchange size: at
+    # fixture scale it still converts to a broadcast join, at 100 TB it
+    # stays a shuffled join — both correct.
     return persist_once(
-        docs_h.join(F.broadcast(per_h), "h").select(
+        docs_h.join(per_h, "h").select(
             "doc_id", *[f"b{k}" for k in range(4)]
         )
     )

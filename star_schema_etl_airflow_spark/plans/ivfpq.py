@@ -131,20 +131,135 @@ def _artifacts(emb: DataFrame, cells: DataFrame | None = None):
     return cells, cb
 
 
+# --- vectorized add() pass (r17, guide §4.1/§4.2) ---------------------------
+#
+# The assignment + residual + per-subspace encode was an interpreted HOF
+# fold (``aggregate(zip_with(...))``) per (row, cell) and per
+# (row, m, centroid) pair — NCELLS + M_SUB·K_C interpreted folds per
+# corpus row, the dominant per-row cost of every IVFADC query.  The r16
+# attempt to unroll those folds into Catalyst expressions regressed on
+# PLANNING cost (~600-node trees, >1 s per call) and was reverted; the
+# arithmetic belongs in numpy behind ONE Arrow boundary crossing, where
+# planning cost is constant and the per-row work is vectorized.  The
+# artifacts (cells, residual codebook, per-query ADC tables) are
+# control-plane sized BY DESIGN (module docstring) so collecting them to
+# the driver is cheap; everything stays int64 — numpy int64 arithmetic
+# is exact at the documented headroom (ADC sums < 6e15 ≪ 2⁶³), and
+# ``argmin`` over arrays sorted by id ascending reproduces the SQL
+# ``min(struct(d, id))`` tie-break (first minimum = lowest id) exactly.
+
+
+def _np_cells(cells: DataFrame):
+    """(ids, C): the coarse quantizer collected into numpy arrays sorted
+    by cell id ascending (argmin tie → lowest cell id)."""
+    import numpy as np
+
+    rows = sorted(cells.collect(), key=lambda r: r["cell"])
+    ids = np.array([r["cell"] for r in rows], dtype=np.int64)
+    C = np.array([list(r["csv"]) for r in rows], dtype=np.int64)
+    return ids, C
+
+
+def _np_assign(X, C):
+    """Row index into ``C`` of each vector's nearest cell — exact int64
+    L2, ties to the lowest row (= lowest id; ``C`` is sorted by id)."""
+    return ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+
+
+def _np_codebook(band_rows, ids, C):
+    """(cids, sub): the residual codebook from the training band's
+    (vec_id, sv) rows — numpy twin of ``_rsub_of`` on the band, sorted
+    by cid ascending (argmin tie → lowest cid)."""
+    import numpy as np
+
+    rows = sorted(band_rows, key=lambda r: r["vec_id"])
+    cids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    B = np.array([list(r["sv"]) for r in rows], dtype=np.int64)
+    R = B - C[_np_assign(B, C)]
+    sub = [
+        np.ascontiguousarray(R[:, m * D_SUB:(m + 1) * D_SUB])
+        for m in range(M_SUB)
+    ]
+    return cids, sub
+
+
+def _np_encode(cand: DataFrame, ids, C, cids, sub) -> DataFrame:
+    """The vectorized add() pass over ANY (cand_id, sv) relation: one
+    Arrow crossing per corpus row, assignment/residual/encode in int64
+    numpy.  Same output contract as the former fold-based encode —
+    (cand_id, cell, m, code), one row per (vector, subspace)."""
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            X = np.array([list(v) for v in pdf["sv"]], dtype=np.int64)
+            a = _np_assign(X, C)
+            cell = ids[a]
+            R = X - C[a]
+            cand_id = pdf["cand_id"].to_numpy(dtype=np.int64)
+            frames = []
+            for m in range(M_SUB):
+                S = R[:, m * D_SUB:(m + 1) * D_SUB]
+                d = ((S[:, None, :] - sub[m][None, :, :]) ** 2).sum(axis=2)
+                frames.append(pd.DataFrame({
+                    "cand_id": cand_id,
+                    "cell": cell,
+                    "m": np.full(n, m, dtype=np.int32),
+                    "code": cids[d.argmin(axis=1)],
+                }))
+            yield pd.concat(frames, ignore_index=True)
+
+    return cand.select("cand_id", "sv").mapInPandas(
+        kernel, schema="cand_id long, cell long, m int, code long"
+    )
+
+
+def _np_qtab(qrows, ids, C, cids, sub, nprobe: int):
+    """Probe + per-query ADC lookup tables, computed exactly on the
+    driver (|q|·nprobe·M·K_C rows — control-plane sized by design):
+    rows of (query_id, cell, m, cid, qdist).  Probe order ties break on
+    (d, cell) ascending like the former window's orderBy."""
+    import numpy as np
+
+    out = []
+    for r in sorted(qrows, key=lambda r: r["vec_id"]):
+        qv = np.array(list(r["sv"]), dtype=np.int64)
+        d = ((qv[None, :] - C) ** 2).sum(axis=1)
+        for j in np.lexsort((ids, d))[:nprobe]:
+            res = qv - C[j]
+            for m in range(M_SUB):
+                s = res[m * D_SUB:(m + 1) * D_SUB]
+                dd = ((s[None, :] - sub[m]) ** 2).sum(axis=1)
+                # one row per codebook entry of the probed (query, cell)
+                for cid, qd in zip(cids, dd):
+                    out.append((
+                        int(r["vec_id"]), int(ids[j]), m,
+                        int(cid), int(qd),
+                    ))
+    return out
+
+
 def _encode(cand: DataFrame, cells: DataFrame, cb: DataFrame) -> DataFrame:
     """(cand_id, cell, code per subspace) — the FAISS ``add()`` pass
-    for ANY (cand_id, sv) relation against frozen artifacts."""
-    codes = (
-        _rsub_of(cand, cells).join(F.broadcast(cb), "m")
-        .select(
-            "cand_id", "cell", "m",
-            F.struct(F.expr(_D_ENC).alias("d"), F.col("cid").alias("c"))
-            .alias("dc"),
-        )
-        .groupBy("cand_id", "cell", "m")
-        .agg(F.min("dc").getField("c").alias("code"))
-    )
-    return codes
+    for ANY (cand_id, sv) relation against frozen artifacts, given as
+    the control-plane (cells, cb) DataFrames; collects both (tiny by
+    contract) and runs the vectorized encode."""
+    import numpy as np
+
+    ids, C = _np_cells(cells)
+    rows = sorted(cb.collect(), key=lambda r: (r["m"], r["cid"]))
+    cids = np.array(sorted({r["cid"] for r in rows}), dtype=np.int64)
+    sub = []
+    for m in range(M_SUB):
+        mr = [r for r in rows if r["m"] == m]
+        assert [r["cid"] for r in mr] == list(cids), "ragged codebook"
+        sub.append(np.array([list(r["csub"]) for r in mr], dtype=np.int64))
+    return _np_encode(cand, ids, C, cids, sub)
 
 
 def _adc_scores(spark: SparkSession, sf_dir: str, codes_of=None,
@@ -153,54 +268,67 @@ def _adc_scores(spark: SparkSession, sf_dir: str, codes_of=None,
     """Shared IVFADC machinery: returns ``(adc, emb)`` where ``adc`` is
     the per-(query, candidate-in-probed-cell) asymmetric distance
     relation and ``emb`` the scaled-int vector relation (for refine).
-    ``codes_of(emb, cells, cb)`` overrides how the code table is built
+    ``codes_of(emb, encode)`` overrides how the code table is built
     (the incremental-add path supplies a union of frozen + delta
-    encodes); ``nprobe`` overrides the probe depth (the eval sweep);
-    ``cells_of(spark, sf_dir)`` overrides the coarse quantizer (the
-    k-means-trained variant); ``rotate`` is a Spark-SQL expression over
-    a bound array column named ``sv`` applying an orthogonal-up-to-
-    scale INT64 transform to every vector at load (the OPQ seam —
-    ``plans/ivfpq_opq.py``; ``cells_of`` must rotate its centroids
-    identically)."""
+    encodes; ``encode(cand)`` is the vectorized add() pass against this
+    call's frozen artifacts); ``nprobe`` overrides the probe depth (the
+    eval sweep); ``cells_of(spark, sf_dir)`` overrides the coarse
+    quantizer (the k-means-trained variant); ``rotate`` is a Spark-SQL
+    expression over a bound array column named ``sv`` applying an
+    orthogonal-up-to-scale INT64 transform to every vector at load (the
+    OPQ seam — ``plans/ivfpq_opq.py``; ``cells_of`` must rotate its
+    centroids identically)."""
+    import numpy as np
+
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr(_SV_S).alias("sv")
     )
     if rotate is not None:
         emb = emb.select("vec_id", F.expr(rotate).alias("sv"))
-    cells, cb = _artifacts(emb, cells=(
-        None if cells_of is None else cells_of(spark, sf_dir)
-    ))
-    d_cell, d_enc = _D_CELL, _D_ENC
+
+    # ONE control-plane job collects queries + codebook band (+ the
+    # band quantizer when no trained cells are supplied) — the three
+    # deterministic head bands are contiguous by construction
+    head = emb.filter(F.col("vec_id") < _CB_HI).collect()
+    if cells_of is None:
+        crows = [
+            {"cell": r["vec_id"], "csv": r["sv"]}
+            for r in head if N_QUERIES <= r["vec_id"] < _CB_LO
+        ]
+        ids = np.array(
+            sorted(r["cell"] for r in crows), dtype=np.int64
+        )
+        C = np.array(
+            [list(r["csv"]) for r in sorted(crows, key=lambda r: r["cell"])],
+            dtype=np.int64,
+        )
+    else:
+        ids, C = _np_cells(cells_of(spark, sf_dir))
+    cids, sub = _np_codebook(
+        [r for r in head if _CB_LO <= r["vec_id"] < _CB_HI], ids, C
+    )
+
+    def encode(cand: DataFrame) -> DataFrame:
+        return _np_encode(cand, ids, C, cids, sub)
 
     if codes_of is None:
         cand = emb.filter(F.col("vec_id") >= N_QUERIES).withColumnRenamed(
             "vec_id", "cand_id"
         )
-        codes = _encode(cand, cells, cb)
+        codes = encode(cand)
     else:
-        codes = codes_of(emb, cells, cb)
+        codes = codes_of(emb, encode)
 
     # --- search(): probe cells, ADC tables, score codes --------------------
-    q = emb.filter(F.col("vec_id") < N_QUERIES).withColumnRenamed(
-        "vec_id", "query_id"
-    )
-    qcell = q.crossJoin(F.broadcast(cells)).select(
-        "query_id", "cell", "sv", "csv",
-        F.expr(d_cell).alias("d"),
-    )
-    wp = Window.partitionBy("query_id").orderBy("d", "cell")
-    probed = (
-        qcell.withColumn("rn", F.row_number().over(wp))
-        .filter(F.col("rn") <= nprobe)
-        .select("query_id", "cell", "sv", "csv")
-    )
-    qsub = probed.select(
-        "query_id", "cell",
-        F.explode(F.sequence(F.lit(0), F.lit(M_SUB - 1))).alias("m"),
-        "sv", "csv",
-    ).select("query_id", "cell", "m", F.expr(_RSUB_S).alias("rsub"))
-    qtab = qsub.join(F.broadcast(cb), "m").select(
-        "query_id", "cell", "m", "cid", F.expr(d_enc).alias("qdist")
+    # the probe + per-query lookup tables are |q|·nprobe·M·K_C rows —
+    # computed exactly on the driver and shipped as a broadcast literal
+    # (replaces a window + explode + two joins of plan per call)
+    qtab = spark.createDataFrame(
+        _np_qtab(
+            [r for r in head if r["vec_id"] < N_QUERIES],
+            ids, C, cids, sub, nprobe,
+        ),
+        schema="query_id long, cell long, m int, cid long, qdist long",
     )
 
     adc = (
@@ -459,7 +587,7 @@ def embed_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``vec_id >= IVFPQ_ADD_CUT`` band — a deterministic stand-in for an
     ingest day; both encode passes run against the same frozen
     broadcast artifacts.)"""
-    def codes_of(emb, cells, cb):
+    def codes_of(emb, encode):
         at_rest = emb.filter(
             (F.col("vec_id") >= N_QUERIES)
             & (F.col("vec_id") < IVFPQ_ADD_CUT)
@@ -467,9 +595,7 @@ def embed_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         delta = emb.filter(
             F.col("vec_id") >= IVFPQ_ADD_CUT
         ).withColumnRenamed("vec_id", "cand_id")
-        return _encode(at_rest, cells, cb).unionByName(
-            _encode(delta, cells, cb)
-        )
+        return encode(at_rest).unionByName(encode(delta))
 
     adc, _ = _adc_scores(spark, sf_dir, codes_of=codes_of)
     wr = Window.partitionBy("query_id").orderBy("adc_dist", "cand_id")

@@ -357,12 +357,9 @@ def embed_ivfpq_opq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     disturb the per-vector purity that licenses append-encode, so this
     shares ``embed_ivfpq_opq``'s full-rebuild oracle VERBATIM (the
     ``embed_ivfpq_incremental`` convention)."""
-    from star_schema_etl_airflow_spark.plans.ivfpq import (
-        IVFPQ_ADD_CUT,
-        _encode,
-    )
+    from star_schema_etl_airflow_spark.plans.ivfpq import IVFPQ_ADD_CUT
 
-    def codes_of(emb, cells, cb):
+    def codes_of(emb, encode):
         at_rest = emb.filter(
             (F.col("vec_id") >= N_QUERIES)
             & (F.col("vec_id") < IVFPQ_ADD_CUT)
@@ -370,9 +367,7 @@ def embed_ivfpq_opq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         delta = emb.filter(
             F.col("vec_id") >= IVFPQ_ADD_CUT
         ).withColumnRenamed("vec_id", "cand_id")
-        return _encode(at_rest, cells, cb).unionByName(
-            _encode(delta, cells, cb)
-        )
+        return encode(at_rest).unionByName(encode(delta))
 
     adc, _ = _adc_scores(
         spark, sf_dir,

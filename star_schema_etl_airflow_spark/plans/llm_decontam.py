@@ -80,7 +80,23 @@ def _contaminated_train(ev: DataFrame, tr: DataFrame) -> DataFrame:
     contam = (
         tr.filter(F.col("doc_id") % CONTAM_EVERY == 0)
         .crossJoin(F.broadcast(n_eval))
-        .withColumn("eval_rn", F.col("doc_id") % F.col("__n_eval"))
+        # guard the modulo (r16 ADVICE): doc_id % 0 is NULL in Spark —
+        # an empty eval bucket would silently drop every planted row at
+        # the inner join below, where the old driver-side count raised
+        # ZeroDivisionError.  assert_true keeps the failure loud; the
+        # when() ties it into the consumed column so Catalyst cannot
+        # prune it (the ql_scores headroom-guard pattern).
+        .withColumn(
+            "eval_rn",
+            F.col("doc_id") % F.when(
+                F.assert_true(
+                    F.col("__n_eval") > 0,
+                    "empty eval bucket: doc_id % 0 would silently "
+                    "drop every contamination-planted row",
+                ).isNull(),
+                F.col("__n_eval"),
+            ),
+        )
         .drop("__n_eval")
         .join(
             F.broadcast(evr.select("eval_rn", F.col("text").alias("eval_text"))),

@@ -132,8 +132,13 @@ def spread_scan(df: DataFrame, key: str, *cols: str) -> DataFrame:
         if parts is None:
             parts = df.rdd.getNumPartitions()
             _SCAN_PARTS[k] = parts
-    except Exception:  # pragma: no cover — Connect: assume narrow local
-        parts = 1
+    except Exception:  # pragma: no cover — Connect: split count unknown.
+        # Fail CLOSED (no spread): injecting a repartition here would add
+        # a full exchange of every fact-table projection on production-
+        # split inputs, contradicting the no-op-at-scale contract above
+        # (r16 verdict item 2).  The spread is a local-mode fixture aid;
+        # when the probe is unavailable, the bare projection is correct.
+        return out
     if parts >= n:
         return out
     return out.repartition(n, key)

@@ -126,6 +126,12 @@ class _BitReader:
         start = (self.byte << 3) + self.bit
         end = start + bits
         last = (end + 7) >> 3
+        if last > len(self.data):
+            # fail fast on truncated payloads, like the pre-r16 per-bit
+            # loop did (r16 ADVICE): the slice below would silently
+            # zero-extend, leaving truncation detection to downstream
+            # CRC/sync checks.  decode_err converts this to ValueError.
+            raise IndexError("bit read past end of data")
         window = int.from_bytes(self.data[self.byte:last], "big")
         v = (window >> ((last << 3) - end)) & ((1 << bits) - 1)
         self.byte = end >> 3

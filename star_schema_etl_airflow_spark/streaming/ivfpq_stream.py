@@ -114,7 +114,7 @@ def search_state(spark: SparkSession, sf_dir: str, state: DataFrame,
     to the batch index."""
     from star_schema_etl_airflow_spark.plans.ivfpq import _adc_scores
 
-    def codes_of(emb, cells, cb):
+    def codes_of(emb, encode):
         codes = state.select("cand_id", "cell", "m", "code")
         if at_rest_codes is not None:
             codes = at_rest_codes.select(
